@@ -1,0 +1,84 @@
+"""Sinks / writes (SURVEY §2.2, K1–K7).
+
+- K1 JSON overwrite write to an ``ingest_on=`` partition path
+  (api-extract-job.py:66,72) — idempotent per date.
+- K2 CSV landing write (extract-songs-job.py:40-50).
+- K3/K4 table append-or-create, partitioned by ``ingest_on``
+  (transform-json-job.py:147-187; transform-songs-job.py:102-118).
+- K5 dynamic partition overwrite (set in the session factory).
+- K6/K7 table/view materialization live in ``models.registry``.
+
+Scale notes: landing writes keep the reference's ``coalesce(1)``
+*per-partition-path* contract only when asked (single small monthly
+increment); at 100 TB callers pass ``num_files`` to fan out. Table
+writes are plain partitioned parquet via ``saveAsTable`` so Catalyst
+gets partition pruning on ``ingest_on`` for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_landing_json(
+    df: DataFrame, target_path: str, ingest_date: str, num_files: int = 1
+) -> str:
+    """K1: overwrite ``{target}/ingest_on={date}/`` with JSON lines.
+
+    The reference coalesces to one file (api-extract-job.py:66) because
+    each increment is small; ``num_files`` scales that out.
+    """
+    path = f"{target_path}/ingest_on={ingest_date}/"
+    df.coalesce(num_files).write.mode("overwrite").json(path)
+    return path
+
+
+def write_landing_csv(
+    df: DataFrame, target_path: str, ingest_date: str, num_files: int = 1
+) -> str:
+    """K2: CSV landing write with header (extract-songs-job.py:40-50)."""
+    path = f"{target_path}/ingest_on={ingest_date}/"
+    (
+        df.coalesce(num_files)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    return path
+
+
+def write_table_append_or_create(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    partition_col: str = "ingest_on",
+    overwrite_partitions: bool = False,
+) -> None:
+    """K3/K4: append into ``table`` if it exists, else create it.
+
+    Reproduces the existence branch at transform-json-job.py:147-187 /
+    transform-songs-job.py:102-118 (Iceberg ``writeTo ... append()`` vs
+    ``createOrReplace()``) on partitioned parquet catalog tables.
+
+    ``overwrite_partitions=True`` switches the append to INSERT
+    OVERWRITE of just the arriving partitions (K5 dynamic partition
+    overwrite — the session factory sets
+    ``spark.sql.sources.partitionOverwriteMode=dynamic``), which makes
+    re-running a month idempotent instead of duplicating it. The
+    reference's own append path is unsafe on re-runs (SURVEY §7 "hard
+    parts"); we keep its declared behavior as the default and offer the
+    safe mode explicitly.
+    """
+    if spark.catalog.tableExists(table):
+        mode = "overwrite" if overwrite_partitions else "append"
+        # insertInto matches by position — realign to the table's
+        # column order (partition column lands last in the catalog).
+        aligned = df.select(*spark.table(table).columns)
+        aligned.write.mode(mode).insertInto(table)
+    else:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .format("parquet")
+            .saveAsTable(table)
+        )

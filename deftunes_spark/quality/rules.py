@@ -1,0 +1,175 @@
+"""DQDL rule types (SURVEY §2.10) + dbt-style data tests (§2.5 A8).
+
+The reference binds four DQDL rule kinds to its silver tables
+(terraform/modules/data_quality/glue.tf:1-26):
+
+    IsComplete "col"            — zero NULLs
+    ColumnLength "col" = N      — every value exactly N chars
+    Uniqueness "col" > r        — distinct/total ratio above r
+    ColumnValues "col" <= b     — every value within bound
+
+plus dbt ``unique`` / ``not_null`` data tests on the gold layer
+(serving_layer/schema.yml:8-46). Each rule compiles to one or more
+Spark aggregate Columns so a whole ruleset evaluates in a SINGLE pass
+over the table (one scan, one map-side-combined aggregate — the shape
+you want when the table is 100 TB). ``approx_uniqueness=True``
+switches the Uniqueness rule to ``approx_count_distinct`` (HLL) for
+scans where an exact distinct (which shuffles) is too expensive.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class RuleResult:
+    rule_name: str
+    passed: bool
+    metric: float
+
+
+class Rule:
+    """One quality rule compiled to aggregate expressions."""
+
+    name: str = "rule"
+
+    def agg_exprs(self) -> list[Column]:
+        raise NotImplementedError
+
+    def verdict(self, row: dict) -> RuleResult:
+        raise NotImplementedError
+
+    def _slot(self, i: int = 0) -> str:
+        return f"{self.name}__{i}"
+
+
+@dataclass(frozen=True)
+class IsComplete(Rule):
+    column: str
+
+    @property
+    def name(self) -> str:  # type: ignore[override]
+        return f'IsComplete "{self.column}"'
+
+    def agg_exprs(self) -> list[Column]:
+        # NULL count == 0. count(*) - count(col) is a cheap single agg.
+        return [
+            (F.count(F.lit(1)) - F.count(self.column)).alias(self._slot())
+        ]
+
+    def verdict(self, row: dict) -> RuleResult:
+        nulls = row[self._slot()] or 0
+        return RuleResult(self.name, nulls == 0, float(nulls))
+
+
+@dataclass(frozen=True)
+class ColumnLength(Rule):
+    column: str
+    length: int
+
+    @property
+    def name(self) -> str:  # type: ignore[override]
+        return f'ColumnLength "{self.column}" = {self.length}'
+
+    def agg_exprs(self) -> list[Column]:
+        # Count of non-null values whose length differs from the target.
+        bad = F.when(F.length(self.column) != self.length, 1)
+        return [F.count(bad).alias(self._slot())]
+
+    def verdict(self, row: dict) -> RuleResult:
+        bad = row[self._slot()] or 0
+        return RuleResult(self.name, bad == 0, float(bad))
+
+
+@dataclass(frozen=True)
+class Uniqueness(Rule):
+    column: str
+    threshold: float
+    approx: bool = False
+
+    @property
+    def name(self) -> str:  # type: ignore[override]
+        return f'Uniqueness "{self.column}" > {self.threshold}'
+
+    def agg_exprs(self) -> list[Column]:
+        distinct = (
+            F.approx_count_distinct(self.column)
+            if self.approx
+            else F.count_distinct(self.column)
+        )
+        return [
+            distinct.alias(self._slot(0)),
+            F.count(self.column).alias(self._slot(1)),
+        ]
+
+    def verdict(self, row: dict) -> RuleResult:
+        total = row[self._slot(1)] or 0
+        ratio = (row[self._slot(0)] / total) if total else 1.0
+        return RuleResult(self.name, ratio > self.threshold, ratio)
+
+
+@dataclass(frozen=True)
+class ColumnValues(Rule):
+    """``ColumnValues "col" <= bound`` (glue.tf:12)."""
+
+    column: str
+    bound: float
+    op: str = "<="
+
+    @property
+    def name(self) -> str:  # type: ignore[override]
+        return f'ColumnValues "{self.column}" {self.op} {self.bound:g}'
+
+    def agg_exprs(self) -> list[Column]:
+        col = F.col(self.column)
+        ok = {
+            "<=": col <= self.bound,
+            "<": col < self.bound,
+            ">=": col >= self.bound,
+            ">": col > self.bound,
+        }[self.op]
+        return [F.count(F.when(~ok, 1)).alias(self._slot())]
+
+    def verdict(self, row: dict) -> RuleResult:
+        bad = row[self._slot()] or 0
+        return RuleResult(self.name, bad == 0, float(bad))
+
+
+@dataclass(frozen=True)
+class NotNull(IsComplete):
+    """dbt ``not_null`` data test — same semantics as IsComplete."""
+
+    @property
+    def name(self) -> str:  # type: ignore[override]
+        return f'NotNull "{self.column}"'
+
+
+@dataclass(frozen=True)
+class Unique(Rule):
+    """dbt ``unique`` data test: no key occurs twice.
+
+    Exactly unique (ratio 1.0) — count == count_distinct. The declared
+    ``fact_session.session_id`` instance is expected to FAIL by
+    construction (multi-item sessions after explode — SURVEY §2.5
+    note); the evaluator reports it without raising.
+    """
+
+    column: str
+
+    @property
+    def name(self) -> str:  # type: ignore[override]
+        return f'Unique "{self.column}"'
+
+    def agg_exprs(self) -> list[Column]:
+        return [
+            F.count_distinct(self.column).alias(self._slot(0)),
+            F.count(self.column).alias(self._slot(1)),
+        ]
+
+    def verdict(self, row: dict) -> RuleResult:
+        dupes = (row[self._slot(1)] or 0) - (row[self._slot(0)] or 0)
+        return RuleResult(self.name, dupes == 0, float(dupes))
