@@ -22,20 +22,20 @@ def entry(spark: SparkSession) -> DataFrame:
     The flagship mirrors bi_views/sales_per_artist_vw.sql: fact LEFT
     JOIN broadcast dim → per-(year, artist) decimal-exact sales sum.
     """
-    from deftunes_spark.driver_queries import QUERIES
+    from deftunes_spark.registry import QUERIES
 
     return QUERIES["sales_per_artist"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from deftunes_spark.driver_queries import QUERIES
+    from deftunes_spark.registry import QUERIES
 
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per query (omitted → rows-only check)."""
-    from deftunes_spark.driver_queries import ORACLES
+    from deftunes_spark.registry import ORACLES
 
     return dict(ORACLES)

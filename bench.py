@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "headline_queries_total", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ...}
+
+Timing is per-query wall clock around the terminal action
+(``collect`` — every headline query returns a small aggregate/top-k
+result, so collect cost is the query cost, not a transfer cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the flagship BI views, a scan-heavy filter, a windowed
+# top-k, a multi-way join agg, and the scale-path extension operators.
+HEADLINE = [
+    "sales_per_artist",
+    "sales_per_country",
+    "filter_pushdown",
+    "window_topk",
+    "inner_join_agg",
+    "date_parts",
+    "dedup_exact",
+    "text_quality",
+    "embedding_topk",
+    "events_tumbling",
+]
+
+
+def main() -> None:
+    from deftunes_spark.registry import QUERIES
+    from deftunes_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("deftunes-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths so per-query numbers measure the plan,
+    # not first-run JIT.
+    QUERIES["sales_per_artist"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

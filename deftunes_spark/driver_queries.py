@@ -68,9 +68,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # Integer division — `/` would go through double and lose exactness
+    # for nano epochs (~1.7e18 > 2^53).
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 # =====================================================================

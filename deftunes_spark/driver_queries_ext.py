@@ -1,0 +1,383 @@
+"""Driver queries for the north-star extension operators (BASELINE
+"north_star": dedup, similarity search, multimodal columns, text
+analysis, streaming-windowed events).
+
+Registered into the same QUERIES/ORACLES maps as the core set.
+Oracle-less entries (hash-function-dependent: MinHash/SimHash/LSH) get
+the driver's rows-only check; their numeric correctness is covered by
+pytest against planted duplicates and brute-force ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deftunes_spark.driver_queries import ORACLES, _t, query
+from deftunes_spark.ext import dedup as D
+from deftunes_spark.ext import multimodal as M
+from deftunes_spark.ext import similarity as S
+from deftunes_spark.ext import text as X
+from deftunes_spark.streaming.windows import (
+    session_stats_batch,
+    tumbling_agg_batch,
+)
+
+# =====================================================================
+# Deduplication
+# =====================================================================
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS normalized_fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized content fingerprint: one
+    hash-shuffle groupBy; representative = min doc_id."""
+    docs = X.with_fingerprint(_t(spark, sf_dir, "documents"))
+    return D.exact_dedup(docs, ["normalized_fingerprint"], "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY 1
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*) AS common
+        FROM toks a JOIN toks b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(common AS DOUBLE)
+               / CAST(sa.set_size + sb.set_size - common AS DOUBLE)
+               AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(common AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - common AS DOUBLE) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs (n=1 here so the synthetic corpus
+    yields non-trivial overlap); candidates via shared-shingle
+    equi-join, never a cross join."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=1, threshold=0.5
+    )
+
+
+@query("dedup_minhash")
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands) near-dup pairs on word 2-shingles.
+    xxhash64-based (not SQL-mirrorable → rows-only driver check;
+    recall/precision asserted in tests against planted dups)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=2,
+        num_hashes=32,
+        bands=8,
+        threshold=0.3,
+    )
+
+
+@query("dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 near-dup pairs, Hamming ≤ 8, chunked candidate join."""
+    docs = _t(spark, sf_dir, "documents")
+    sims = D.simhash64(docs, "doc_id", "text")
+    return D.simhash_near_pairs(sims, "doc_id", max_hamming=8)
+
+
+# =====================================================================
+# Text analysis
+# =====================================================================
+
+
+@query(
+    "text_quality",
+    """
+    SELECT doc_id,
+           CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                AS BIGINT) AS token_count,
+           CASE WHEN length(text) > 0 THEN
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS DOUBLE) / CAST(length(text) AS DOUBLE)
+           ELSE 0.0 END AS alpha_ratio,
+           greatest(0.0, least(1.0,
+               (CASE WHEN length(text) > 0 THEN
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                ELSE 0.0 END)
+               - (CASE WHEN length(text) > 0 THEN
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                        AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END)
+               - greatest(0.0, abs(
+                     CASE WHEN length(regexp_split_to_array(trim(text),
+                                 '\\s+')) > 0 THEN
+                         CAST(length(text) AS DOUBLE)
+                         / length(regexp_split_to_array(trim(text), '\\s+'))
+                     ELSE 0.0 END - 6.0) - 3.0) * 0.1
+           )) AS quality_score
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: char-class ratios + token stats, one codegen
+    scan, no UDFs."""
+    docs = X.with_quality_score(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", "token_count", "alpha_ratio", "quality_score"
+    )
+
+
+def _lang_oracle() -> str:
+    score = {
+        lang: (
+            "CAST(len(regexp_extract_all(text, '(?i)\\b("
+            + "|".join(words)
+            + ")\\b')) AS DOUBLE)"
+        )
+        for lang, words in X.LANG_MARKERS.items()
+    }
+    score["zh"] = (
+        "CAST(length(text) - length(regexp_replace(text,"
+        " '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)"
+    )
+    cols = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    best = "greatest(" + ", ".join(f"s_{k}" for k in score) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND s_{lang} = {best} THEN '{lang}'"
+        for lang in score
+    ) + " ELSE 'und' END"
+    return (
+        f"WITH scored AS (SELECT doc_id, {cols} FROM documents) "
+        f"SELECT doc_id, {case} AS lang_pred FROM scored"
+    )
+
+
+@query("text_lang_id", _lang_oracle())
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word / Han-script language ID (one regexp pass per
+    candidate language)."""
+    docs = X.with_lang_id(_t(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "lang_pred")
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(text) AS fingerprint,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               AS normalized_fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = X.with_fingerprint(_t(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "fingerprint", "normalized_fingerprint")
+
+
+# =====================================================================
+# Similarity search
+# =====================================================================
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@query(
+    "embedding_topk",
+    """
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+        SELECT vec_id,
+               round(
+                   list_dot_product(embedding::DOUBLE[], (SELECT qv FROM q))
+                   / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))
+                      * sqrt(list_dot_product((SELECT qv FROM q),
+                                              (SELECT qv FROM q)))),
+                   6) AS cosine_sim
+        FROM embeddings
+    )
+    SELECT vec_id, cosine_sim FROM scored
+    ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (TakeOrdered — per-partition top-k then
+    driver merge, no global sort). Sim rounded to 6dp on both sides so
+    the hash ignores sub-ulp float noise."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    scored = S.cosine_to_query(emb, qv).select(
+        "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+    return scored.orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    ).limit(10)
+
+
+@query("ann_lsh_topk")
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: random-hyperplane LSH buckets + multi-probe + exact rerank
+    (recall vs brute force asserted in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    out = S.ann_topk(emb, qv, k=10, n_bits=8, n_probes=4)
+    return out.select(
+        "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
+@query("embedding_neardup")
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs via LSH bucket equi-join +
+    exact-cosine verification."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = S.cosine_neardup_pairs(emb, threshold=0.9, n_bits=6)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
+# =====================================================================
+# Multimodal columns
+# =====================================================================
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           'text' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
+           sha256(text) AS content_sha256
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata struct; size/hash computed
+    JVM-side on the binary column."""
+    docs = M.text_as_fake_payload(_t(spark, sf_dir, "documents"))
+    media = M.attach_media_columns(docs, "payload", modality="text")
+    return media.select(
+        "doc_id",
+        F.col("media_meta.modality").alias("modality"),
+        F.col("media_meta.byte_size").alias("byte_size"),
+        F.col("media_meta.content_sha256").alias("content_sha256"),
+    )
+
+
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
+           16 AS feature_dim
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary
+    payloads (deterministic fake features — codec stubbed; the oracle
+    checks the plumbing: ids, sizes, vector width)."""
+    docs = M.text_as_fake_payload(_t(spark, sf_dir, "documents"))
+    feats = M.extract_image_features(docs, dim=16, fake_features=True)
+    return feats.select(
+        "doc_id",
+        "byte_size",
+        F.size("feature").alias("feature_dim"),
+    )
+
+
+# =====================================================================
+# Streaming-windowed events (batch face; streaming equivalence in tests)
+# =====================================================================
+
+
+@query(
+    "events_tumbling",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+               AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming
+    operator — identical results for on-time data)."""
+    return tumbling_agg_batch(_t(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                    OR floor(epoch_us(ts) / 1000000)
+                       - floor(epoch_us(lag(ts) OVER w) / 1000000) > 1800
+                    THEN 1 ELSE 0 END AS is_start
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessed AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessed GROUP BY 1, 2
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): lag + conditional cumsum,
+    one shuffle on user_id."""
+    stats = session_stats_batch(
+        _t(spark, sf_dir, "events"), gap_minutes=30
+    )
+    return stats.select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "n_events",
+        "session_start",
+        "session_end",
+    )
+
+
+__all__ = ["ORACLES"]

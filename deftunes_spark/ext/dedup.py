@@ -1,0 +1,336 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: no operator here ever materializes an O(n²) comparison.
+Candidate generation is always a hash-bucket equi-join (LSH bands,
+SimHash chunks, shared shingles), so at 100 TB the shuffle keys are
+bucket ids and the pair space stays proportional to true-duplicate
+density, not to n².
+
+Hash functions are pluggable: ``xxhash64`` (JVM built-in, the scale
+path) or ``md5`` (slower, but mirrorable in ANSI SQL for the
+correctness oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_col(col: Column, seed: int, fn: str) -> Column:
+    """Seeded string hash. xxhash64 → bigint; md5 → hex string (min()
+    over hex strings is still a valid minwise order)."""
+    seeded = F.concat(F.lit(f"{seed}|"), col)
+    if fn == "xxhash64":
+        return F.xxhash64(seeded)
+    if fn == "md5":
+        return F.md5(seeded)
+    raise ValueError(f"unknown hash fn {fn!r}")
+
+
+# ---------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], id_col: str
+) -> DataFrame:
+    """Exact duplicate groups by key columns (hash-shuffle groupBy).
+
+    Returns one row per distinct key: representative ``keep_id`` (min
+    id — deterministic) and ``dup_count``. Map-side combine keeps the
+    shuffle proportional to distinct keys, not rows.
+    """
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles, one row per (id, shingle).
+
+    Built entirely from array expressions (split → sliding slices →
+    explode) — stays in whole-stage codegen. Documents shorter than
+    ``n`` tokens contribute their full token string as one shingle.
+    """
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size({'_toks'}) - {n - 1}, 1)), "
+        f"i -> array_join(slice(_toks, i, {n}), ' '))"
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .select("_id", F.explode(sh).alias("shingle"))
+        .distinct()
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+# ---------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------
+
+
+def minhash_signatures(
+    shingle_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """MinHash signature per document: one groupBy with ``num_hashes``
+    min() aggregates over seeded shingle hashes — a single shuffle
+    keyed by document id regardless of k."""
+    aggs = [
+        F.min(_hash_col(F.col("shingle"), i, hash_fn)).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Band the signatures and equi-join on (band, band_key): documents
+    agreeing on all rows of any band become a candidate pair.
+
+    The join key is the banded hash — collisions (true near-dups)
+    co-locate, everything else never meets. ``id_a < id_b`` halves the
+    pair space and removes self-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{b * rows_per_band + r}").cast(
+                                "string"
+                            )
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig_df.select(
+        F.col(id_col), F.explode(band_structs).alias("bk")
+    ).select(id_col, "bk.band", "bk.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.band_key") == F.col(f"b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_estimate_jaccard(
+    sig_df: DataFrame, pairs: DataFrame, id_col: str, num_hashes: int = 32
+) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing signature components."""
+    matches = sum(
+        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    sa = sig_df.alias("sa")
+    sb = sig_df.alias("sb")
+    return (
+        pairs.join(sa, pairs.id_a == F.col(f"sa.{id_col}"))
+        .join(sb, pairs.id_b == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (matches / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """End-to-end near-duplicate pairs: shingle → MinHash → LSH bands →
+    estimated-Jaccard filter. Returns (id_a, id_b, est_jaccard)."""
+    sh = shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, id_col, num_hashes, hash_fn)
+    pairs = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    est = minhash_estimate_jaccard(sig, pairs, id_col, num_hashes)
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------
+# n-gram Jaccard (exact, shared-shingle candidate join)
+# ---------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets.
+
+    Candidates come from an equi-join on the shingle itself (only
+    pairs sharing ≥1 shingle ever meet), then
+    ``|A∩B| / (|A| + |B| - |A∩B|)``. At 100 TB, ultra-frequent
+    shingles are the skew risk — apply ``df.filter`` on document
+    frequency upstream (stopword-shingle removal) when corpus size
+    warrants it.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sza = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")
+    )
+    szb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")
+    )
+    return (
+        common.join(sza, "id_a")
+        .join(szb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common").cast("double")
+                / (
+                    F.col("size_a") + F.col("size_b") - F.col("common")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document.
+
+    Token hash bit-votes: for each bit, +1 if set else -1, summed over
+    tokens; the sign becomes the fingerprint bit. Expressed as one
+    explode + one groupBy with 64 conditional-sum aggregates — a
+    single shuffle keyed by doc id.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.split(F.trim(F.col(text_col)), "\\s+")
+            ).alias("tok"),
+        )
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("_id").agg(*votes)
+    fingerprint = None
+    for i in range(64):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select(
+        F.col("_id").alias(id_col), fingerprint.alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation: split the 64-bit fingerprint into 4 16-bit
+    chunks — any pair within Hamming ≤ 3 must agree on ≥1 chunk
+    (pigeonhole), so an equi-join per chunk finds all of them without
+    a cross join. Verification: ``bit_count(a XOR b)``.
+    """
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("simhash", c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("chunk_val"),
+            )
+            for c in range(4)
+        ]
+    )
+    keyed = sim_df.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("ck")
+    ).select(id_col, "simhash", "ck.chunk", "ck.chunk_val")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

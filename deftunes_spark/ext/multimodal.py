@@ -1,0 +1,162 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Model: media travels as a ``binary`` column plus a metadata struct
+(modality, format, width/height/duration, byte size, content hash) —
+the payload is never interpreted by Catalyst, so scans stay columnar
+and predicate pushdown works on the metadata.
+
+Decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages: the Spark-side plumbing (schemas, batching,
+partitioning) is real and tested; the codec call itself is stubbed
+(``NotImplementedError``) or replaced by a deterministic fake, because
+this container ships no image/audio libraries. Swapping in PIL/ffmpeg
+changes ONE marked function per operator, nothing else.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("byte_size", T.LongType(), False),
+        T.StructField("content_sha256", T.StringType(), False),
+    ]
+)
+
+
+def attach_media_columns(
+    df: DataFrame, payload_col: str, modality: str, fmt: str | None = None
+) -> DataFrame:
+    """Wrap an existing binary column with the typed metadata struct.
+
+    byte size and content hash are computed JVM-side (no UDF); decode-
+    dependent fields (width/height/duration) stay NULL until a decode
+    stage fills them.
+    """
+    p = F.col(payload_col)
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(fmt).cast("string").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(p).cast("long").alias("byte_size"),
+            F.sha2(p, 256).alias("content_sha256"),
+        ),
+    )
+
+
+def text_as_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic stand-in payload: UTF-8 bytes of the text column.
+
+    Lets every downstream stage (metadata, batching, feature UDFs) run
+    against real binary data without media fixtures.
+    """
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+# ---------------------------------------------------------------------
+# Arrow-batched decode / feature plumbing
+# ---------------------------------------------------------------------
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("byte_size", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def _decode_image(payload: bytes) -> "object":
+    """CODEC BOUNDARY — the only line a real deployment replaces
+    (e.g. PIL.Image.open). No image libs in this container."""
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "use fake_features=True or install a codec and replace "
+        "_decode_image"
+    )
+
+
+def _fake_feature(payload: bytes, dim: int) -> list[float]:
+    """Deterministic pseudo-feature: bytes of iterated sha256, scaled
+    to [-1, 1]. Stable across runs/partitions — good enough to test
+    the full pipeline shape."""
+    out: list[float] = []
+    h = hashlib.sha256(payload).digest()
+    while len(out) < dim:
+        for b in h:
+            out.append(b / 127.5 - 1.0)
+            if len(out) == dim:
+                break
+        h = hashlib.sha256(h).digest()
+    return out
+
+
+def extract_image_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    dim: int = 16,
+    fake_features: bool = True,
+) -> DataFrame:
+    """Feature extraction as ``mapInPandas``: Arrow-batched binary in,
+    fixed-width float vectors out. Partition-parallel, zero shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                data = bytes(payload)
+                if fake_features:
+                    feats.append(_fake_feature(data, dim))
+                else:
+                    _decode_image(data)  # pragma: no cover
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "byte_size": pdf[payload_col].map(len).astype("int64"),
+                    "feature": feats,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "doc_id",
+    duration_col: str = "media_meta.duration_ms",
+) -> DataFrame:
+    """Frame-sampling *plan*: one row per (doc, frame timestamp) via
+    ``sequence`` + ``explode`` — pure JVM. The actual frame decode
+    would be a ``mapInPandas`` join against this plan (stubbed codec).
+    Documents with NULL duration produce no frames."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.coalesce(F.col(duration_col), F.lit(-1)).cast("long"),
+                F.lit(every_ms).cast("long"),
+            )
+        ).alias("frame_ts_ms"),
+    )

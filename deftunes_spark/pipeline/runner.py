@@ -1,0 +1,161 @@
+"""In-engine pipeline runner (SURVEY §2.11, O1–O6).
+
+Plain-Python re-expression of the reference's Airflow DAGs
+(dags/deftunes_api_pipeline.py:182-189, deftunes_songs_pipeline.py:
+167-174): tasks + dependencies, monthly logical windows with catchup
+backfill, serialized runs (max_active_runs=1 → windows run in order),
+per-task retry-once policy, and DQ gate tasks that stop downstream
+tasks on failure.
+
+A task callable receives a context dict:
+    {"spark": SparkSession, "window_start": "YYYY-MM-DD",
+     "window_end": "YYYY-MM-DD", "ingest_date": "YYYY-MM-DD", ...}
+mirroring the Glue script_args Jinja contract
+(deftunes_api_pipeline.py:63-65: ds / next_ds / next_ds-1d).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import logging
+import time
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+
+log = logging.getLogger("deftunes_spark.pipeline")
+
+
+class TaskFailure(RuntimeError):
+    def __init__(self, task: str, cause: Exception):
+        self.task = task
+        self.cause = cause
+        super().__init__(f"task {task!r} failed: {cause}")
+
+
+def monthly_windows(
+    start_date: str, end_date: str
+) -> list[tuple[str, str]]:
+    """Airflow-style monthly logical windows with catchup.
+
+    cron ``0 0 1 * *`` between start and end (inclusive of every
+    window whose start falls in range) → [(ds, next_ds), ...]
+    (deftunes_api_pipeline.py:30-33).
+    """
+    start = dt.date.fromisoformat(start_date).replace(day=1)
+    end = dt.date.fromisoformat(end_date)
+    windows: list[tuple[str, str]] = []
+    cur = start
+    while cur <= end:
+        nxt = (cur.replace(day=28) + dt.timedelta(days=4)).replace(day=1)
+        windows.append((cur.isoformat(), nxt.isoformat()))
+        cur = nxt
+    return windows
+
+
+@dataclass
+class PipelineTask:
+    name: str
+    fn: Callable[[dict], object]
+    depends_on: tuple[str, ...] = ()
+    retries: int = 1  # reference default_args: retries=1 (:17-19)
+    retry_delay_s: float = 0.0  # 5 min in the reference; 0 for tests
+    is_gate: bool = False  # DQ gate: failure stops downstream (O5)
+
+
+@dataclass
+class Pipeline:
+    """A DAG of tasks run per logical window, serialized like
+    ``max_active_runs=1`` (windows execute in chronological order,
+    never concurrently)."""
+
+    name: str
+    tasks: dict[str, PipelineTask] = field(default_factory=dict)
+
+    def add(self, task: PipelineTask) -> PipelineTask:
+        if task.name in self.tasks:
+            raise ValueError(f"duplicate task {task.name!r}")
+        for dep in task.depends_on:
+            if dep not in self.tasks:
+                raise ValueError(
+                    f"task {task.name!r} depends on unknown {dep!r}"
+                )
+        self.tasks[task.name] = task
+        return task
+
+    def topo_order(self) -> list[str]:
+        ts = TopologicalSorter(
+            {n: set(t.depends_on) for n, t in self.tasks.items()}
+        )
+        return list(ts.static_order())
+
+    def _run_task(self, task: PipelineTask, ctx: dict) -> object:
+        attempts = task.retries + 1
+        for attempt in range(1, attempts + 1):
+            try:
+                return task.fn(ctx)
+            except Exception as exc:  # noqa: BLE001
+                log.warning(
+                    "%s attempt %d/%d failed: %s",
+                    task.name,
+                    attempt,
+                    attempts,
+                    exc,
+                )
+                if attempt == attempts:
+                    raise TaskFailure(task.name, exc) from exc
+                time.sleep(task.retry_delay_s)
+        raise AssertionError("unreachable")
+
+    def run_window(
+        self, window: tuple[str, str], base_ctx: dict | None = None
+    ) -> dict[str, object]:
+        """One logical run: execute all tasks in dependency order.
+
+        Window param contract (deftunes_api_pipeline.py:63-65):
+        start_date = ds, end_date = next_ds - 1 day, ingest_date =
+        next_ds. Tasks downstream of a failed task are skipped; a
+        failed gate (or any failure) marks the run failed.
+        """
+        ds, next_ds = window
+        end = (
+            dt.date.fromisoformat(next_ds) - dt.timedelta(days=1)
+        ).isoformat()
+        ctx = {
+            "window_start": ds,
+            "window_end": end,
+            "ingest_date": next_ds,
+            **(base_ctx or {}),
+        }
+        results: dict[str, object] = {}
+        failed: set[str] = set()
+        for name in self.topo_order():
+            task = self.tasks[name]
+            if any(d in failed for d in task.depends_on):
+                failed.add(name)
+                results[name] = "skipped"
+                continue
+            try:
+                results[name] = self._run_task(task, ctx)
+            except TaskFailure as exc:
+                failed.add(name)
+                results[name] = exc
+        if failed:
+            raise TaskFailure(
+                sorted(failed)[0],
+                RuntimeError(f"window {ds} failed tasks: {sorted(failed)}"),
+            )
+        return results
+
+    def backfill(
+        self,
+        start_date: str,
+        end_date: str,
+        base_ctx: dict | None = None,
+    ) -> dict[str, dict[str, object]]:
+        """catchup=True over monthly windows, strictly serialized
+        (max_active_runs=1, deftunes_api_pipeline.py:33-34)."""
+        out: dict[str, dict[str, object]] = {}
+        for window in monthly_windows(start_date, end_date):
+            out[window[0]] = self.run_window(window, base_ctx)
+        return out

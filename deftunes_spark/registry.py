@@ -1,0 +1,8 @@
+"""Single import point for the full driver query registry."""
+
+from deftunes_spark.driver_queries import ORACLES, QUERIES
+
+# Importing registers the extension queries into the same maps.
+import deftunes_spark.driver_queries_ext  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES"]
