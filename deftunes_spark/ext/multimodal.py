@@ -149,14 +149,13 @@ def frame_sample_plan(
     """Frame-sampling *plan*: one row per (doc, frame timestamp) via
     ``sequence`` + ``explode`` — pure JVM. The actual frame decode
     would be a ``mapInPandas`` join against this plan (stubbed codec).
-    Documents with NULL duration produce no frames."""
-    return df.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(
-                F.lit(0).cast("long"),
-                F.coalesce(F.col(duration_col), F.lit(-1)).cast("long"),
-                F.lit(every_ms).cast("long"),
-            )
-        ).alias("frame_ts_ms"),
+    Documents with NULL duration produce no frames (explode drops the
+    NULL array)."""
+    dur = F.col(duration_col).cast("long")
+    seq = F.when(
+        dur >= 0,
+        F.sequence(
+            F.lit(0).cast("long"), dur, F.lit(every_ms).cast("long")
+        ),
     )
+    return df.select(F.col(id_col), F.explode(seq).alias("frame_ts_ms"))

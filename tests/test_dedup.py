@@ -1,0 +1,94 @@
+import pytest
+
+from deftunes_spark.ext import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "sleeps on the warm windowsill in the afternoon sun light"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 distinct docs + planted near-dup pairs + one exact dup."""
+    rows = []
+    for i in range(60):
+        rows.append(
+            (i, f"document number {i} " + " ".join(f"tok{i}_{j}" for j in range(30)))
+        )
+    rows.append((100, BASE))
+    rows.append((101, BASE))  # exact dup of 100
+    rows.append((102, BASE.replace("lazy", "sleepy")))  # near dup
+    rows.append((103, BASE + " extra trailing words here"))  # near dup
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(corpus):
+    groups = D.exact_dedup(corpus, ["text"], "doc_id")
+    dup = groups.filter("dup_count > 1").collect()
+    assert len(dup) == 1
+    assert dup[0].keep_id == 100 and dup[0].dup_count == 2
+    assert groups.count() == 63  # 64 docs, one merged pair
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "only two")], ["doc_id", "text"])
+    sh = D.shingles(df, "doc_id", "text", n=3).collect()
+    assert [r.shingle for r in sh] == ["only two"]
+
+
+def test_minhash_finds_planted_neardups(corpus):
+    pairs = D.minhash_dedup_pairs(
+        corpus, "doc_id", "text", n=2, num_hashes=32, bands=8,
+        threshold=0.4,
+    )
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (100, 101) in found  # exact dup → est_jaccard 1.0
+    assert (100, 102) in found or (101, 102) in found
+    # No false positives among the unrelated docs.
+    assert not any(a < 100 and b < 100 for a, b in found)
+
+
+def test_minhash_estimate_close_to_true_jaccard(corpus):
+    pairs = D.minhash_dedup_pairs(
+        corpus, "doc_id", "text", n=2, num_hashes=64, bands=16,
+        threshold=0.3,
+    )
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            corpus, "doc_id", "text", n=2, threshold=0.0
+        ).collect()
+    }
+    for r in pairs.collect():
+        true_j = exact.get((r.id_a, r.id_b), 0.0)
+        assert abs(r.est_jaccard - true_j) < 0.35
+
+
+def test_ngram_jaccard_exact_value(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
+    )
+    # 2-shingles: {ab,bc,cd} vs {ab,bc,ce} → J = 2/4 = 0.5
+    out = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=2, threshold=0.0
+    ).collect()
+    assert len(out) == 1
+    assert abs(out[0].jaccard - 0.5) < 1e-9
+
+
+def test_simhash_near_pairs(corpus):
+    sims = D.simhash64(corpus, "doc_id", "text")
+    # Exact dup → identical fingerprint (hamming 0).
+    fp = {r.doc_id: r.simhash for r in sims.collect()}
+    assert fp[100] == fp[101]
+    pairs = D.simhash_near_pairs(sims, "doc_id", max_hamming=10)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (100, 101) in found
+    # One changed token in a ~22-token doc shifts each bit's vote by
+    # ±2, so hamming lands well under random (≈32) but above the
+    # near-dup cutoff; appended-words doc stays under it.
+    assert (100, 103) in found
+    assert bin(fp[100] ^ fp[102]).count("1") < 24
+    # Unrelated docs never pair up.
+    assert not any(a < 100 and b < 100 for a, b in found)

@@ -1,0 +1,58 @@
+import pytest
+
+from pyspark.sql import functions as F
+
+from deftunes_spark.ext import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "another doc")], ["doc_id", "text"]
+    )
+    return M.attach_media_columns(
+        M.text_as_fake_payload(df), "payload", modality="text", fmt="utf8"
+    )
+
+
+def test_metadata_struct(media):
+    row = media.filter("doc_id = 1").first()
+    meta = row.media_meta
+    assert meta.modality == "text" and meta.format == "utf8"
+    assert meta.byte_size == len(b"hello world")
+    import hashlib
+
+    assert meta.content_sha256 == hashlib.sha256(b"hello world").hexdigest()
+    assert meta.width is None  # decode-dependent fields stay NULL
+
+
+def test_feature_extraction_deterministic(spark, media):
+    out1 = M.extract_image_features(media, dim=8).collect()
+    out2 = M.extract_image_features(media, dim=8).collect()
+    assert sorted(r.doc_id for r in out1) == [1, 2]
+    by_id1 = {r.doc_id: r.feature for r in out1}
+    by_id2 = {r.doc_id: r.feature for r in out2}
+    assert by_id1 == by_id2  # stable across runs
+    assert all(len(v) == 8 for v in by_id1.values())
+    assert all(-1.0 <= x <= 1.0 for v in by_id1.values() for x in v)
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        M._decode_image(b"\x89PNG")
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, 3500), (2, None)], ["doc_id", "duration_ms"]
+    ).select(
+        "doc_id",
+        F.struct(F.col("duration_ms").cast("long").alias("duration_ms")).alias(
+            "media_meta"
+        ),
+    )
+    plan = M.frame_sample_plan(df, every_ms=1000).collect()
+    frames = sorted(
+        (r.doc_id, r.frame_ts_ms) for r in plan
+    )
+    assert frames == [(1, 0), (1, 1000), (1, 2000), (1, 3000)]

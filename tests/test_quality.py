@@ -1,0 +1,108 @@
+import pytest
+
+from deftunes_spark.quality import (
+    ColumnLength,
+    ColumnValues,
+    IsComplete,
+    REFERENCE_RULESETS,
+    Uniqueness,
+    Unique,
+    evaluate_ruleset,
+    parse_dqdl,
+)
+from deftunes_spark.quality.evaluator import QualityGateError, quality_gate
+from deftunes_spark.transforms import sessions_explode, users_flatten
+
+
+def test_parse_dqdl_verbatim_reference():
+    rules = parse_dqdl(
+        'Rules = [ IsComplete "track_id", ColumnLength "track_id" = 18, '
+        'IsComplete "song_id", ColumnLength "song_id" = 18, '
+        'IsComplete "artist_id" ]'
+    )
+    assert [type(r).__name__ for r in rules] == [
+        "IsComplete",
+        "ColumnLength",
+        "IsComplete",
+        "ColumnLength",
+        "IsComplete",
+    ]
+    assert rules[1].length == 18
+
+
+def test_parse_dqdl_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_dqdl('Rules = [ Frobnicate "x" ]')
+    with pytest.raises(ValueError):
+        parse_dqdl('IsComplete "a" = 3')
+
+
+def test_reference_rulesets_loaded():
+    assert set(REFERENCE_RULESETS) == {"songs", "sessions", "users"}
+    assert len(REFERENCE_RULESETS["sessions"]) == 6
+
+
+def test_songs_ruleset_verdicts(songs_landing):
+    results = evaluate_ruleset(
+        songs_landing, REFERENCE_RULESETS["songs"]
+    )
+    by_name = {r.rule_name: r for r in results}
+    # Seeded: one short track_id, one NULL song_id, one NULL artist_id.
+    assert not by_name['ColumnLength "track_id" = 18'].passed
+    assert not by_name['IsComplete "song_id"'].passed
+    assert not by_name['IsComplete "artist_id"'].passed
+    assert by_name['IsComplete "track_id"'].passed
+    assert by_name['ColumnLength "song_id" = 18'].metric == 0.0
+
+
+def test_users_ruleset_uniqueness(users_landing):
+    flat = users_flatten(users_landing)
+    results = evaluate_ruleset(flat, REFERENCE_RULESETS["users"])
+    by_name = {r.rule_name: r for r in results}
+    # 96 distinct / 100 = 0.96 > 0.95.
+    u = by_name['Uniqueness "user_id" > 0.95']
+    assert u.passed and abs(u.metric - 0.96) < 1e-9
+    assert not by_name['IsComplete "user_lastname"'].passed
+
+
+def test_sessions_ruleset_price_bound(sessions_landing):
+    exploded = sessions_explode(sessions_landing)
+    results = evaluate_ruleset(
+        exploded, REFERENCE_RULESETS["sessions"]
+    )
+    by_name = {r.rule_name: r for r in results}
+    bound = by_name['ColumnValues "price" <= 2']
+    assert not bound.passed and bound.metric == 1.0  # one seeded 9.99
+    assert by_name['ColumnLength "user_id" = 36'].passed
+
+
+def test_quality_gate_expected_failures(sessions_landing):
+    exploded = sessions_explode(sessions_landing)
+    rules = [Unique("session_id"), IsComplete("user_id")]
+    # session_id uniqueness fails by construction after explode…
+    with pytest.raises(QualityGateError):
+        quality_gate(exploded, rules)
+    # …but is tolerated when declared expected (SURVEY §2.5 note).
+    results = quality_gate(
+        exploded, rules, expected_failures=['Unique "session_id"']
+    )
+    assert {r.rule_name: r.passed for r in results} == {
+        'Unique "session_id"': False,
+        'IsComplete "user_id"': True,
+    }
+
+
+def test_single_pass_evaluation_plan(songs_landing):
+    """All rules of a ruleset must collapse into ONE aggregate —
+    no per-rule scans."""
+    rules = [
+        IsComplete("track_id"),
+        ColumnLength("track_id", 18),
+        ColumnValues("duration", 500.0),
+        Uniqueness("song_id", 0.9),
+    ]
+    exprs = [e for r in rules for e in r.agg_exprs()]
+    agg = songs_landing.agg(*exprs)
+    # A single Aggregate node over one scan.
+    plan = agg._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1

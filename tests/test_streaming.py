@@ -1,0 +1,84 @@
+import datetime as dt
+
+import pytest
+
+from deftunes_spark.streaming import (
+    run_stream_once,
+    sessionize_batch,
+    tumbling_agg_batch,
+    tumbling_agg_stream,
+)
+from deftunes_spark.streaming.windows import session_stats_batch
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                base + dt.timedelta(minutes=7 * i),
+                i % 5,
+                ["view", "click"][i % 2],
+                float(i % 13),
+            )
+        )
+    return spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+
+def test_tumbling_batch(events):
+    out = tumbling_agg_batch(events, "1 hour")
+    rows = {(r.window_start, r.event_type): r for r in out.collect()}
+    # 200 events * 7min ≈ 23.3h → 24 hourly windows × 2 types
+    assert len(rows) >= 46
+    total = sum(r.n for r in rows.values())
+    assert total == 200
+
+
+def test_streaming_equals_batch(spark, events, tmp_path):
+    src = str(tmp_path / "events_src")
+    events.write.mode("overwrite").parquet(src)
+    result = run_stream_once(
+        spark,
+        src,
+        events.schema,
+        lambda s: tumbling_agg_stream(s, "1 hour", watermark="2 hours"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    batch = tumbling_agg_batch(events, "1 hour")
+    got = {
+        (r.window_start, r.event_type): (r.n, r.value_sum)
+        for r in result.collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n, r.value_sum)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_sessionize_gap_splits(spark):
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 7),
+        (2, base + dt.timedelta(minutes=10), 7),
+        (3, base + dt.timedelta(minutes=50), 7),  # 40min gap → new session
+        (4, base + dt.timedelta(minutes=55), 7),
+        (5, base, 8),  # other user independent
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    out = sessionize_batch(df, gap_minutes=30)
+    seqs = {r.event_id: r.session_seq for r in out.collect()}
+    assert seqs[1] == seqs[2] == 1
+    assert seqs[3] == seqs[4] == 2
+    assert seqs[5] == 1
+
+    stats = session_stats_batch(df, gap_minutes=30)
+    by_key = {
+        (r.user_id, r.session_seq): r.n_events for r in stats.collect()
+    }
+    assert by_key == {(7, 1): 2, (7, 2): 2, (8, 1): 1}
