@@ -2,7 +2,8 @@
 
 from deftunes_spark.driver_queries import ORACLES, QUERIES
 
-# Importing registers the extension queries into the same maps.
+# Importing registers the extension/coverage queries into the same maps.
 import deftunes_spark.driver_queries_ext  # noqa: E402,F401
+import deftunes_spark.driver_queries_cov  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES"]
