@@ -5,5 +5,6 @@ from deftunes_spark.driver_queries import ORACLES, QUERIES
 # Importing registers the extension/coverage queries into the same maps.
 import deftunes_spark.driver_queries_ext  # noqa: E402,F401
 import deftunes_spark.driver_queries_cov  # noqa: E402,F401
+import deftunes_spark.driver_queries_scale  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES"]
