@@ -19,7 +19,9 @@ from deftunes_spark.ext import multimodal as M
 from deftunes_spark.ext import similarity as S
 from deftunes_spark.ext import text as X
 from deftunes_spark.streaming.windows import (
+    run_stream_once,
     session_stats_batch,
+    sliding_agg_batch,
     tumbling_agg_batch,
 )
 
@@ -377,6 +379,73 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_start",
         "session_end",
+    )
+
+
+@query(
+    "events_sliding",
+    """
+    WITH e AS (
+        SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                   AS tb,
+               event_type, value
+        FROM events
+    ), covering AS (
+        SELECT tb AS window_start, event_type, value FROM e
+        UNION ALL
+        SELECT tb - INTERVAL '30 minutes' AS window_start, event_type,
+               value
+        FROM e
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+    FROM covering GROUP BY 1, 2
+    """,
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m window aggregation — each event lands in the two
+    slide-aligned windows covering it (the oracle expands them with a
+    UNION ALL of shifted tumbling buckets)."""
+    return sliding_agg_batch(
+        _t(spark, sf_dir, "events"), "1 hour", "30 minutes"
+    )
+
+
+@query(
+    "events_stateful_sessions",
+    ORACLES["events_sessionize"],
+)
+def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: gap sessionization via
+    applyInPandasWithState, run to completion with availableNow.
+
+    One far-future sentinel event per user flushes the open tail
+    session out of state; sentinel sessions (start >= 2200) stay in
+    state, so the emitted rows equal the batch/SQL sessionization
+    exactly — the streaming operator is oracle-checked, not rows-only."""
+    import tempfile as _tf
+
+    from deftunes_spark.streaming.stateful import session_stats_stateful
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    sentinels = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("ts", F.lit("2200-01-01 00:00:00").cast("timestamp"))
+    )
+    src = _tf.mkdtemp(prefix="deftunes_stateful_src_")
+    ev.unionByName(sentinels).write.mode("overwrite").parquet(src)
+    result = run_stream_once(
+        spark,
+        src,
+        "user_id bigint, ts timestamp",
+        lambda s: session_stats_stateful(s, gap_minutes=30),
+        output_mode="append",
+        query_name="deftunes_stateful_sessions",
+    )
+    return result.filter(
+        F.col("session_start") < F.lit("2200-01-01").cast("timestamp")
     )
 
 

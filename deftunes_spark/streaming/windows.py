@@ -70,6 +70,31 @@ def tumbling_agg_stream(
     )
 
 
+def sliding_agg_batch(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding-window counts/sums: each event lands in width/slide
+    overlapping windows (``F.window`` emits one row per covering
+    window — Spark expands this JVM-side, no UDF)."""
+    return (
+        events.groupBy(
+            F.window("ts", width, slide).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
 def sessionize_batch(
     events: DataFrame, gap_minutes: int = 30, user_col: str = "user_id"
 ) -> DataFrame:
@@ -112,23 +137,27 @@ def run_stream_once(
     schema,
     transform,
     checkpoint_dir: str | None = None,
+    output_mode: str = "complete",
+    query_name: str = "deftunes_stream_once",
 ) -> DataFrame:
     """Run a file-source stream to completion with availableNow and
     return the result as a DataFrame (memory sink).
 
     This is O2's streaming face: one call == one catch-up run over
-    everything unprocessed, exactly-once via the checkpoint."""
+    everything unprocessed, exactly-once via the checkpoint.
+    ``output_mode``: "complete" for unwatermarked aggregations,
+    "append" for stateful operators (applyInPandasWithState)."""
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="deftunes_ckpt_")
     stream = spark.readStream.schema(schema).parquet(source_dir)
     out = transform(stream)
     q = (
         out.writeStream.format("memory")
-        .queryName("deftunes_stream_once")
-        .outputMode("complete")
+        .queryName(query_name)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table("deftunes_stream_once")
+    return spark.table(query_name)

@@ -82,3 +82,87 @@ def test_sessionize_gap_splits(spark):
         (r.user_id, r.session_seq): r.n_events for r in stats.collect()
     }
     assert by_key == {(7, 1): 2, (7, 2): 2, (8, 1): 1}
+
+
+def test_sliding_batch_covers_each_event_twice(events):
+    from deftunes_spark.streaming import sliding_agg_batch
+
+    out = sliding_agg_batch(events, "1 hour", "30 minutes")
+    total = sum(r.n for r in out.collect())
+    # width/slide = 2 covering windows per event
+    assert total == 400
+
+
+def test_stateful_sessions_match_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization == batch lag/cumsum twin,
+    including sessions spanning micro-batch boundaries (two source
+    files, maxFilesPerTrigger=1 forces two batches)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from deftunes_spark.streaming import session_stats_stateful
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(4):
+        for s in range(3):  # 3 sessions per user
+            for j in range(1 + (u + s) % 3):
+                rows.append(
+                    (
+                        eid,
+                        base
+                        + dt.timedelta(hours=2 * s, minutes=5 * j + u),
+                        u,
+                    )
+                )
+                eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    # Split mid-session: first file holds the earlier half of events,
+    # so several sessions straddle the batch boundary.
+    ordered = df.orderBy("ts")
+    half = df.count() // 2
+    src = str(tmp_path / "stateful_src")
+    head = ordered.limit(half)
+    tail = ordered.subtract(head)
+    sentinel = df.select("user_id").distinct().withColumn(
+        "ts", F.lit("2100-01-01 00:00:00").cast("timestamp")
+    ).withColumn("event_id", F.lit(-1))
+    # One part-file per half: maxFilesPerTrigger=1 replays them in
+    # modification-time order, so batch 1 = head, batch 2 = tail (the
+    # operator's contract is in-order arrival ACROSS batches; within a
+    # batch it sorts).
+    head.coalesce(1).write.parquet(f"{src}/f0")
+    tail.unionByName(sentinel.select(*tail.columns)).coalesce(1).write.parquet(
+        f"{src}/f1"
+    )
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        session_stats_stateful(
+            stream.select("user_id", "ts"), gap_minutes=30
+        )
+        .writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_start, r.session_end)
+        for r in spark.table("stateful_test")
+        .filter(F.col("session_start") < F.lit("2100-01-01").cast("timestamp"))
+        .collect()
+    }
+    want = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_start, r.session_end)
+        for r in session_stats_batch(df, gap_minutes=30).collect()
+    }
+    assert got == want
