@@ -260,6 +260,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_topk")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: IVF — k-means coarse quantizer (MLlib, seeded), probe the
+    3 nearest inverted lists, exact cosine rerank inside them. At scale
+    the assigned table is stored partitioned by ivf_list so each probe
+    is a partition-pruned scan (recall vs brute force in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    assigned, centroids = S.ivf_index(emb, n_lists=8, max_iter=5)
+    out = S.ivf_topk(assigned, centroids, qv, k=10, n_probe=3)
+    return out.select(
+        "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
 @query("embedding_neardup")
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via LSH bucket equi-join +

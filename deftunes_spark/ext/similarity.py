@@ -147,6 +147,63 @@ def ann_topk(
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+# ---------------------------------------------------------------------
+# IVF (inverted-file) ANN — k-means coarse quantizer
+# ---------------------------------------------------------------------
+
+
+def ivf_index(
+    df: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build an IVF index: k-means (MLlib, JVM-side) coarse quantizer,
+    every vector assigned to its nearest centroid's inverted list.
+
+    Returns (assigned_df with ``ivf_list`` column, centroids). At
+    100 TB: persist ``assigned_df`` partitioned by ``ivf_list`` so a
+    probe reads only n_probe/n_lists of the table (partition pruning);
+    centroids are a driver-side kilobyte array."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = df.withColumn(
+        "_ivf_feat", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_lists,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="_ivf_feat",
+        predictionCol="ivf_list",
+    ).fit(with_vec)
+    assigned = model.transform(with_vec).drop("_ivf_feat")
+    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: nearest ``n_probe`` centroids by L2 (the quantizer's
+    metric, driver-side numpy over the kilobyte centroid table), then
+    exact cosine rerank inside those lists only."""
+    q = np.asarray(query_vec, dtype="float64")
+    dists = [float(np.linalg.norm(q - np.asarray(c))) for c in centroids]
+    probe = sorted(range(len(dists)), key=lambda i: dists[i])[:n_probe]
+    cands = assigned.filter(F.col("ivf_list").isin(probe))
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

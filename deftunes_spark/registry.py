@@ -6,5 +6,6 @@ from deftunes_spark.driver_queries import ORACLES, QUERIES
 import deftunes_spark.driver_queries_ext  # noqa: E402,F401
 import deftunes_spark.driver_queries_cov  # noqa: E402,F401
 import deftunes_spark.driver_queries_scale  # noqa: E402,F401
+import deftunes_spark.driver_queries_olap  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES"]

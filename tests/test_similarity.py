@@ -72,3 +72,26 @@ def test_norm_expr_matches_numpy(spark, vectors):
     ).first()
     expected = float(np.linalg.norm(np.asarray(rows[0][1])))
     assert abs(got.n - expected) < 1e-9
+
+
+def test_ivf_recall(vectors):
+    df, rows = vectors
+    q = rows[23][1]
+    assigned, centroids = S.ivf_index(df, n_lists=6, max_iter=8)
+    exact = set(_exact_topk(rows, q, 10))
+    approx = {
+        r.vec_id
+        for r in S.ivf_topk(assigned, centroids, q, k=10, n_probe=2).collect()
+    }
+    # The query's own cluster must land in the probed lists: on 3
+    # well-separated gaussian clusters recall should be near-perfect.
+    assert len(exact & approx) >= 9
+
+
+def test_ivf_lists_partition_data(vectors):
+    df, _ = vectors
+    assigned, centroids = S.ivf_index(df, n_lists=6, max_iter=8)
+    assert assigned.count() == 120
+    assert len(centroids) == 6
+    n_lists_used = assigned.select("ivf_list").distinct().count()
+    assert 2 <= n_lists_used <= 6
