@@ -118,8 +118,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality",
     """
     SELECT doc_id,
-           CAST(length(regexp_split_to_array(trim(text), '\\s+'))
-                AS BIGINT) AS token_count,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS token_count,
            CASE WHEN length(text) > 0 THEN
                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                     AS DOUBLE) / CAST(length(text) AS DOUBLE)

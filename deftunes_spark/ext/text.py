@@ -28,10 +28,14 @@ def tokens_col(col: str = "text") -> Column:
 
 
 def with_token_count(df: DataFrame, col: str = "text") -> DataFrame:
-    """Whitespace token count (the BPE-ish regex variant is
-    ``with_subword_count``)."""
+    """Whitespace token count, matching Python ``str.split()``: blank /
+    whitespace-only text has 0 tokens (``split`` alone would yield
+    [""] → 1). The BPE-ish regex variant is ``with_subword_count``."""
     return df.withColumn(
-        "token_count", F.size(tokens_col(col)).cast("bigint")
+        "token_count",
+        F.size(
+            F.filter(F.split(F.col(col), "\\s+"), lambda t: t != "")
+        ).cast("bigint"),
     )
 
 

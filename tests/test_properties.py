@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis): Spark operators vs plain-Python
+references on generated inputs. Few examples, high value — each example
+is a full Spark job, so max_examples stays small and deadlines are off.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import defaultdict
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from deftunes_spark.ext.scale import salted_sum
+from deftunes_spark.ext.text import with_token_count
+from deftunes_spark.quality.rules import IsComplete
+from deftunes_spark.quality.evaluator import evaluate_ruleset
+from deftunes_spark.streaming.windows import session_stats_batch
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_salt=st.integers(min_value=1, max_value=9),
+)
+def test_salted_sum_equals_plain_sum(spark, rows, n_salt):
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r.k: r.v_sum
+        for r in salted_sum(df, ["k"], "v", n_salt=n_salt).collect()
+    }
+    want = defaultdict(float)
+    for k, v in rows:
+        want[k] += v
+    assert got == dict(want)
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c\tx"),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_token_count_matches_python_split(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.token_count for r in with_token_count(df).collect()
+    }
+    want = {i: len(t.split()) for i, t in enumerate(texts)}
+    assert got == want
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.text(min_size=1, max_size=5)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_is_complete_iff_no_nulls(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "c string")
+    [res] = evaluate_ruleset(df, [IsComplete("c")])
+    assert res.passed == (None not in vals)
+
+
+@SLOW
+@given(
+    gaps_min=st.lists(
+        st.integers(min_value=1, max_value=120), min_size=1, max_size=30
+    )
+)
+def test_sessionize_invariants(spark, gaps_min):
+    """Session count == 1 + #gaps>threshold; event counts partition."""
+    base = dt.datetime(2024, 1, 1)
+    ts, cur = [base], base
+    for g in gaps_min:
+        cur = cur + dt.timedelta(minutes=g)
+        ts.append(cur)
+    df = spark.createDataFrame([(1, t) for t in ts], ["user_id", "ts"])
+    stats = session_stats_batch(df, gap_minutes=30).collect()
+    n_breaks = sum(1 for g in gaps_min if g > 30)
+    assert len(stats) == 1 + n_breaks
+    assert sum(r.n_events for r in stats) == len(ts)
+    # Sessions tile the timeline in order, never overlapping.
+    spans = sorted((r.session_start, r.session_end) for r in stats)
+    for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+        assert e1 < s2
