@@ -29,6 +29,8 @@ HEADLINE = [
     "date_parts",
     "dedup_exact",
     "text_quality",
+    "corpus_curation",
+    "asof_join_click_view",
     "embedding_topk",
     "events_tumbling",
 ]

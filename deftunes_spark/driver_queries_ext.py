@@ -114,32 +114,38 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
+# Shared DuckDB expressions mirroring ext/text.py exactly (token count
+# matches Python str.split(): empty tokens filtered out).
+TOK_SQL = (
+    "len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))"
+)
+_ALPHA_SQL = (
+    "CASE WHEN length(text) > 0 THEN "
+    "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    " / CAST(length(text) AS DOUBLE) ELSE 0.0 END"
+)
+_DIGIT_SQL = (
+    "CASE WHEN length(text) > 0 THEN "
+    "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
+    " / CAST(length(text) AS DOUBLE) ELSE 0.0 END"
+)
+_AVGTOK_SQL = (
+    f"CASE WHEN {TOK_SQL} > 0 THEN "
+    f"CAST(length(text) AS DOUBLE) / {TOK_SQL} ELSE 0.0 END"
+)
+QSCORE_SQL = (
+    f"greatest(0.0, least(1.0, ({_ALPHA_SQL}) - ({_DIGIT_SQL})"
+    f" - greatest(0.0, abs({_AVGTOK_SQL} - 6.0) - 3.0) * 0.1))"
+)
+
+
 @query(
     "text_quality",
-    """
+    f"""
     SELECT doc_id,
-           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
-                                t -> t <> '')) AS BIGINT) AS token_count,
-           CASE WHEN length(text) > 0 THEN
-               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                    AS DOUBLE) / CAST(length(text) AS DOUBLE)
-           ELSE 0.0 END AS alpha_ratio,
-           greatest(0.0, least(1.0,
-               (CASE WHEN length(text) > 0 THEN
-                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                        AS DOUBLE) / CAST(length(text) AS DOUBLE)
-                ELSE 0.0 END)
-               - (CASE WHEN length(text) > 0 THEN
-                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                        AS DOUBLE) / CAST(length(text) AS DOUBLE)
-                  ELSE 0.0 END)
-               - greatest(0.0, abs(
-                     CASE WHEN length(regexp_split_to_array(trim(text),
-                                 '\\s+')) > 0 THEN
-                         CAST(length(text) AS DOUBLE)
-                         / length(regexp_split_to_array(trim(text), '\\s+'))
-                     ELSE 0.0 END - 6.0) - 3.0) * 0.1
-           )) AS quality_score
+           CAST({TOK_SQL} AS BIGINT) AS token_count,
+           {_ALPHA_SQL} AS alpha_ratio,
+           {QSCORE_SQL} AS quality_score
     FROM documents
     """,
 )

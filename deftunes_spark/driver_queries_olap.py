@@ -100,3 +100,107 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # o_orderdate surfaces as timestamp in parquet; DuckDB renders its
     # VARCHAR cast with the time part too, so formats already agree.
     return df
+
+
+# =====================================================================
+# Quantile profile — exact interpolated percentiles
+# =====================================================================
+
+_QUANTILE_ORACLE = """
+SELECT CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS q25,
+       CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS q50,
+       CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS q75,
+       CAST(quantile_cont(l_quantity, 0.99) AS DOUBLE) AS q99
+FROM lineitem
+"""
+
+
+@query("quantile_profile", _QUANTILE_ORACLE)
+def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (same k=p·(n−1) definition as
+    SQL quantile_cont). Scale path: approx_percentile (t-digest
+    sketch, no sorted collect) once exactness stops mattering."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        *[
+            F.expr(f"percentile(l_quantity, {p})")
+            .cast("double")
+            .alias(f"q{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75, 0.99)
+        ]
+    )
+
+
+# =====================================================================
+# Corpus curation — the end-to-end training-data pipeline shape
+# =====================================================================
+
+
+def _curation_oracle() -> str:
+    from deftunes_spark.driver_queries_ext import (
+        QSCORE_SQL,
+        TOK_SQL,
+        _lang_oracle,
+    )
+
+    return f"""
+    WITH lang AS ({_lang_oracle()}),
+    scored AS (
+        SELECT doc_id,
+               {QSCORE_SQL} AS quality_score,
+               CAST({TOK_SQL} AS BIGINT) AS token_count,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                   AS fp
+        FROM documents
+    ),
+    kept AS (
+        SELECT s.doc_id, s.quality_score, s.token_count, l.lang_pred,
+               ROW_NUMBER() OVER (PARTITION BY s.fp ORDER BY s.doc_id)
+                   AS rn
+        FROM scored s JOIN lang l ON s.doc_id = l.doc_id
+        WHERE s.quality_score >= 0.5
+    )
+    SELECT lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(token_count) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+               AS quality_sum
+    FROM kept WHERE rn = 1
+    GROUP BY 1
+    """
+
+
+@query("corpus_curation", _curation_oracle())
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass over documents — quality-filter →
+    exact-dedup (keep lowest doc_id per fingerprint) → per-language
+    doc/token stats. ONE scan feeds scoring+lang-id+fingerprint (all
+    column functions), then one window for dedup and one group-by:
+    the whole curation is two shuffles regardless of corpus size."""
+    from pyspark.sql.window import Window
+
+    from deftunes_spark.ext import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = X.with_fingerprint(
+        X.with_lang_id(X.with_token_count(X.with_quality_score(docs)))
+    )
+    kept = (
+        scored.filter(F.col("quality_score") >= 0.5)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("normalized_fingerprint").orderBy(
+                    "doc_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return kept.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("token_count").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("quality_score").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("quality_sum"),
+    )

@@ -1,0 +1,81 @@
+"""Plan-regression tests: the optimizer properties SCALE.md claims —
+pushdown reaching the parquet scan, dims broadcast, top-k compiling to
+TakeOrdered — asserted on the actual physical plans so a refactor that
+silently loses them fails CI, not the 100 TB run."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return qe.explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from deftunes_spark.registry import QUERIES
+
+    return QUERIES
+
+
+def test_bi_view_broadcasts_dim(spark, queries):
+    plan = _plan(queries["sales_per_artist"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_reaches_parquet_scan(spark, queries):
+    fmt = _formatted(queries["filter_pushdown"](spark, SF))
+    assert "PushedFilters: [" in fmt
+    # The filter columns actually arrive at the scan, not post-scan.
+    assert "GreaterThanOrEqual(l_shipdate" in fmt
+
+
+def test_projection_prunes_scan_columns(spark, queries):
+    fmt = _formatted(queries["sales_per_artist"](spark, SF))
+    # lineitem has 16 columns; the scan must read only the 3 used
+    # (ReadSchema renders struct<a:t,b:t,c:t> → ≤4 colons).
+    line = next(ln for ln in fmt.splitlines() if "ReadSchema" in ln)
+    assert line.count(":") <= 4
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, queries):
+    plan = _plan(queries["order_limit"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_is_partial_then_final(spark, queries):
+    plan = _plan(queries["sales_per_country"](spark, SF))
+    # Two HashAggregate nodes (partial map-side + final) around one
+    # exchange: map-side combine is active.
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_rollup_single_expand_no_extra_scans(spark, queries):
+    plan = _plan(queries["rollup_agg"](spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_asof_join_uses_hash_join_not_nested_loop(spark, queries):
+    plan = _plan(queries["asof_join_click_view"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_uses_equi_join(spark, queries):
+    plan = _plan(queries["range_join_1h"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
