@@ -1,0 +1,97 @@
+"""Driver queries: SCD Type-2 versioning and deterministic sampling.
+
+Both families are cross-engine exact: SCD2 is pure window SQL, and the
+sampling predicate is an md5-prefix threshold that any engine computes
+identically (the whole point — reproducible corpus splits)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deftunes_spark.driver_queries import _t, query
+from deftunes_spark.ext.sampling import (
+    _BUCKETS,
+    hash_sample,
+    train_test_split,
+)
+from deftunes_spark.ext.scd import scd2_from_log
+
+# =====================================================================
+# SCD2: user activity-state history from the events log
+# =====================================================================
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, ts, event_type,
+           lag(event_type) OVER w AS prev_type,
+           lag(ts) OVER w AS prev_ts
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), versions AS (
+    SELECT user_id, ts, event_type FROM ordered
+    WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER wv AS valid_to,
+       CAST(ROW_NUMBER() OVER wv AS BIGINT) AS version
+FROM versions WINDOW wv AS (PARTITION BY user_id ORDER BY ts)
+"""
+
+
+@query("scd2_user_state", _SCD2_ORACLE)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 build: collapse each user's event-type log into
+    versioned rows with [valid_from, valid_to) ranges — lag to detect
+    changes, lead for the closing edge, one shuffle on the key."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return scd2_from_log(ev, "user_id", "ts", ["event_type"])
+
+
+# =====================================================================
+# Deterministic hash sampling / splits
+# =====================================================================
+
+
+def _hex_threshold(fraction: float) -> str:
+    return format(int(fraction * _BUCKETS), "06x")
+
+
+_SAMPLE_ORACLE = f"""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)
+      < '{_hex_threshold(0.1)}'
+"""
+
+
+@query("hash_sample_10pct", _SAMPLE_ORACLE)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample keyed on md5(o_orderkey): membership is
+    a pure function of the row — stable across re-runs, partitioning,
+    engines (the oracle replays the same predicate in DuckDB)."""
+    o = _t(spark, sf_dir, "orders")
+    return hash_sample(o, "o_orderkey", 0.1).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+_SPLIT_ORACLE = f"""
+SELECT CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)
+                 < '{_hex_threshold(0.2)}'
+            THEN 'test' ELSE 'train' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+"""
+
+
+@query("train_test_split", _SPLIT_ORACLE)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 train/test assignment via the same hash family; returns
+    the split sizes (assignment itself checked row-wise by the 10%
+    sample query above)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        train_test_split(o, "o_orderkey", test_fraction=0.2)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

@@ -1,0 +1,72 @@
+"""Deterministic sampling & splits for training-data pipelines.
+
+Random sampling is useless for reproducible corpus builds — a re-run
+must select the SAME rows regardless of cluster size, partition
+layout, or Spark version. These operators key every decision off a
+content hash of a stable id (md5 hex prefix), so:
+
+- the sample is a pure function of the data (re-runnable, auditable);
+- adding/removing OTHER rows never flips a row's membership (unlike
+  ``df.sample``, whose per-partition RNG reshuffles under repartition);
+- any engine can replay the selection (md5 is md5 everywhere — the
+  DuckDB oracle runs the same predicate verbatim).
+
+Cost: one codegen md5 per row, no shuffle, fully pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 16^6 hex buckets ≈ 16.7M — plenty of resolution for ppm-level rates.
+_BUCKETS = 16**6
+
+
+def _hash_bucket(id_col: str, salt: str = "") -> Column:
+    """Stable bucket in [0, 16^6) from the md5 of (salt || id)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 6),
+        16,
+        10,
+    ).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose hash bucket
+    falls below fraction·16^6. Different ``salt`` values draw
+    independent samples from the same data."""
+    return df.filter(_hash_bucket(id_col, salt) < int(fraction * _BUCKETS))
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_fraction: float = 0.1, salt: str = ""
+) -> DataFrame:
+    """Adds a ``split`` column ('train'/'test') — same hash family, so
+    the assignment is stable under re-runs and incremental appends."""
+    is_test = _hash_bucket(id_col, salt) < int(test_fraction * _BUCKETS)
+    return df.withColumn(
+        "split", F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample 'en' to 10%
+    but keep 100% of low-resource languages). Same hash-threshold
+    trick, threshold looked up per stratum."""
+    thresh = F.lit(None).cast("long")
+    expr = None
+    for k, frac in fractions.items():
+        cond = F.col(strata_col) == k
+        t = F.lit(int(frac * _BUCKETS))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thresh = expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
+    return df.filter(_hash_bucket(id_col, salt) < thresh)

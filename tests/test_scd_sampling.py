@@ -1,0 +1,108 @@
+"""SCD2 builder/lookup and deterministic sampling invariants."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from deftunes_spark.ext.sampling import (
+    hash_sample,
+    stratified_sample,
+    train_test_split,
+)
+from deftunes_spark.ext.scd import scd2_from_log, scd2_lookup
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def change_log(spark):
+    rows = [
+        # user 1: A → A (collapse) → B → A
+        (1, BASE, "A"),
+        (1, BASE + dt.timedelta(days=1), "A"),
+        (1, BASE + dt.timedelta(days=2), "B"),
+        (1, BASE + dt.timedelta(days=5), "A"),
+        # user 2: single state, with a NULL attr change
+        (2, BASE, None),
+        (2, BASE + dt.timedelta(days=3), "C"),
+    ]
+    return spark.createDataFrame(rows, ["uid", "ts", "state"])
+
+
+def test_scd2_versions(change_log):
+    out = scd2_from_log(change_log, "uid", "ts", ["state"]).collect()
+    by_key = {(r.uid, r.version): r for r in out}
+    assert len(out) == 5  # consecutive duplicate collapsed
+    v1 = by_key[(1, 1)]
+    assert v1.state == "A" and v1.valid_from == BASE
+    assert v1.valid_to == BASE + dt.timedelta(days=2)
+    v3 = by_key[(1, 3)]
+    assert v3.state == "A" and v3.valid_to is None  # open version
+    assert by_key[(2, 1)].state is None  # NULL is a real state
+    assert by_key[(2, 2)].state == "C"
+
+
+def test_scd2_point_in_time_lookup(spark, change_log):
+    scd = scd2_from_log(change_log, "uid", "ts", ["state"])
+    facts = spark.createDataFrame(
+        [
+            (100, 1, BASE + dt.timedelta(days=1, hours=3)),  # in v1 "A"
+            (101, 1, BASE + dt.timedelta(days=4)),  # in v2 "B"
+            (102, 1, BASE + dt.timedelta(days=30)),  # open v3 "A"
+            (103, 3, BASE),  # unknown key → NULL
+        ],
+        ["fact_id", "uid", "fts"],
+    )
+    got = {
+        r.fact_id: r.state
+        for r in scd2_lookup(scd, facts, "uid", "fts").collect()
+    }
+    assert got == {100: "A", 101: "B", 102: "A", 103: None}
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(5000)], ["id", "grp"]
+    )
+
+
+def test_hash_sample_deterministic_and_sized(ids):
+    a = {r.id for r in hash_sample(ids, "id", 0.2).collect()}
+    b = {r.id for r in hash_sample(ids, "id", 0.2).collect()}
+    assert a == b  # pure function of the data
+    assert 0.15 < len(a) / 5000 < 0.25
+    # different salt → a (nearly) independent draw
+    c = {r.id for r in hash_sample(ids, "id", 0.2, salt="v2").collect()}
+    assert c != a
+
+
+def test_sample_nesting(ids):
+    """A smaller fraction is a strict subset of a larger one — the
+    property that lets you grow a sample without resampling."""
+    small = {r.id for r in hash_sample(ids, "id", 0.05).collect()}
+    big = {r.id for r in hash_sample(ids, "id", 0.3).collect()}
+    assert small <= big
+
+
+def test_split_is_partition(ids):
+    out = train_test_split(ids, "id", 0.25).collect()
+    assert len(out) == 5000
+    frac = sum(1 for r in out if r.split == "test") / 5000
+    assert 0.2 < frac < 0.3
+
+
+def test_stratified_fractions(ids):
+    out = stratified_sample(
+        ids, "grp", {"g0": 1.0, "g1": 0.2, "g2": 0.0}, "id"
+    )
+    by_grp = {
+        r.grp: r.n
+        for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_grp.get("g0") == 1667  # 100% kept
+    assert by_grp.get("g2") is None  # 0% kept
+    assert 200 < by_grp.get("g1", 0) < 500
