@@ -42,18 +42,25 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("deftunes-bench")
+    # Local-mode input-split sizing: the sf0.1 parquet files are ~10 MB,
+    # so the cluster default (128 MB → 1 split) would serialize every
+    # scan on one of 32 cores. Sizing splits to the file/core ratio is
+    # the same task-sizing rule SCALE.md applies at 100 TB.
+    spark = get_spark(
+        "deftunes-bench",
+        extra_conf={"spark.sql.files.maxPartitionBytes": "2MB"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths so per-query numbers measure the plan,
-    # not first-run JIT.
-    QUERIES["sales_per_artist"](spark, sf_dir).collect()
-
+    # Steady-state timing: run each query once to compile/codegen the
+    # plan, then time the second run — the number that characterizes
+    # the plan itself rather than first-run JIT latency.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
+        fn(spark, sf_dir).collect()
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
