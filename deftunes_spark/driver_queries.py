@@ -810,7 +810,7 @@ def _oracle_rule_rows(table_expr: str, rules: list[Rule]) -> str:
     parts: list[str] = []
     for r in rules:
         kind = type(r).__name__
-        c = r.column
+        c = getattr(r, "column", None)
         if kind in ("IsComplete", "NotNull"):
             metric = f"CAST(COUNT(*) - COUNT({c}) AS DOUBLE)"
             passed = f"(COUNT(*) - COUNT({c})) = 0"
@@ -838,6 +838,19 @@ def _oracle_rule_rows(table_expr: str, rules: list[Rule]) -> str:
             bad = f"(COUNT({c}) - COUNT(DISTINCT {c}))"
             metric = f"CAST({bad} AS DOUBLE)"
             passed = f"{bad} = 0"
+        elif kind == "RowCount":
+            metric = "CAST(COUNT(*) AS DOUBLE)"
+            passed = f"COUNT(*) {r.op} {r.threshold}"
+        elif kind == "MeanBetween":
+            mean = (
+                f"(CAST(SUM(CAST({c} AS DECIMAL(28,6))) AS DOUBLE)"
+                f" / COUNT({c}))"
+            )
+            metric = mean
+            passed = f"{mean} BETWEEN {r.lo} AND {r.hi}"
+        elif kind == "CustomSql":
+            metric = f"CAST(({r.agg_sql}) AS DOUBLE)"
+            passed = f"CAST(({r.agg_sql}) AS DOUBLE) {r.op} {r.threshold}"
         else:  # pragma: no cover
             raise ValueError(f"no oracle template for rule {kind}")
         parts.append(

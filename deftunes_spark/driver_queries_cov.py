@@ -444,3 +444,50 @@ ORACLES["dq_users_ruleset"] = _oracle_rule_rows(
     _derive_oracle("customer", _USERS_DERIVE) + " s",
     REFERENCE_RULESETS["users"],
 )
+
+
+# =====================================================================
+# Extended DQDL grammar: RowCount / Mean / CustomSql
+# =====================================================================
+
+
+def _extended_rules():
+    from deftunes_spark.quality.rules import (
+        CustomSql,
+        MeanBetween,
+        RowCount,
+    )
+
+    return [
+        RowCount(1000, op=">"),
+        MeanBetween("l_quantity", 20.0, 30.0),
+        CustomSql(
+            "returnflag_domain",
+            "count(distinct l_returnflag)",
+            3.0,
+            op="=",
+        ),
+        CustomSql(
+            "discount_domain",
+            "count(case when l_discount < 0 or l_discount > 1 then 1 end)",
+            0.0,
+            op="=",
+        ),
+    ]
+
+
+@query("dq_extended_ruleset")
+def q_dq_extended_ruleset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended DQDL grammar (RowCount volume guard, Mean drift guard,
+    CustomSql escape hatch) — still ONE aggregation pass for the whole
+    ruleset."""
+    from deftunes_spark.driver_queries import _ruleset_query, _t
+
+    return _ruleset_query(
+        _t(spark, sf_dir, "lineitem"), _extended_rules()
+    )
+
+
+ORACLES["dq_extended_ruleset"] = _oracle_rule_rows(
+    "lineitem", _extended_rules()
+)

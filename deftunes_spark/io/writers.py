@@ -82,3 +82,25 @@ def write_table_append_or_create(
             .format("parquet")
             .saveAsTable(table)
         )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed catalog table (Hive-style bucketing).
+
+    The 100 TB join strategy for fact×fact joins neither side of which
+    broadcasts: both tables bucketed (and optionally sorted) on the
+    join key co-locate matching keys in the same bucket file, so the
+    join plans with ZERO Exchange — pre-shuffled at write time, paid
+    once, amortized over every subsequent join/aggregate on that key
+    (see tests/test_bucketing.py for the plan assertion)."""
+    w = df.write.mode("overwrite").format("parquet")
+    w = w.bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

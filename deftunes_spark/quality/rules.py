@@ -173,3 +173,92 @@ class Unique(Rule):
     def verdict(self, row: dict) -> RuleResult:
         dupes = (row[self._slot(1)] or 0) - (row[self._slot(0)] or 0)
         return RuleResult(self.name, dupes == 0, float(dupes))
+
+
+@dataclass(frozen=True)
+class RowCount(Rule):
+    """DQDL ``RowCount <op> N`` — table-level volume guard (the rule a
+    backfill pipeline uses to catch an empty or truncated increment)."""
+
+    threshold: int
+    op: str = ">"
+
+    @property
+    def name(self) -> str:  # type: ignore[override]
+        return f"RowCount {self.op} {self.threshold}"
+
+    def agg_exprs(self) -> list[Column]:
+        return [F.count(F.lit(1)).alias(self._slot())]
+
+    def verdict(self, row: dict) -> RuleResult:
+        n = row[self._slot()] or 0
+        ok = {
+            ">": n > self.threshold,
+            ">=": n >= self.threshold,
+            "<": n < self.threshold,
+            "<=": n <= self.threshold,
+            "=": n == self.threshold,
+        }[self.op]
+        return RuleResult(self.name, ok, float(n))
+
+
+@dataclass(frozen=True)
+class MeanBetween(Rule):
+    """DQDL ``Mean "col" between A and B`` — distribution-drift guard.
+
+    The mean is computed as decimal-sum / count so the metric is
+    independent of partition order (plain AVG(double) is not)."""
+
+    column: str
+    lo: float
+    hi: float
+
+    @property
+    def name(self) -> str:  # type: ignore[override]
+        return f'Mean "{self.column}" between {self.lo:g} and {self.hi:g}'
+
+    def agg_exprs(self) -> list[Column]:
+        return [
+            F.sum(F.col(self.column).cast("decimal(28,6)")).alias(
+                self._slot(0)
+            ),
+            F.count(self.column).alias(self._slot(1)),
+        ]
+
+    def verdict(self, row: dict) -> RuleResult:
+        n = row[self._slot(1)] or 0
+        # exact decimal sum → double, THEN divide — the same operation
+        # order as the SQL oracle, so metrics agree bit-for-bit.
+        mean = (float(row[self._slot(0)]) / n) if n else 0.0
+        return RuleResult(self.name, self.lo <= mean <= self.hi, mean)
+
+
+@dataclass(frozen=True)
+class CustomSql(Rule):
+    """DQDL ``CustomSql`` — an arbitrary scalar aggregate expression
+    compared against a threshold; the extension point for rules the
+    closed grammar can't express. The expression joins the same single
+    aggregation pass as every other rule."""
+
+    label: str
+    agg_sql: str
+    threshold: float
+    op: str = "="
+
+    @property
+    def name(self) -> str:  # type: ignore[override]
+        return f"CustomSql [{self.label}] {self.op} {self.threshold:g}"
+
+    def agg_exprs(self) -> list[Column]:
+        return [F.expr(self.agg_sql).cast("double").alias(self._slot())]
+
+    def verdict(self, row: dict) -> RuleResult:
+        v = float(row[self._slot()] or 0.0)
+        ok = {
+            "=": v == self.threshold,
+            ">": v > self.threshold,
+            ">=": v >= self.threshold,
+            "<": v < self.threshold,
+            "<=": v <= self.threshold,
+        }[self.op]
+        return RuleResult(self.name, ok, v)

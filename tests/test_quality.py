@@ -106,3 +106,39 @@ def test_single_pass_evaluation_plan(songs_landing):
     # A single Aggregate node over one scan.
     plan = agg._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") == 1
+
+
+def test_extended_rules(spark):
+    from deftunes_spark.quality.rules import (
+        CustomSql,
+        MeanBetween,
+        RowCount,
+    )
+    from deftunes_spark.quality.evaluator import evaluate_ruleset
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 11)], ["v"]
+    )
+    res = {
+        r.rule_name: r
+        for r in evaluate_ruleset(
+            df,
+            [
+                RowCount(5, op=">"),
+                RowCount(10, op="="),
+                RowCount(5, op="<"),
+                MeanBetween("v", 5.0, 6.0),  # mean = 5.5
+                MeanBetween("v", 0.0, 1.0),
+                CustomSql("max_v", "max(v)", 10.0, op="="),
+                CustomSql("neg", "count(case when v < 0 then 1 end)", 0.0),
+            ],
+        )
+    }
+    assert res["RowCount > 5"].passed
+    assert res["RowCount = 10"].passed and res["RowCount = 10"].metric == 10.0
+    assert not res["RowCount < 5"].passed
+    assert res['Mean "v" between 5 and 6'].passed
+    assert res['Mean "v" between 5 and 6'].metric == 5.5
+    assert not res['Mean "v" between 0 and 1'].passed
+    assert res["CustomSql [max_v] = 10"].passed
+    assert res["CustomSql [neg] = 0"].passed
