@@ -471,3 +471,38 @@ def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = ["ORACLES"]
+
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({ORACLES["dedup_ngram_jaccard"]}),
+edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION ALL
+    SELECT id_b AS s, id_a AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach AS (
+    SELECT node, node AS comp FROM nodes
+    UNION
+    SELECT e.d AS node, r.comp
+    FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(comp) AS BIGINT) AS comp
+FROM reach GROUP BY node
+"""
+
+
+@query("dedup_components", _COMPONENTS_ORACLE)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup clusters: iterative min-label propagation
+    (driver-coordinated loop, one node-keyed shuffle per round,
+    lineage cut per iteration). Oracle: DuckDB recursive-CTE transitive
+    closure over the SAME pair query — the iterative Spark algorithm is
+    value-checked, not rows-only."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5)
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("comp").cast("bigint").alias("comp"),
+    )

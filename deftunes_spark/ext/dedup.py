@@ -334,3 +334,61 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: turn
+    pairwise near-dup EDGES into dedup CLUSTERS (component id = min
+    node id in the component — the canonical "keep one per cluster"
+    step after MinHash/SimHash pair generation).
+
+    Each iteration: every node takes the min of its own label and its
+    neighbors' labels; converged when no label changes. Iterations are
+    bounded by the graph diameter (near-dup graphs are shallow — dup
+    clusters are cliques or near-cliques, so 2-4 rounds typical).
+
+    Scale notes: the per-iteration work is one groupBy(dst).min over
+    the edge list — a single shuffle keyed by node id. Lineage is cut
+    with localCheckpoint so 50 iterations don't stack 50 plans. For
+    100 TB graphs with long chains, switch to the large-star/small-star
+    rewrite (Kiveris et al., "Connected Components in MapReduce"),
+    which converges in O(log²) rounds; near-dup dedup never needs it.
+    """
+    sym = edges.selectExpr(f"{src} AS s", f"{dst} AS d").unionAll(
+        edges.selectExpr(f"{dst} AS s", f"{src} AS d")
+    )
+    comp = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(comp, sym["s"] == comp["node"])
+            .groupBy(sym["d"].alias("node2"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        updated = (
+            comp.join(
+                neighbor_min, comp["node"] == neighbor_min["node2"], "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("nmin") < F.col("comp")).alias("_chg"),
+            )
+        )
+        updated = updated.localCheckpoint()
+        changed = updated.filter(F.col("_chg")).limit(1).count()
+        comp = updated.drop("_chg")
+        if changed == 0:
+            break
+    return comp

@@ -92,3 +92,19 @@ def test_simhash_near_pairs(corpus):
     assert bin(fp[100] ^ fp[102]).count("1") < 24
     # Unrelated docs never pair up.
     assert not any(a < 100 and b < 100 for a, b in found)
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter forces multiple rounds), clique 10-11-12,
+    # isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    comp = {
+        r.node: r.comp
+        for r in D.connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                    10: 10, 11: 10, 12: 10,
+                    20: 20, 21: 20}
