@@ -95,3 +95,46 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# =====================================================================
+# MERGE / upsert
+# =====================================================================
+
+_MERGE_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_totalprice, 'v1' AS src
+    FROM orders WHERE o_orderkey % 10 < 5
+), upd AS (
+    SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice, 'v2' AS src
+    FROM orders WHERE o_orderkey % 10 BETWEEN 3 AND 7
+)
+SELECT * FROM upd
+UNION ALL
+SELECT * FROM base
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+"""
+
+
+@query("merge_upsert", _MERGE_ORACLE)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics: seed a table with one key range, upsert an
+    overlapping range (updated values + new keys), read back the final
+    state — overlap keys hold v2 values, non-overlap v1 survives."""
+    from deftunes_spark.io.writers import upsert_table
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 10 < 5).select(
+        "o_orderkey", "o_totalprice", F.lit("v1").alias("src")
+    )
+    upd = o.filter(
+        (F.col("o_orderkey") % 10 >= 3) & (F.col("o_orderkey") % 10 <= 7)
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        F.lit("v2").alias("src"),
+    )
+    spark.sql("DROP TABLE IF EXISTS merge_upsert_demo")
+    upsert_table(spark, base, "merge_upsert_demo", ["o_orderkey"])
+    upsert_table(spark, upd, "merge_upsert_demo", ["o_orderkey"])
+    return spark.table("merge_upsert_demo")

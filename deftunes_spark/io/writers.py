@@ -104,3 +104,32 @@ def write_bucketed_table(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def upsert_table(
+    spark: SparkSession,
+    updates: DataFrame,
+    table: str,
+    key_cols: list[str],
+) -> None:
+    """MERGE INTO semantics on plain parquet catalog tables: rows whose
+    keys appear in ``updates`` are replaced, new keys are appended —
+    the update path the reference's append-only writes lack (its
+    re-runs duplicate, SURVEY §7 "hard parts").
+
+    Rewrite: current ANTI-JOIN updates (drop stale versions) UNION
+    updates, materialized via localCheckpoint so the overwrite does not
+    read its own input. On a transactional format (Delta/Iceberg) this
+    becomes a real MERGE with file-level pruning; the parquet fallback
+    rewrites the table, so at 100 TB partition the table and scope the
+    upsert to the touched partitions (same anti-join, partition-pruned
+    on both sides)."""
+    if not spark.catalog.tableExists(table):
+        updates.write.mode("overwrite").format("parquet").saveAsTable(table)
+        return
+    current = spark.table(table)
+    kept = current.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    merged = kept.unionByName(updates).localCheckpoint()
+    merged.write.mode("overwrite").format("parquet").saveAsTable(table)

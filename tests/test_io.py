@@ -85,3 +85,22 @@ def test_table_append_or_create(spark, tmp_path):
     }
     assert parts == {"2020-02-01", "2020-03-01"}
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_upsert_table(spark):
+    from deftunes_spark.io.writers import upsert_table
+
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], ["k", "s", "v"]
+    )
+    upsert_table(spark, base, "upsert_t", ["k"])
+    upd = spark.createDataFrame(
+        [(2, "B", 20.0), (4, "d", 4.0)], ["k", "s", "v"]
+    )
+    upsert_table(spark, upd, "upsert_t", ["k"])
+    got = {r.k: (r.s, r.v) for r in spark.table("upsert_t").collect()}
+    assert got == {1: ("a", 1.0), 2: ("B", 20.0), 3: ("c", 3.0), 4: ("d", 4.0)}
+    # idempotent re-run of the same update batch
+    upsert_table(spark, upd, "upsert_t", ["k"])
+    assert spark.table("upsert_t").count() == 4
+    spark.sql("DROP TABLE IF EXISTS upsert_t")
