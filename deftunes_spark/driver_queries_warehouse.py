@@ -120,9 +120,16 @@ WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics: seed a table with one key range, upsert an
     overlapping range (updated values + new keys), read back the final
-    state — overlap keys hold v2 values, non-overlap v1 survives."""
+    state — overlap keys hold v2 values, non-overlap v1 survives.
+
+    The demo table gets a unique name and is dropped after the result
+    is materialized (a fixed name collides with a leftover managed-
+    table location when a fresh catalog reuses the warehouse dir)."""
+    import uuid
+
     from deftunes_spark.io.writers import upsert_table
 
+    tbl = f"merge_upsert_demo_{uuid.uuid4().hex[:8]}"
     o = _t(spark, sf_dir, "orders")
     base = o.filter(F.col("o_orderkey") % 10 < 5).select(
         "o_orderkey", "o_totalprice", F.lit("v1").alias("src")
@@ -134,7 +141,8 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") + 1000).alias("o_totalprice"),
         F.lit("v2").alias("src"),
     )
-    spark.sql("DROP TABLE IF EXISTS merge_upsert_demo")
-    upsert_table(spark, base, "merge_upsert_demo", ["o_orderkey"])
-    upsert_table(spark, upd, "merge_upsert_demo", ["o_orderkey"])
-    return spark.table("merge_upsert_demo")
+    upsert_table(spark, base, tbl, ["o_orderkey"])
+    upsert_table(spark, upd, tbl, ["o_orderkey"])
+    out = spark.table(tbl).localCheckpoint()
+    spark.sql(f"DROP TABLE {tbl}")
+    return out
