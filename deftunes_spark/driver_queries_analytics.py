@@ -181,3 +181,98 @@ def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage(p, "purchase")
         )
     )
+
+
+# =====================================================================
+# Corpus statistics / training-prep
+# =====================================================================
+
+_TOK_LOWER = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+)
+
+_VOCAB_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest({_TOK_LOWER}) AS term FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks GROUP BY 1
+ORDER BY n DESC, term LIMIT 20
+"""
+
+
+@query("vocab_topk", _VOCAB_ORACLE)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 vocabulary: explode → count → TakeOrdered. The
+    term shuffle is power-law skewed; partial aggregation collapses
+    the head terms map-side before the exchange."""
+    from deftunes_spark.ext.text import term_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = term_counts(docs).groupBy("term").agg(
+        F.sum("tf").cast("bigint").alias("n")
+    )
+    return vocab.orderBy(F.col("n").desc(), "term").limit(20)
+
+
+_TFIDF_ORACLE = f"""
+WITH tc AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest({_TOK_LOWER}) AS term FROM documents)
+    GROUP BY 1, 2
+), dfreq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc GROUP BY 1
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT tc.doc_id, tc.term, tc.tf, dfreq.df,
+       tc.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / dfreq.df)
+           AS tfidf
+FROM tc JOIN dfreq ON tc.term = dfreq.term
+WHERE tc.doc_id < 50
+"""
+
+
+@query("tfidf_terms", _TFIDF_ORACLE)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term) — two aggregations + dictionary join —
+    scoped to doc_id < 50 to keep the checked result compact."""
+    from deftunes_spark.ext.text import tf_idf
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tf_idf(docs)
+    return out.filter(F.col("doc_id") < 50).select(
+        "doc_id", "term", "tf", "df", "tfidf"
+    )
+
+
+_PACKING_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, doc_id % 8 AS shard,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS token_count
+    FROM documents
+), packed AS (
+    SELECT doc_id, shard, token_count,
+           SUM(token_count) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - token_count AS tokens_before
+    FROM tok
+)
+SELECT shard, CAST(FLOOR(tokens_before / 2048) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(token_count) AS BIGINT) AS tokens
+FROM packed GROUP BY 1, 2
+"""
+
+
+@query("sequence_packing", _PACKING_ORACLE)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing into 2048-token bins, sharded 8
+    ways so the running-sum window parallelizes; per-(shard, bin)
+    occupancy stats."""
+    from deftunes_spark.ext.text import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, context_tokens=2048, n_shards=8)
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("token_count").cast("bigint").alias("tokens"),
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Marker stopwords per language (public linguistic common-word lists).
 # Word-boundary regex alternation; scoring = marker hits per token.
@@ -135,4 +136,82 @@ def with_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     normalized = F.lower(F.regexp_replace(F.trim(c), "\\s+", " "))
     return df.withColumn("fingerprint", F.md5(c)).withColumn(
         "normalized_fingerprint", F.md5(normalized)
+    )
+
+
+def term_counts(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """(doc, term) frequencies: explode lowercased whitespace tokens.
+    The downstream shuffle key is the term — power-law skewed by
+    nature, which AQE skew-split (or a stopword pre-filter) absorbs."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(col)), "\\s+"), lambda t: t != ""
+            )
+        ).alias("term"),
+    )
+    return toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+
+
+def tf_idf(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """TF-IDF weights per (doc, term): tf · ln(N/df).
+
+    Two aggregations (per-doc term counts, per-term doc frequency) and
+    one broadcast-size join on the term dictionary side when the vocab
+    is small; N is a scalar driver value (one count job)."""
+    tc = term_counts(df, id_col, col)
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    return tc.join(dfreq, "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias(
+            "tfidf"
+        ),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_tokens: int = 4096,
+    id_col: str = "doc_id",
+    col: str = "text",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic greedy sequence packing: assign documents to
+    fixed-size context bins by running token count, sharded so the
+    cumulative-sum window parallelizes (one shard = one window
+    partition — at 100 TB use enough shards that a shard fits an
+    executor; packing quality is unaffected because bins never span
+    shards). Bin id = floor(tokens_before_doc / context)."""
+    with_tok = with_token_count(df, col).select(
+        id_col, "token_count"
+    )
+    sharded = with_tok.withColumn(
+        "shard", F.pmod(F.col(id_col), F.lit(n_shards)).cast("bigint")
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    return (
+        sharded.withColumn(
+            "tokens_before",
+            F.sum("token_count").over(w) - F.col("token_count"),
+        )
+        .withColumn(
+            "bin",
+            F.floor(F.col("tokens_before") / context_tokens).cast(
+                "bigint"
+            ),
+        )
+        .select(id_col, "shard", "bin", "token_count")
     )

@@ -66,3 +66,49 @@ def test_fingerprint_normalization(spark):
         rows[1].normalized_fingerprint == rows[2].normalized_fingerprint
     )
     assert rows[1].normalized_fingerprint != rows[3].normalized_fingerprint
+
+
+def test_term_counts_and_tfidf(spark):
+    import math
+
+    from deftunes_spark.ext.text import term_counts, tf_idf
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "d d d")], ["doc_id", "text"]
+    )
+    tc = {(r.doc_id, r.term): r.tf for r in term_counts(docs).collect()}
+    assert tc[(1, "a")] == 2 and tc[(3, "d")] == 3
+    w = {
+        (r.doc_id, r.term): (r.df, r.tfidf)
+        for r in tf_idf(docs).collect()
+    }
+    # 'a' in 2 of 3 docs; tf=2 in doc 1
+    df_a, tfidf_a = w[(1, "a")]
+    assert df_a == 2
+    assert abs(tfidf_a - 2 * math.log(3 / 2)) < 1e-12
+    # 'd' only in doc 3: idf = ln(3)
+    assert abs(w[(3, "d")][1] - 3 * math.log(3.0)) < 1e-12
+
+
+def test_pack_sequences_bins_bounded(spark):
+    from deftunes_spark.ext.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (10 + i % 5))) for i in range(100)],
+        ["doc_id", "text"],
+    )
+    packed = pack_sequences(docs, context_tokens=50, n_shards=4)
+    rows = packed.collect()
+    assert len(rows) == 100
+    # bins are filled in doc order: tokens_before of the first doc of
+    # each (shard,bin) is < bin*context + doc's own size
+    import collections
+
+    per_bin = collections.defaultdict(int)
+    for r in rows:
+        per_bin[(r.shard, r.bin)] += r.token_count
+    # every non-final bin of a shard holds >= context worth once closed
+    for (shard, b), tot in per_bin.items():
+        later = [k for k in per_bin if k[0] == shard and k[1] > b]
+        if later:
+            assert tot >= 50 - 14  # closed bin is full up to one doc
