@@ -276,3 +276,24 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("token_count").cast("bigint").alias("tokens"),
     )
+
+
+_SUBWORD_ORACLE = """
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
+                            t -> t <> ''))
+            + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+            AS BIGINT) AS subword_count
+FROM documents
+"""
+
+
+@query("subword_count", _SUBWORD_ORACLE)
+def q_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword counting (alnum runs + standalone punctuation —
+    the unit count a byte-pair tokenizer starts from); pure codegen
+    regex, one scan."""
+    from deftunes_spark.ext.text import with_subword_count
+
+    docs = with_subword_count(_t(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "subword_count")
