@@ -166,3 +166,91 @@ def test_stateful_sessions_match_batch(spark, tmp_path):
         for r in session_stats_batch(df, gap_minutes=30).collect()
     }
     assert got == want
+
+
+def test_available_now_exactly_once(spark, tmp_path):
+    """Re-running an availableNow stream over the same checkpoint must
+    be a no-op (exactly-once): files already committed to the
+    checkpoint are not reprocessed, so a parquet sink holds each input
+    row exactly once even after 3 runs + a late-arriving file."""
+    import datetime as dt
+
+    src = str(tmp_path / "eo_src")
+    sink = str(tmp_path / "eo_sink")
+    ckpt = str(tmp_path / "eo_ckpt")
+    base = dt.datetime(2024, 1, 1)
+    df1 = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=i)) for i in range(10)],
+        ["event_id", "ts"],
+    )
+    df1.coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("event_id bigint, ts timestamp")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    run()  # same data, same checkpoint → nothing reprocessed
+    assert spark.read.parquet(sink).count() == 10
+    # late batch arrives, only IT is processed on the next run
+    df2 = spark.createDataFrame(
+        [(100 + i, base + dt.timedelta(hours=1, minutes=i)) for i in range(5)],
+        ["event_id", "ts"],
+    )
+    df2.coalesce(1).write.mode("append").parquet(src)
+    run()
+    out = spark.read.parquet(sink)
+    assert out.count() == 15
+    assert out.select("event_id").distinct().count() == 15
+
+
+def test_foreach_batch_dq_gate(spark, tmp_path):
+    """Streaming DQ gate: every micro-batch passes the DQDL engine in
+    foreachBatch; a violating batch is quarantined, clean batches flow
+    to the sink — the quality/ engine composes with streaming as-is."""
+    import datetime as dt
+
+    from deftunes_spark.quality.evaluator import evaluate_ruleset
+    from deftunes_spark.quality.rules import ColumnValues, IsComplete
+
+    src = str(tmp_path / "dq_src")
+    base = dt.datetime(2024, 1, 1)
+    good = [(i, base + dt.timedelta(minutes=i), 1.0) for i in range(8)]
+    bad = [(100, base, 99.0), (101, base, None)]  # price>2 + NULL value
+    spark.createDataFrame(good, ["event_id", "ts", "price"]).coalesce(
+        1
+    ).write.parquet(f"{src}/f0")
+    spark.createDataFrame(bad, ["event_id", "ts", "price"]).coalesce(
+        1
+    ).write.parquet(f"{src}/f1")
+
+    passed_rows, quarantined_rows = [], []
+    rules = [IsComplete("price"), ColumnValues("price", 2.0, op="<=")]
+
+    def gate(batch_df, batch_id):
+        results = evaluate_ruleset(batch_df, rules)
+        if all(r.passed for r in results):
+            passed_rows.extend(batch_df.collect())
+        else:
+            quarantined_rows.extend(batch_df.collect())
+
+    q = (
+        spark.readStream.schema("event_id bigint, ts timestamp, price double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "dq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(passed_rows) == 8
+    assert {r.event_id for r in quarantined_rows} == {100, 101}
