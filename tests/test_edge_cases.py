@@ -1,0 +1,128 @@
+"""Edge-case hardening: empty inputs, all-NULL columns, degenerate
+groups — the shapes that appear constantly at 100 TB (an empty
+partition, a dead ingest day) and break naive operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@pytest.fixture()
+def empty(spark):
+    return spark.createDataFrame(
+        [], "doc_id bigint, text string, v double"
+    )
+
+
+def test_quality_rules_on_empty_table(spark, empty):
+    from deftunes_spark.quality.evaluator import evaluate_ruleset
+    from deftunes_spark.quality.rules import (
+        ColumnValues,
+        IsComplete,
+        MeanBetween,
+        RowCount,
+        Uniqueness,
+    )
+
+    res = {
+        r.rule_name: r
+        for r in evaluate_ruleset(
+            empty,
+            [
+                IsComplete("text"),
+                Uniqueness("doc_id", 0.95),
+                ColumnValues("v", 2.0),
+                RowCount(0, op="="),
+                MeanBetween("v", 0.0, 1.0),
+            ],
+        )
+    }
+    assert res['IsComplete "text"'].passed  # zero rows → zero nulls
+    assert res['Uniqueness "doc_id" > 0.95'].passed  # vacuous ratio 1.0
+    assert res['ColumnValues "v" <= 2'].passed
+    assert res["RowCount = 0"].passed
+    # empty mean → 0.0 metric, outside nothing; passes [0,1] contains 0
+    assert res['Mean "v" between 0 and 1'].passed
+
+
+def test_profile_on_empty_table(empty):
+    from deftunes_spark.ext.profile import profile_columns
+
+    prof = {r.col_name: r for r in profile_columns(empty).collect()}
+    assert prof["text"].n_rows == 0
+    assert prof["text"].n_distinct == 0
+    assert prof["text"].min_val is None and prof["text"].max_val is None
+
+
+def test_text_ops_on_empty_and_null(spark):
+    from deftunes_spark.ext.text import (
+        with_fingerprint,
+        with_lang_id,
+        with_quality_score,
+        with_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ")], ["doc_id", "text"]
+    )
+    out = with_fingerprint(
+        with_lang_id(with_token_count(with_quality_score(df)))
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].token_count is None  # NULL propagates, no crash
+    assert by_id[2].token_count == 0
+    assert by_id[3].token_count == 0
+    assert by_id[2].lang_pred == "und"
+    assert by_id[2].quality_score == 0.0
+
+
+def test_dedup_on_empty_corpus(spark, empty):
+    from deftunes_spark.ext import dedup as D
+
+    assert D.exact_dedup(empty, ["text"], "doc_id").count() == 0
+    pairs = D.ngram_jaccard_pairs(empty, "doc_id", "text", n=1)
+    assert pairs.count() == 0
+    comp = D.connected_components(
+        spark.createDataFrame([], "id_a bigint, id_b bigint")
+    )
+    assert comp.count() == 0
+
+
+def test_asof_join_empty_right(spark):
+    from deftunes_spark.ext.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "A", __import__("datetime").datetime(2024, 1, 1))],
+        ["lid", "k", "lts"],
+    )
+    right = spark.createDataFrame(
+        [], "k string, rts timestamp, px double"
+    )
+    out = asof_join(left, right, ["k"], "lts", "rts").collect()
+    assert len(out) == 1 and out[0].px is None
+
+
+def test_sessionize_single_event_per_user(spark):
+    import datetime as dt
+
+    from deftunes_spark.streaming.windows import session_stats_batch
+
+    df = spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1, u)) for u in range(5)],
+        ["user_id", "ts"],
+    )
+    stats = session_stats_batch(df, gap_minutes=30).collect()
+    assert len(stats) == 5
+    assert all(r.n_events == 1 and r.session_seq == 1 for r in stats)
+
+
+def test_salted_sum_empty_and_single(spark):
+    from deftunes_spark.ext.scale import salted_sum
+
+    empty = spark.createDataFrame([], "k string, v double")
+    assert salted_sum(empty, ["k"], "v").count() == 0
+    one = spark.createDataFrame([("a", 2.5)], ["k", "v"])
+    [row] = salted_sum(one, ["k"], "v").collect()
+    assert row.v_sum == 2.5

@@ -108,3 +108,61 @@ def test_sessionize_invariants(spark, gaps_min):
     spans = sorted((r.session_start, r.session_end) for r in stats)
     for (s1, e1), (s2, _) in zip(spans, spans[1:]):
         assert e1 < s2
+
+
+@SLOW
+@given(
+    lefts=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=0,
+        max_size=25,
+        unique=True,
+    ),
+)
+def test_asof_join_matches_pandas(spark, lefts, rights):
+    import pandas as pd
+
+    from deftunes_spark.ext.joins import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, k, base + dt.timedelta(seconds=s))
+        for i, (k, s) in enumerate(lefts)
+    ]
+    rrows = [
+        (k, base + dt.timedelta(seconds=s), float(s))
+        for k, s in rights
+    ]
+    lt = spark.createDataFrame(lrows, ["lid", "k", "lts"])
+    rt = spark.createDataFrame(
+        rrows, "k string, rts timestamp, px double"
+    ) if rrows else spark.createDataFrame([], "k string, rts timestamp, px double")
+    got = {
+        r.lid: (r.rts, r.px)
+        for r in asof_join(lt, rt, ["k"], "lts", "rts").collect()
+    }
+    lp = pd.DataFrame(lrows, columns=["lid", "k", "lts"]).sort_values("lts")
+    rp = pd.DataFrame(rrows, columns=["k", "rts", "px"]).sort_values("rts")
+    if rrows:
+        m = pd.merge_asof(lp, rp, left_on="lts", right_on="rts", by="k")
+        want = {
+            int(r.lid): (
+                None if pd.isna(r.rts) else r.rts.to_pydatetime(),
+                None if pd.isna(r.px) else float(r.px),
+            )
+            for r in m.itertuples()
+        }
+    else:
+        want = {int(i): (None, None) for i, _, _ in lrows}
+    assert got == want
