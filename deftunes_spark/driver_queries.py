@@ -58,6 +58,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _t_cpu(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table for a CPU-bound per-row pipeline (regex scoring,
+    hashing, vector arithmetic), ensuring the scan parallelizes.
+
+    The local testdata files are single-row-group parquet, so a scan is
+    ONE input split — every downstream codegen stage runs on one of 32
+    cores. A repartition of a few MB of text unlocks all cores for ~30×
+    on the regex-heavy queries. At real scale the branch is a no-op:
+    a 100 TB table yields far more splits than cores, and paying a full
+    shuffle of the payload would be wrong — hence the guard, not an
+    unconditional repartition."""
+    df = _t(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if _scan_splits(f"{sf_dir}/{name}.parquet") < max(2, target // 2):
+        df = df.repartition(target)
+    return df
+
+
+def _scan_splits(path: str) -> int:
+    """Upper bound on scan parallelism: row-group count of the file
+    (Spark splits by byte ranges, but one row group is always read by
+    one task). Read from parquet footer metadata — microseconds — so
+    the adaptivity check costs nothing; assume wide (no repartition)
+    if the footer can't be read."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).num_row_groups
+    except Exception:
+        return 10**9
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS), which the Spark parquet
     reader rejects; read nanos as long and truncate to micros (exactly

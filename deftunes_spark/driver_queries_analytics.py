@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from deftunes_spark.driver_queries import _t, query
+from deftunes_spark.driver_queries import _t, _t_cpu, query
 
 # =====================================================================
 # Pivot / unpivot
@@ -208,7 +208,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the head terms map-side before the exchange."""
     from deftunes_spark.ext.text import term_counts
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_cpu(spark, sf_dir, "documents")
     vocab = term_counts(docs).groupBy("term").agg(
         F.sum("tf").cast("bigint").alias("n")
     )
@@ -237,7 +237,7 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoped to doc_id < 50 to keep the checked result compact."""
     from deftunes_spark.ext.text import tf_idf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_cpu(spark, sf_dir, "documents")
     out = tf_idf(docs)
     return out.filter(F.col("doc_id") < 50).select(
         "doc_id", "term", "tf", "df", "tfidf"
@@ -270,7 +270,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy stats."""
     from deftunes_spark.ext.text import pack_sequences
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_cpu(spark, sf_dir, "documents")
     packed = pack_sequences(docs, context_tokens=2048, n_shards=8)
     return packed.groupBy("shard", "bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -295,5 +295,5 @@ def q_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex, one scan."""
     from deftunes_spark.ext.text import with_subword_count
 
-    docs = with_subword_count(_t(spark, sf_dir, "documents"))
+    docs = with_subword_count(_t_cpu(spark, sf_dir, "documents"))
     return docs.select("doc_id", "subword_count")

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from deftunes_spark.driver_queries import ORACLES, _t, query
+from deftunes_spark.driver_queries import ORACLES, _t, _t_cpu, query
 from deftunes_spark.ext import dedup as D
 from deftunes_spark.ext import multimodal as M
 from deftunes_spark.ext import similarity as S
@@ -43,7 +43,7 @@ from deftunes_spark.streaming.windows import (
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on the normalized content fingerprint: one
     hash-shuffle groupBy; representative = min doc_id."""
-    docs = X.with_fingerprint(_t(spark, sf_dir, "documents"))
+    docs = X.with_fingerprint(_t_cpu(spark, sf_dir, "documents"))
     return D.exact_dedup(docs, ["normalized_fingerprint"], "doc_id")
 
 
@@ -78,7 +78,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs (n=1 here so the synthetic corpus
     yields non-trivial overlap); candidates via shared-shingle
     equi-join, never a cross join."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_cpu(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=1, threshold=0.5
     )
@@ -89,7 +89,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands) near-dup pairs on word 2-shingles.
     xxhash64-based (not SQL-mirrorable → rows-only driver check;
     recall/precision asserted in tests against planted dups)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_cpu(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs(
         docs,
         "doc_id",
@@ -104,7 +104,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_simhash")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash64 near-dup pairs, Hamming ≤ 8, chunked candidate join."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_cpu(spark, sf_dir, "documents")
     sims = D.simhash64(docs, "doc_id", "text")
     return D.simhash_near_pairs(sims, "doc_id", max_hamming=8)
 
@@ -152,7 +152,7 @@ QSCORE_SQL = (
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: char-class ratios + token stats, one codegen
     scan, no UDFs."""
-    docs = X.with_quality_score(_t(spark, sf_dir, "documents"))
+    docs = X.with_quality_score(_t_cpu(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", "token_count", "alpha_ratio", "quality_score"
     )
@@ -187,7 +187,7 @@ def _lang_oracle() -> str:
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word / Han-script language ID (one regexp pass per
     candidate language)."""
-    docs = X.with_lang_id(_t(spark, sf_dir, "documents"))
+    docs = X.with_lang_id(_t_cpu(spark, sf_dir, "documents"))
     return docs.select("doc_id", "lang_pred")
 
 
@@ -201,7 +201,7 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = X.with_fingerprint(_t(spark, sf_dir, "documents"))
+    docs = X.with_fingerprint(_t_cpu(spark, sf_dir, "documents"))
     return docs.select("doc_id", "fingerprint", "normalized_fingerprint")
 
 
@@ -244,7 +244,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (TakeOrdered — per-partition top-k then
     driver merge, no global sort). Sim rounded to 6dp on both sides so
     the hash ignores sub-ulp float noise."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_cpu(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     scored = S.cosine_to_query(emb, qv).select(
         "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
@@ -258,7 +258,7 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: random-hyperplane LSH buckets + multi-probe + exact rerank
     (recall vs brute force asserted in tests)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_cpu(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     out = S.ann_topk(emb, qv, k=10, n_bits=8, n_probes=4)
     return out.select(
@@ -272,7 +272,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 nearest inverted lists, exact cosine rerank inside them. At scale
     the assigned table is stored partitioned by ivf_list so each probe
     is a partition-pruned scan (recall vs brute force in tests)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_cpu(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     assigned, centroids = S.ivf_index(emb, n_lists=8, max_iter=5)
     out = S.ivf_topk(assigned, centroids, qv, k=10, n_probe=3)
@@ -285,7 +285,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via LSH bucket equi-join +
     exact-cosine verification."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_cpu(spark, sf_dir, "embeddings")
     pairs = S.cosine_neardup_pairs(emb, threshold=0.9, n_bits=6)
     return pairs.select(
         "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
@@ -310,7 +310,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + typed metadata struct; size/hash computed
     JVM-side on the binary column."""
-    docs = M.text_as_fake_payload(_t(spark, sf_dir, "documents"))
+    docs = M.text_as_fake_payload(_t_cpu(spark, sf_dir, "documents"))
     media = M.attach_media_columns(docs, "payload", modality="text")
     return media.select(
         "doc_id",
@@ -333,7 +333,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary
     payloads (deterministic fake features — codec stubbed; the oracle
     checks the plumbing: ids, sizes, vector width)."""
-    docs = M.text_as_fake_payload(_t(spark, sf_dir, "documents"))
+    docs = M.text_as_fake_payload(_t_cpu(spark, sf_dir, "documents"))
     feats = M.extract_image_features(docs, dim=16, fake_features=True)
     return feats.select(
         "doc_id",
@@ -499,7 +499,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage cut per iteration). Oracle: DuckDB recursive-CTE transitive
     closure over the SAME pair query — the iterative Spark algorithm is
     value-checked, not rows-only."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_cpu(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5)
     comp = D.connected_components(pairs, "id_a", "id_b")
     return comp.select(

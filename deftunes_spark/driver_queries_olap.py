@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from deftunes_spark.driver_queries import _t, query
+from deftunes_spark.driver_queries import _t, _t_cpu, query
 from deftunes_spark.ext.profile import profile_columns
 
 _ROLLUP_ORACLE = """
@@ -181,7 +181,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from deftunes_spark.ext import text as X
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_cpu(spark, sf_dir, "documents")
     scored = X.with_fingerprint(
         X.with_lang_id(X.with_token_count(X.with_quality_score(docs)))
     )
