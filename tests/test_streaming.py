@@ -254,3 +254,68 @@ def test_foreach_batch_dq_gate(spark, tmp_path):
     q.awaitTermination()
     assert len(passed_rows) == 8
     assert {r.event_id for r in quarantined_rows} == {100, 101}
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event arriving after the watermark has passed its window is
+    DROPPED (bounded state). Two availableNow runs over one checkpoint:
+    run 1 commits watermark 10:00 (max 12:00 − 2h); run 2 then sees a
+    05:30 straggler (dropped) and a 12:30 on-time event (counted).
+    In batch mode the straggler IS counted — the delta is the price of
+    finite state at scale."""
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    base = dt.datetime(2024, 1, 1, 6, 0, 0)
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+
+    from deftunes_spark.streaming import (
+        tumbling_agg_batch,
+        tumbling_agg_stream,
+    )
+
+    emitted = []
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        ).parquet(f"{src}/f*")
+        q = (
+            tumbling_agg_stream(stream, "1 hour", watermark="2 hours")
+            .writeStream.foreachBatch(
+                lambda df, _id: emitted.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(i, base + dt.timedelta(hours=i), 1, "view", 1.0) for i in range(7)],
+        cols,
+    ).coalesce(1).write.parquet(f"{src}/f0")
+    run()  # commits watermark = 12:00 − 2h = 10:00 to the checkpoint
+
+    spark.createDataFrame(
+        [
+            (100, base - dt.timedelta(minutes=30), 1, "view", 1.0),
+            (101, base + dt.timedelta(hours=6, minutes=30), 1, "view", 1.0),
+        ],
+        cols,
+    ).coalesce(1).write.parquet(f"{src}/f1")
+    emitted.clear()
+    run()  # straggler 05:30 < watermark → dropped; 12:30 counted
+
+    got = {r.window_start: r.n for r in emitted}
+    assert base - dt.timedelta(hours=1) not in got  # straggler dropped
+    assert got.get(base + dt.timedelta(hours=6)) == 2  # 12:00 + 12:30
+
+    batch = {
+        r.window_start: r.n
+        for r in tumbling_agg_batch(
+            spark.read.parquet(f"{src}/f0", f"{src}/f1"), "1 hour"
+        ).collect()
+    }
+    assert batch[base - dt.timedelta(hours=1)] == 1  # batch counts it
