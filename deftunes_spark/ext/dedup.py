@@ -109,6 +109,16 @@ def lsh_candidate_pairs(
     co-locate, everything else never meets. ``id_a < id_b`` halves the
     pair space and removes self-pairs.
     """
+    if bands <= 0 or bands > num_hashes:
+        raise ValueError(
+            f"bands must be in [1, num_hashes]: bands={bands}, "
+            f"num_hashes={num_hashes}"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes must divide evenly into bands: {num_hashes} % "
+            f"{bands} != 0 (trailing signatures would be silently unused)"
+        )
     rows_per_band = num_hashes // bands
     band_structs = F.array(
         *[
@@ -296,20 +306,33 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by Hamming distance ≤ ``max_hamming``.
 
-    Candidate generation: split the 64-bit fingerprint into 4 16-bit
-    chunks — any pair within Hamming ≤ 3 must agree on ≥1 chunk
-    (pigeonhole), so an equi-join per chunk finds all of them without
-    a cross join. Verification: ``bit_count(a XOR b)``.
+    Candidate generation: split the 64-bit fingerprint into
+    ``max_hamming + 1`` chunks — a pair differing in ≤ max_hamming
+    bits cannot touch every chunk (pigeonhole), so it agrees exactly
+    on ≥1 chunk and an equi-join per chunk finds all of them with
+    FULL recall, no cross join. Verification: ``bit_count(a XOR b)``.
+    More chunks = narrower chunks = more candidate collisions, so
+    keep max_hamming modest (≤ 15 → chunks ≥ 4 bits).
     """
+    n_chunks = min(64, max_hamming + 1)
+    # Spread 64 bits as evenly as possible: first (64 % n) chunks get
+    # one extra bit.
+    base, extra = divmod(64, n_chunks)
+    bounds = []
+    off = 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        bounds.append((off, width))
+        off += width
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftright("simhash", c * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftright("simhash", off)
+                .bitwiseAND(F.lit((1 << width) - 1))
                 .alias("chunk_val"),
             )
-            for c in range(4)
+            for c, (off, width) in enumerate(bounds)
         ]
     )
     keyed = sim_df.select(

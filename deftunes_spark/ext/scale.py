@@ -103,6 +103,7 @@ def approx_uniqueness(
     ).select(
         "n_rows",
         "n_distinct_exact",
+        "n_distinct_approx",
         (
             F.abs(F.col("n_distinct_approx") - F.col("n_distinct_exact"))
             <= F.col("n_distinct_exact") * (3 * rsd)

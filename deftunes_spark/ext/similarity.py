@@ -219,9 +219,13 @@ def cosine_neardup_pairs(
     collide with high probability; raise n_bits to cut candidates,
     lower it to raise recall). Never a cross join.
     """
-    dim = len(df.select(vec_col).first()[0])
     if planes is None:
-        planes = random_hyperplanes(dim, n_bits, seed)
+        probe = df.select(vec_col).first()
+        if probe is None:  # empty corpus → zero pairs, not a crash
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine_sim double"
+            )
+        planes = random_hyperplanes(len(probe[0]), n_bits, seed)
     bucketed = with_lsh_bucket(df, planes, vec_col).select(
         F.col(id_col), F.col(vec_col), F.col("lsh_bucket")
     )

@@ -144,7 +144,7 @@ def read_csv_landing(spark: SparkSession, path: str) -> DataFrame:
     return (
         spark.read.option("header", True)
         .option("quote", '"')
-        .option("separator", ",")
+        .option("sep", ",")
         .option("recursiveFileLookup", True)
         .csv(path)
     )

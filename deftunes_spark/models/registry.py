@@ -53,18 +53,54 @@ class ModelRegistry:
         )
         return [n for n in ts.static_order() if n in self._models]
 
-    def build_df(self, spark: SparkSession, name: str) -> DataFrame:
-        """Resolve one model to a DataFrame without materializing it."""
+    def build_df(
+        self,
+        spark: SparkSession,
+        name: str,
+        _resolved: dict[str, DataFrame] | None = None,
+    ) -> DataFrame:
+        """Resolve one model to a DataFrame without materializing it.
+
+        ``_resolved`` memoizes refs across the recursion (and, from
+        ``run()``, holds already-materialized upstream models), so a
+        shared ancestor is built once — not once per downstream path —
+        and a persisted TABLE model is actually read from its table.
+        """
+        resolved = _resolved if _resolved is not None else {}
+        if name in resolved:
+            return resolved[name]
         model = self._models[name]
         if model.fn is not None:
-            deps = {r: self.build_df(spark, r) for r in model.refs}
-            return model.fn(spark, deps)
-        assert model.sql is not None, f"model {name} has neither sql nor fn"
-        # Register upstream refs as temp views so the SQL can name them.
-        for r in model.refs:
-            self.build_df(spark, r).createOrReplaceTempView(r)
-        rendered = model.sql.format(**self.variables)
-        return spark.sql(rendered)
+            deps = {
+                r: self.build_df(spark, r, resolved) for r in model.refs
+            }
+            out = model.fn(spark, deps)
+        else:
+            assert (
+                model.sql is not None
+            ), f"model {name} has neither sql nor fn"
+            # Register upstream refs as temp views so the SQL can name
+            # them.
+            for r in model.refs:
+                self.build_df(spark, r, resolved).createOrReplaceTempView(r)
+            out = spark.sql(self._render(model.sql))
+        resolved[name] = out
+        return out
+
+    def _render(self, sql: str) -> str:
+        """Substitute ``{var}`` placeholders for KNOWN variables only —
+        unlike ``str.format``, literal braces in the SQL (regex
+        quantifiers ``{3}``, struct literals) pass through untouched."""
+        import re
+
+        if not self.variables:
+            return sql
+        pattern = "|".join(re.escape(k) for k in self.variables)
+        return re.sub(
+            r"\{(" + pattern + r")\}",
+            lambda m: str(self.variables[m.group(1)]),
+            sql,
+        )
 
     def run(self, spark: SparkSession, use_catalog: bool = False) -> list[str]:
         """Materialize every model in topological order.
@@ -75,12 +111,17 @@ class ModelRegistry:
         models (K7) are always views.
         """
         built: list[str] = []
+        resolved: dict[str, DataFrame] = {}
         for name in self.topo_order():
             model = self._models[name]
-            df = self.build_df(spark, name)
+            df = self.build_df(spark, name, resolved)
             if model.materialized == "table" and use_catalog:
                 df.write.mode("overwrite").saveAsTable(model.qualified_name)
-                spark.table(model.qualified_name).createOrReplaceTempView(name)
+                # Downstream models must read the PERSISTED table, not
+                # re-derive the lazy plan that produced it.
+                persisted = spark.table(model.qualified_name)
+                persisted.createOrReplaceTempView(name)
+                resolved[name] = persisted
             else:
                 df.createOrReplaceTempView(name)
             built.append(name)

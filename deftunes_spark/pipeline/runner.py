@@ -41,8 +41,18 @@ def monthly_windows(
     cron ``0 0 1 * *`` between start and end (inclusive of every
     window whose start falls in range) → [(ds, next_ds), ...]
     (deftunes_api_pipeline.py:30-33).
+
+    Like Airflow's scheduler, a mid-month ``start_date`` rolls FORWARD
+    to the next cron tick (day 1 of the following month) — never
+    backward, which would ingest data from before the requested start.
     """
-    start = dt.date.fromisoformat(start_date).replace(day=1)
+    raw_start = dt.date.fromisoformat(start_date)
+    if raw_start.day == 1:
+        start = raw_start
+    else:
+        start = (raw_start.replace(day=28) + dt.timedelta(days=4)).replace(
+            day=1
+        )
     end = dt.date.fromisoformat(end_date)
     windows: list[tuple[str, str]] = []
     cur = start
@@ -129,6 +139,7 @@ class Pipeline:
         }
         results: dict[str, object] = {}
         failed: set[str] = set()
+        first_failure: TaskFailure | None = None
         for name in self.topo_order():
             task = self.tasks[name]
             if any(d in failed for d in task.depends_on):
@@ -140,11 +151,20 @@ class Pipeline:
             except TaskFailure as exc:
                 failed.add(name)
                 results[name] = exc
-        if failed:
+                if first_failure is None:
+                    first_failure = exc
+        if first_failure is not None:
+            # Re-raise the ROOT-CAUSE failure (not an alphabetically
+            # arbitrary member of the failed set) so operators see the
+            # task and exception that actually broke the window.
             raise TaskFailure(
-                sorted(failed)[0],
-                RuntimeError(f"window {ds} failed tasks: {sorted(failed)}"),
-            )
+                first_failure.task,
+                RuntimeError(
+                    f"window {ds} failed tasks: {sorted(failed)} "
+                    f"(root cause: {first_failure.task}: "
+                    f"{first_failure.cause!r})"
+                ),
+            ) from first_failure
         return results
 
     def backfill(

@@ -124,15 +124,27 @@ class ColumnValues(Rule):
     def name(self) -> str:  # type: ignore[override]
         return f'ColumnValues "{self.column}" {self.op} {self.bound:g}'
 
+    _OPS = ("<=", "<", ">=", ">", "=", "!=")
+
+    def __post_init__(self) -> None:
+        # Validate at construction (parse_dqdl time), not first
+        # evaluation — a bad op should fail at ruleset load.
+        if self.op not in self._OPS:
+            raise ValueError(
+                f"ColumnValues op must be one of {self._OPS}: {self.op!r}"
+            )
+
     def agg_exprs(self) -> list[Column]:
         col = F.col(self.column)
-        ok = {
+        table = {
             "<=": col <= self.bound,
             "<": col < self.bound,
             ">=": col >= self.bound,
             ">": col > self.bound,
-        }[self.op]
-        return [F.count(F.when(~ok, 1)).alias(self._slot())]
+            "=": col == self.bound,
+            "!=": col != self.bound,
+        }
+        return [F.count(F.when(~table[self.op], 1)).alias(self._slot())]
 
     def verdict(self, row: dict) -> RuleResult:
         bad = row[self._slot()] or 0
