@@ -84,11 +84,70 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash")
+def _minhash_oracle(
+    n: int = 2, num_hashes: int = 32, bands: int = 8, threshold: float = 0.3
+) -> str:
+    """DuckDB mirror of ``minhash_dedup_pairs(hash_fn='md5',
+    hash_band_key=False)``: same shingling, same seeded-md5 minwise
+    order (min over lowercase hex strings is identical in both
+    engines), same banded equi-join on the concatenated signature
+    strings, same agreement-fraction estimate."""
+    rows = num_hashes // bands
+    sigs = ", ".join(
+        f"min(md5('{s}|' || shingle)) AS mh_{s}" for s in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs".format(
+            b=b,
+            key="||','||".join(
+                f"mh_{b * rows + r}" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.mh_{s} = sb.mh_{s} THEN 1 ELSE 0 END"
+        for s in range(num_hashes)
+    )
+    return f"""
+    WITH toklist AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+        FROM toklist,
+             UNNEST(range(1, greatest(len(toks) - {n - 1}, 1) + 1)) AS t(i)
+    ), sigs AS (
+        SELECT doc_id, {sigs} FROM sh GROUP BY doc_id
+    ), bands AS (
+        {band_selects}
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ), est AS (
+        SELECT id_a, id_b, ({matches}) / {float(num_hashes)} AS est_jaccard
+        FROM pairs
+        JOIN sigs sa ON sa.doc_id = id_a
+        JOIN sigs sb ON sb.doc_id = id_b
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           est_jaccard
+    FROM est WHERE est_jaccard >= {threshold}
+    """
+
+
+@query("dedup_minhash", _minhash_oracle())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands) near-dup pairs on word 2-shingles.
-    xxhash64-based (not SQL-mirrorable → rows-only driver check;
-    recall/precision asserted in tests against planted dups)."""
+
+    Driver variant runs the md5 / raw-band-key path so the whole
+    pipeline (shingle → seeded minwise hash → band join → estimate) is
+    value-checked against the DuckDB oracle; production default stays
+    xxhash64 (recall/precision asserted in tests against planted dups).
+    """
     docs = _t_cpu(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs(
         docs,
@@ -98,15 +157,84 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=32,
         bands=8,
         threshold=0.3,
+        hash_fn="md5",
+        hash_band_key=False,
     )
 
 
-@query("dedup_simhash")
+def _simhash_oracle(max_hamming: int = 8) -> str:
+    """DuckDB mirror of ``simhash64(hash_fn='md5')`` +
+    ``simhash_near_pairs``: bit i of a token's hash = bit ``i % 4`` of
+    hex digit ``i // 4`` of md5(token); per-doc bit votes; fingerprint
+    kept as a 64-char '0'/'1' string (LSB first) so chunking is
+    substring equality and Hamming distance is a character mismatch
+    count — no 64-bit signed overflow anywhere in SQL."""
+    n_chunks = max_hamming + 1
+    base, extra = divmod(64, n_chunks)
+    bounds = []
+    off = 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        bounds.append((off, width))
+        off += width
+    votes = ", ".join(
+        "SUM(CASE WHEN ((strpos('0123456789abcdef', "
+        f"substr(h, {i // 4 + 1}, 1)) - 1) >> {i % 4}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(64)
+    )
+    fb = "concat(" + ", ".join(
+        f"CASE WHEN v_{i} > 0 THEN '1' ELSE '0' END" for i in range(64)
+    ) + ")"
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, fb, {c} AS chunk, "
+        f"substr(fb, {off + 1}, {width}) AS ck FROM fp"
+        for c, (off, width) in enumerate(bounds)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+        FROM documents
+    ), th AS (
+        SELECT doc_id, md5(t) AS h FROM tok
+    ), votes AS (
+        SELECT doc_id, {votes} FROM th GROUP BY doc_id
+    ), fp AS (
+        SELECT doc_id, {fb} AS fb FROM votes
+    ), chunks AS (
+        {chunk_selects}
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.fb AS fb_a, b.fb AS fb_b
+        FROM chunks a JOIN chunks b
+          ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+    ), ham AS (
+        SELECT id_a, id_b,
+               len(list_filter(range(64), i ->
+                   substr(fb_a, CAST(i + 1 AS INT), 1)
+                   <> substr(fb_b, CAST(i + 1 AS INT), 1))) AS hamming
+        FROM pairs
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(hamming AS INT) AS hamming
+    FROM ham WHERE hamming <= {max_hamming}
+    """
+
+
+@query("dedup_simhash", _simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash64 near-dup pairs, Hamming ≤ 8, chunked candidate join."""
+    """SimHash64 near-dup pairs, Hamming ≤ 8, chunked candidate join.
+
+    Driver variant uses the md5-derived bit hash so fingerprints,
+    chunk collisions, and Hamming distances are all value-checked
+    against the DuckDB oracle; production default stays xxhash64."""
     docs = _t_cpu(spark, sf_dir, "documents")
-    sims = D.simhash64(docs, "doc_id", "text")
-    return D.simhash_near_pairs(sims, "doc_id", max_hamming=8)
+    sims = D.simhash64(docs, "doc_id", "text", hash_fn="md5")
+    pairs = D.simhash_near_pairs(sims, "doc_id", max_hamming=8)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 # =====================================================================
@@ -254,39 +382,178 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
-@query("ann_lsh_topk")
+# ---- Deterministic ANN fixtures -------------------------------------
+# The driver's value-hash oracle needs both sides to see the SAME
+# hyperplanes / centroids / query vector, so the driver variants bake
+# them in as literals generated from seeded numpy at import time (the
+# testdata embedding dim is fixed at 64; both the Spark expressions and
+# the DuckDB SQL embed the exact same repr-round-tripped doubles, and
+# both engines fold float32 embeddings to float64 losslessly and sum
+# dot products left-to-right — bit-identical arithmetic).
+import numpy as _np
+
+_EMB_DIM = 64
+_ANN_PLANES = S.random_hyperplanes(_EMB_DIM, n_bits=8, seed=42)
+_NEARDUP_PLANES = S.random_hyperplanes(_EMB_DIM, n_bits=4, seed=42)
+_ANN_QUERY = [
+    float(x) for x in _np.random.RandomState(7).randn(_EMB_DIM)
+]
+_ANN_QUERY_NORM = float(_np.linalg.norm(_np.asarray(_ANN_QUERY)))
+_IVF_CENTROIDS = [
+    [float(x) for x in row]
+    for row in _np.random.RandomState(11).randn(8, _EMB_DIM) * 0.5
+]
+
+
+def _sql_vec(vec: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+
+
+def _sql_bucket(planes: "_np.ndarray") -> str:
+    """bucket id = Σ 2^i over non-negative plane projections."""
+    return " + ".join(
+        f"CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"{_sql_vec([float(x) for x in p])}) >= 0.0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+
+
+_SQL_COSINE = (
+    f"list_dot_product(v, {_sql_vec(_ANN_QUERY)})"
+    f" / (sqrt(list_dot_product(v, v)) * {_ANN_QUERY_NORM!r})"
+)
+
+_LSH_PROBE_BUCKETS = S._query_buckets(_ANN_QUERY, _ANN_PLANES, n_probes=4)
+
+
+def _lsh_oracle() -> str:
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               ({_sql_bucket(_ANN_PLANES)}) AS bucket
+        FROM embeddings
+    ), c AS (
+        SELECT vec_id, round({_SQL_COSINE}, 6) AS cosine_sim
+        FROM b
+        WHERE bucket IN ({", ".join(map(str, _LSH_PROBE_BUCKETS))})
+    )
+    SELECT vec_id, cosine_sim FROM c
+    ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
+
+@query("ann_lsh_topk", _lsh_oracle())
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: random-hyperplane LSH buckets + multi-probe + exact rerank
-    (recall vs brute force asserted in tests)."""
+    """ANN: random-hyperplane LSH buckets + multi-probe + exact rerank.
+    Fixed seeded planes and query vector make the whole pipeline
+    (bucket assignment → probe set → rerank) value-checked against the
+    DuckDB oracle; recall vs brute force asserted in tests.
+
+    Rounds BEFORE the top-k ordering (as the oracle must, since SQL
+    can only order by the emitted column) so a sub-ulp float difference
+    can never flip the rank-10/11 boundary between the two engines."""
     emb = _t_cpu(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir)
-    out = S.ann_topk(emb, qv, k=10, n_bits=8, n_probes=4)
-    return out.select(
+    bucketed = S.with_lsh_bucket(emb, _ANN_PLANES)
+    cands = bucketed.filter(
+        F.col("lsh_bucket").isin(_LSH_PROBE_BUCKETS)
+    )
+    scored = S.cosine_to_query(cands, _ANN_QUERY).select(
         "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
     )
+    return scored.orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    ).limit(10)
 
 
-@query("ann_ivf_topk")
+def _ivf_oracle() -> str:
+    q = _np.asarray(_ANN_QUERY)
+    dists = [
+        float(_np.linalg.norm(q - _np.asarray(c))) for c in _IVF_CENTROIDS
+    ]
+    probe = sorted(range(len(dists)), key=lambda i: dists[i])[:3]
+    d_exprs = ", ".join(
+        f"list_dot_product(v, v) - 2.0 * list_dot_product(v, "
+        f"{_sql_vec(c)}) + {float(_np.dot(c, c))!r}"
+        for c in _IVF_CENTROIDS
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), d AS (
+        SELECT vec_id, v, [{d_exprs}] AS dl FROM e
+    ), a AS (
+        SELECT vec_id, v,
+               CAST(list_position(dl, list_min(dl)) - 1 AS INT)
+                   AS ivf_list
+        FROM d
+    ), c AS (
+        SELECT vec_id, round({_SQL_COSINE}, 6) AS cosine_sim
+        FROM a WHERE ivf_list IN ({", ".join(map(str, probe))})
+    )
+    SELECT vec_id, cosine_sim FROM c
+    ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
+
+@query("ann_ivf_topk", _ivf_oracle())
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: IVF — k-means coarse quantizer (MLlib, seeded), probe the
-    3 nearest inverted lists, exact cosine rerank inside them. At scale
-    the assigned table is stored partitioned by ivf_list so each probe
-    is a partition-pruned scan (recall vs brute force in tests)."""
+    """ANN: IVF — assignment to fixed literal centroids (the assign
+    step of the k-means quantizer, with training decoupled: sampled
+    KMeans fit is covered in tests), probe the 3 nearest inverted
+    lists, exact cosine rerank inside them. At scale the assigned table
+    is stored partitioned by ivf_list so each probe is a
+    partition-pruned scan. Fixed centroids + query vector make the
+    probe and rerank value-checked against the DuckDB oracle (rounding
+    before the top-k ordering, matching the oracle's sort domain)."""
     emb = _t_cpu(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir)
-    assigned, centroids = S.ivf_index(emb, n_lists=8, max_iter=5)
-    out = S.ivf_topk(assigned, centroids, qv, k=10, n_probe=3)
-    return out.select(
+    q = _np.asarray(_ANN_QUERY)
+    dists = [
+        float(_np.linalg.norm(q - _np.asarray(c))) for c in _IVF_CENTROIDS
+    ]
+    probe = sorted(range(len(dists)), key=lambda i: dists[i])[:3]
+    assigned = S.ivf_assign(emb, _IVF_CENTROIDS)
+    cands = assigned.filter(F.col("ivf_list").isin(probe))
+    scored = S.cosine_to_query(cands, _ANN_QUERY).select(
         "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
     )
+    return scored.orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    ).limit(10)
 
 
-@query("embedding_neardup")
+def _neardup_oracle(threshold: float = 0.35) -> str:
+    pair_cos = (
+        "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v))"
+        " * sqrt(list_dot_product(y.v, y.v)))"
+    )
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               ({_sql_bucket(_NEARDUP_PLANES)}) AS bucket
+        FROM embeddings
+    ), p AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+               {pair_cos} AS raw_sim
+        FROM b x JOIN b y
+          ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(raw_sim, 6) AS cosine_sim
+    FROM p WHERE raw_sim >= {threshold}
+    """
+
+
+@query("embedding_neardup", _neardup_oracle())
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via LSH bucket equi-join +
-    exact-cosine verification."""
+    exact-cosine verification (never a cross join). Fixed seeded
+    planes; threshold 0.35 sits inside the synthetic corpus's cosine
+    range so the oracle checks real pairs, not an empty set."""
     emb = _t_cpu(spark, sf_dir, "embeddings")
-    pairs = S.cosine_neardup_pairs(emb, threshold=0.9, n_bits=6)
+    pairs = S.cosine_neardup_pairs(
+        emb, threshold=0.35, planes=_NEARDUP_PLANES
+    )
     return pairs.select(
         "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
     )

@@ -101,6 +101,7 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = 32,
     bands: int = 8,
+    hash_band_key: bool = True,
 ) -> DataFrame:
     """Band the signatures and equi-join on (band, band_key): documents
     agreeing on all rows of any band become a candidate pair.
@@ -108,6 +109,11 @@ def lsh_candidate_pairs(
     The join key is the banded hash — collisions (true near-dups)
     co-locate, everything else never meets. ``id_a < id_b`` halves the
     pair space and removes self-pairs.
+
+    ``hash_band_key=True`` (the scale path) compresses each band to a
+    fixed-width 8-byte xxhash64 shuffle key; ``False`` joins on the
+    concatenated signature string itself — bit-for-bit mirrorable in
+    ANSI SQL (the correctness-oracle path), at the cost of wider keys.
     """
     if bands <= 0 or bands > num_hashes:
         raise ValueError(
@@ -120,21 +126,22 @@ def lsh_candidate_pairs(
             f"{bands} != 0 (trailing signatures would be silently unused)"
         )
     rows_per_band = num_hashes // bands
+
+    def _band_key(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        return F.xxhash64(joined) if hash_band_key else joined
+
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh_{b * rows_per_band + r}").cast(
-                                "string"
-                            )
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_key"),
+                _band_key(b).alias("band_key"),
             )
             for b in range(bands)
         ]
@@ -189,12 +196,19 @@ def minhash_dedup_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    hash_band_key: bool = True,
 ) -> DataFrame:
     """End-to-end near-duplicate pairs: shingle → MinHash → LSH bands →
-    estimated-Jaccard filter. Returns (id_a, id_b, est_jaccard)."""
+    estimated-Jaccard filter. Returns (id_a, id_b, est_jaccard).
+
+    ``hash_fn="md5"`` + ``hash_band_key=False`` makes every step
+    expressible in ANSI SQL (the DuckDB oracle mirrors it exactly);
+    the defaults are the faster fixed-width-key path."""
     sh = shingles(df, id_col, text_col, n)
     sig = minhash_signatures(sh, id_col, num_hashes, hash_fn)
-    pairs = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    pairs = lsh_candidate_pairs(
+        sig, id_col, num_hashes, bands, hash_band_key
+    )
     est = minhash_estimate_jaccard(sig, pairs, id_col, num_hashes)
     return est.filter(F.col("est_jaccard") >= threshold)
 
@@ -264,28 +278,51 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash per document.
 
     Token hash bit-votes: for each bit, +1 if set else -1, summed over
     tokens; the sign becomes the fingerprint bit. Expressed as one
     explode + one groupBy with 64 conditional-sum aggregates — a
     single shuffle keyed by doc id.
+
+    ``hash_fn="xxhash64"`` (default) takes bit i of the JVM xxhash64 —
+    the scale path. ``hash_fn="md5"`` derives bit i from hex digit
+    ``i // 4`` of the token's md5 (bit ``i % 4`` within the digit) —
+    slower, but every step mirrors into ANSI SQL for the correctness
+    oracle. Any injective 64-bit token hash yields a valid SimHash.
     """
-    toks = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(
-                F.split(F.trim(F.col(text_col)), "\\s+")
-            ).alias("tok"),
-        )
-        .withColumn("h", F.xxhash64("tok"))
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.split(F.trim(F.col(text_col)), "\\s+")
+        ).alias("tok"),
     )
+    if hash_fn == "xxhash64":
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+        bit = [
+            F.shiftright("h", i).bitwiseAND(F.lit(1)) for i in range(64)
+        ]
+    elif hash_fn == "md5":
+        toks = toks.withColumn("_md5", F.md5("tok")).select(
+            "_id",
+            *[
+                F.conv(F.substring("_md5", j + 1, 1), 16, 10)
+                .cast("int")
+                .alias(f"d_{j}")
+                for j in range(16)
+            ],
+        )
+        bit = [
+            F.shiftright(F.col(f"d_{i // 4}"), i % 4).bitwiseAND(F.lit(1))
+            for i in range(64)
+        ]
+    else:
+        raise ValueError(f"unknown hash fn {hash_fn!r}")
     votes = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"v_{i}")
+        F.sum(F.when(bit[i] == 1, 1).otherwise(-1)).alias(f"v_{i}")
         for i in range(64)
     ]
     agg = toks.groupBy("_id").agg(*votes)
@@ -312,9 +349,17 @@ def simhash_near_pairs(
     on ≥1 chunk and an equi-join per chunk finds all of them with
     FULL recall, no cross join. Verification: ``bit_count(a XOR b)``.
     More chunks = narrower chunks = more candidate collisions, so
-    keep max_hamming modest (≤ 15 → chunks ≥ 4 bits).
+    ``max_hamming`` is capped at 15 (chunks stay ≥ 4 bits — beyond
+    that the candidate join degenerates toward all-pairs).
+    ``max_hamming=0`` is exact-fingerprint matching: a single 64-bit
+    chunk, joined on the fingerprint directly (no shift/mask — the
+    full-width mask literal would overflow a signed long).
     """
-    n_chunks = min(64, max_hamming + 1)
+    if not 0 <= max_hamming <= 15:
+        raise ValueError(
+            f"max_hamming must be in [0, 15], got {max_hamming}"
+        )
+    n_chunks = max_hamming + 1
     # Spread 64 bits as evenly as possible: first (64 % n) chunks get
     # one extra bit.
     base, extra = divmod(64, n_chunks)
@@ -324,13 +369,18 @@ def simhash_near_pairs(
         width = base + (1 if c < extra else 0)
         bounds.append((off, width))
         off += width
+    def _chunk_val(off: int, width: int) -> Column:
+        if width >= 64:  # whole fingerprint — mask literal would overflow
+            return F.col("simhash")
+        return F.shiftright("simhash", off).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftright("simhash", off)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("chunk_val"),
+                _chunk_val(off, width).alias("chunk_val"),
             )
             for c, (off, width) in enumerate(bounds)
         ]

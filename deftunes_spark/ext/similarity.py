@@ -92,13 +92,61 @@ def lsh_bucket_expr(
     return bucket
 
 
+# Above this many plane coefficients (n_bits × dim) the unrolled
+# literal expression tree stops being free: Catalyst analysis cost and
+# codegen method size grow linearly with it, and at realistic embedding
+# dims (768–4096) × 12+ bits the DRIVER becomes the bottleneck before a
+# single task runs. Past the cutoff, bucketing switches to one
+# Arrow-batched vectorized stage (numpy matmul per batch).
+LSH_EXPR_MAX_COEFFS = 2048
+
+
+def lsh_bucket_pandas_udf(planes: np.ndarray):
+    """Arrow-batched bucket computation: a (batch, dim) matmul against
+    the (n_bits, dim) plane matrix per Arrow batch. The plane matrix
+    ships once per executor inside the serialized UDF closure (it is
+    n_bits × dim × 8 B — a few hundred KB at worst, far below
+    broadcast-join territory)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = np.ascontiguousarray(planes.T, dtype=np.float64)
+    n_bits = planes.shape[0]
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @pandas_udf("long")
+    def _bucket(v: pd.Series) -> pd.Series:
+        arr = np.array(v.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (arr @ planes_t) >= 0  # (batch, n_bits)
+        return pd.Series((bits.astype(np.int64) * weights).sum(axis=1))
+
+    return _bucket
+
+
 def with_lsh_bucket(
     df: DataFrame,
     planes: np.ndarray,
     vec_col: str = "embedding",
     bucket_col: str = "lsh_bucket",
+    method: str = "auto",
 ) -> DataFrame:
-    return df.withColumn(bucket_col, lsh_bucket_expr(vec_col, planes))
+    """Attach the LSH bucket id.
+
+    ``method``: ``"expr"`` unrolls the projections as literal column
+    expressions (pure codegen, best for small n_bits × dim);
+    ``"arrow"`` runs one vectorized Arrow-batched stage (best for
+    high-dim embeddings); ``"auto"`` picks by ``LSH_EXPR_MAX_COEFFS``.
+    Both produce identical buckets up to float summation order (the
+    sign of a projection flips only within ~1 ulp of zero).
+    """
+    if method == "auto":
+        method = "expr" if planes.size <= LSH_EXPR_MAX_COEFFS else "arrow"
+    if method == "expr":
+        return df.withColumn(bucket_col, lsh_bucket_expr(vec_col, planes))
+    if method == "arrow":
+        udf = lsh_bucket_pandas_udf(planes)
+        return df.withColumn(bucket_col, udf(F.col(vec_col)))
+    raise ValueError(f"unknown method {method!r}")
 
 
 def _query_buckets(
@@ -159,9 +207,16 @@ def ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    fit_max_rows: int | None = 1_000_000,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Build an IVF index: k-means (MLlib, JVM-side) coarse quantizer,
     every vector assigned to its nearest centroid's inverted list.
+
+    The quantizer is FIT ON A SAMPLE (standard IVF practice — FAISS
+    trains on ~1–10 M vectors): ``fit_max_rows`` caps the training set,
+    so at 100 TB the k-means iterations touch a bounded sample while
+    the single assignment pass still covers every vector. Pass
+    ``fit_max_rows=None`` to fit on the full corpus.
 
     Returns (assigned_df with ``ivf_list`` column, centroids). At
     100 TB: persist ``assigned_df`` partitioned by ``ivf_list`` so a
@@ -173,16 +228,52 @@ def ivf_index(
     with_vec = df.withColumn(
         "_ivf_feat", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
+    train = with_vec
+    if fit_max_rows is not None:
+        n = with_vec.count()
+        if n > fit_max_rows:
+            # Oversample slightly so the sample rarely undershoots.
+            frac = min(1.0, 1.1 * fit_max_rows / n)
+            train = with_vec.sample(fraction=frac, seed=seed)
     model = KMeans(
         k=n_lists,
         seed=seed,
         maxIter=max_iter,
         featuresCol="_ivf_feat",
         predictionCol="ivf_list",
-    ).fit(with_vec)
+    ).fit(train)
     assigned = model.transform(with_vec).drop("_ivf_feat")
     centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
     return assigned, centroids
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    list_col: str = "ivf_list",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2) with
+    pure column expressions — the IVF assignment step decoupled from
+    quantizer training, usable with ANY fixed centroid set (and
+    mirrorable in ANSI SQL: the correctness oracle recomputes the same
+    ``argmin`` over the same centroid literals).
+
+    ``d_c = ‖v‖² − 2·(v·c) + ‖c‖²`` with ``‖c‖²`` folded to a literal;
+    argmin = first index attaining the minimum (ties break low)."""
+    v = F.col(vec_col)
+    dists = F.array(
+        *[
+            dot_expr(v, v)
+            - F.lit(2.0) * dot_expr(v, _vec_lit(c))
+            + F.lit(float(np.dot(c, c)))
+            for c in centroids
+        ]
+    )
+    return df.withColumn(
+        list_col,
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
 
 
 def ivf_topk(
