@@ -19,7 +19,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: the flagship BI views, a scan-heavy filter, a windowed
-# top-k, a multi-way join agg, and the scale-path extension operators.
+# top-k, a multi-way join agg, and the scale-path extension operators —
+# including the shuffle-heavy dedup/ANN family (minhash-LSH e2e,
+# iterative connected components, LSH-probe top-k) so regressions in
+# the expensive shapes show up round-over-round, not just the cheap
+# single-shuffle queries.
 HEADLINE = [
     "sales_per_artist",
     "sales_per_country",
@@ -28,10 +32,13 @@ HEADLINE = [
     "inner_join_agg",
     "date_parts",
     "dedup_exact",
+    "dedup_minhash",
+    "dedup_components",
     "text_quality",
     "corpus_curation",
     "asof_join_click_view",
     "embedding_topk",
+    "ann_lsh_topk",
     "events_tumbling",
 ]
 

@@ -232,6 +232,7 @@ def q_model_registry_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "SELECT o_custkey AS user_id, o_totalprice AS price, "
                 "o_orderdate AS session_start_time FROM {source}_orders"
             ),
+            columns=("user_id", "price", "session_start_time"),
         )
     )
     reg.add(
@@ -241,6 +242,7 @@ def q_model_registry_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "SELECT c_custkey AS user_id, c_mktsegment AS segment "
                 "FROM {source}_customer"
             ),
+            columns=("user_id", "segment"),
         )
     )
     reg.add(
@@ -255,6 +257,7 @@ def q_model_registry_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             refs=("fact_orders", "dim_customers"),
             materialized="view",
+            columns=("session_year", "segment", "total_sales"),
         )
     )
     reg.run(spark)

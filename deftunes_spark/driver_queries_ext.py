@@ -740,8 +740,42 @@ def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 __all__ = ["ORACLES"]
 
 
+def _ngram_jaccard_oracle_n(n: int, threshold: float) -> str:
+    """Exact word-n-gram Jaccard pairs in DuckDB (n ≥ 2), mirroring
+    ``ngram_jaccard_pairs``: same sliding-window shingling as
+    ``_minhash_oracle``, shared-shingle candidate join, exact ratio."""
+    return f"""
+    WITH toklist AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ), toks AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+        FROM toklist,
+             UNNEST(range(1, greatest(len(toks) - {n - 1}, 1) + 1)) AS t(i)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY 1
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM toks a JOIN toks b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(common AS DOUBLE)
+               / CAST(sa.set_size + sb.set_size - common AS DOUBLE)
+               AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(common AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - common AS DOUBLE)
+          >= {threshold}
+    """
+
+
 _COMPONENTS_ORACLE = f"""
-WITH RECURSIVE pairs AS ({ORACLES["dedup_ngram_jaccard"]}),
+WITH RECURSIVE pairs AS ({_ngram_jaccard_oracle_n(3, 0.5)}),
 edges AS (
     SELECT id_a AS s, id_b AS d FROM pairs
     UNION ALL
@@ -765,9 +799,17 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (driver-coordinated loop, one node-keyed shuffle per round,
     lineage cut per iteration). Oracle: DuckDB recursive-CTE transitive
     closure over the SAME pair query — the iterative Spark algorithm is
-    value-checked, not rows-only."""
+    value-checked, not rows-only.
+
+    Pairs come from word TRIGRAM Jaccard: the synthetic corpus has a
+    ~31-token vocabulary, so unigram shingles are shared by nearly
+    every document pair and the shared-shingle candidate join
+    degenerates toward all-pairs (224 M candidates at sf0.1 — exactly
+    the ultra-frequent-shingle skew `ngram_jaccard_pairs` documents);
+    trigrams keep candidate generation proportional to true-duplicate
+    density (~1.3 M candidates, 256 true pairs at sf0.1)."""
     docs = _t_cpu(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.5)
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     comp = D.connected_components(pairs, "id_a", "id_b")
     return comp.select(
         F.col("node").cast("bigint").alias("node"),

@@ -432,8 +432,14 @@ def connected_components(
     rewrite (Kiveris et al., "Connected Components in MapReduce"),
     which converges in O(log²) rounds; near-dup dedup never needs it.
     """
-    sym = edges.selectExpr(f"{src} AS s", f"{dst} AS d").unionAll(
-        edges.selectExpr(f"{dst} AS s", f"{src} AS d")
+    # Materialize the (symmetrized) edge list ONCE before iterating:
+    # it is referenced in every round, and without a checkpoint the
+    # entire upstream pair-generation plan (shingle → candidate join →
+    # verify — the expensive part) would re-execute per iteration.
+    sym = (
+        edges.selectExpr(f"{src} AS s", f"{dst} AS d")
+        .unionAll(edges.selectExpr(f"{dst} AS s", f"{src} AS d"))
+        .localCheckpoint()
     )
     comp = (
         sym.select(F.col("s").alias("node"))

@@ -24,7 +24,6 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def asof_join(
@@ -42,6 +41,19 @@ def asof_join(
 
     ``left_ts``/``right_ts`` and payload column names must not collide
     (alias before calling). Matches pandas ``merge_asof`` semantics.
+
+    Plan shape (two shuffle rounds, down from three): one LEFT
+    equi-join on the keys with the as-of condition in the ON clause
+    (unmatched left rows keep a single null-extended candidate), then
+    one ``groupBy`` per left row picking the best candidate with
+    ``max_by``/``min_by`` over (ts, payload) — deterministic under
+    ties. The old window+rejoin referenced the id-tagged left frame in
+    TWO plan branches, so ``monotonically_increasing_id`` could
+    diverge between them after an upstream shuffle (silent mis-joins
+    under stage retry); here the tagged frame feeds exactly one linear
+    plan, where the id only needs uniqueness, never cross-branch
+    agreement. The left payload rides through both shuffles — the
+    price of dropping the third shuffle and the second plan branch.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward: {direction}")
@@ -50,34 +62,46 @@ def asof_join(
         raise ValueError(f"colliding non-key columns: {sorted(overlap)}")
 
     lid = "_asof_lid"
-    tagged = left.withColumn(lid, F.monotonically_increasing_id())
-    cond: Column
-    if direction == "backward":
-        cond = F.col(right_ts) <= F.col(left_ts)
-        order = F.col(right_ts).desc()
-    else:
-        cond = F.col(right_ts) >= F.col(left_ts)
-        order = F.col(right_ts).asc()
-    if tolerance_seconds is not None:
-        gap = F.abs(
-            F.col(left_ts).cast("long") - F.col(right_ts).cast("long")
-        )
-        cond = cond & (gap <= tolerance_seconds)
+    left_cols = left.columns
+    right_payload = [c for c in right.columns if c not in keys]
+    l = left.withColumn(lid, F.monotonically_increasing_id()).alias("l")
+    r = right.alias("r")
 
-    cand = (
-        tagged.select(lid, *keys, left_ts)
-        .join(right, list(keys))
-        .where(cond)
+    lt = F.col(f"l.{left_ts}")
+    rt = F.col(f"r.{right_ts}")
+    cond: Column = rt <= lt if direction == "backward" else rt >= lt
+    if tolerance_seconds is not None:
+        gap = F.abs(lt.cast("long") - rt.cast("long"))
+        cond = cond & (gap <= tolerance_seconds)
+    for k in keys:
+        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
+
+    payload_struct = F.struct(
+        *[F.col(f"r.{c}").alias(c) for c in right_payload]
+    )
+    # Total order (ts first, then payload) makes the pick deterministic
+    # when several right rows share the boundary timestamp.
+    pick_order = F.struct(
+        rt.alias("_ts"),
+        *[F.col(f"r.{c}").alias(c) for c in right_payload],
     )
     best = (
-        cand.withColumn(
-            "_asof_rn",
-            F.row_number().over(Window.partitionBy(lid).orderBy(order)),
-        )
-        .filter(F.col("_asof_rn") == 1)
-        .drop("_asof_rn", *keys, left_ts)
+        F.max_by(payload_struct, pick_order)
+        if direction == "backward"
+        else F.min_by(payload_struct, pick_order)
     )
-    return tagged.join(best, lid, "left").drop(lid)
+    agg = (
+        l.join(r, cond, "left")
+        .groupBy(F.col(f"l.{lid}"))
+        .agg(
+            *[F.first(F.col(f"l.{c}")).alias(c) for c in left_cols],
+            best.alias("_best"),
+        )
+    )
+    return agg.select(
+        *left_cols,
+        *[F.col(f"_best.{c}").alias(c) for c in right_payload],
+    )
 
 
 def range_join(

@@ -32,6 +32,15 @@ from pyspark.sql import functions as F
 DEFAULT_SALT = 8
 
 
+def _content_salt(df: DataFrame, n_salt: int) -> Column:
+    """Deterministic salt in [0, n_salt): hash of the whole row's
+    content. Survives task re-execution bit-for-bit (pmod keeps the
+    negative half of xxhash64's range non-negative)."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt)
+    )
+
+
 def salted_sum(
     df: DataFrame,
     keys: Sequence[str],
@@ -45,11 +54,18 @@ def salted_sum(
     ``n_salt`` reduce partitions; stage 2 groups on keys alone over the
     already-tiny partial results. Result is identical to a plain
     ``groupBy(keys).sum`` (decimal addition is associative).
+
+    The salt is a DETERMINISTIC row-content hash (never a row-position
+    or random expression): under partial stage retry — a shuffle-fetch
+    failure recomputing a subset of map tasks, the normal failure mode
+    of a long 100 TB job — re-executed tasks must reproduce identical
+    salts, or rows are double-counted/lost across the two stages
+    (SPARK-23207). The trade-off: FULLY identical rows share a salt, so
+    a hot key whose rows are byte-for-byte duplicates does not spread;
+    real skew (one key, many distinct payloads) does.
     """
     out_col = out_col or f"{value_col}_sum"
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
-    )
+    salted = df.withColumn("_salt", _content_salt(df, n_salt))
     partial = salted.groupBy(*keys, "_salt").agg(
         F.sum(F.col(value_col).cast("decimal(18,4)")).alias("_partial")
     )
@@ -69,14 +85,13 @@ def salted_join(
     replicated ``n_salt``× — the classic skew-join rewrite for when the
     small side is too big to broadcast but a few join keys are hot.
 
-    Big side: salt = hash(whole row) % n_salt (uniform). Small side:
-    exploded over all salt values. Join on (key, salt) → each hot-key
-    partition carries 1/n_salt of the hot rows.
+    Big side: salt = hash(whole row's content) % n_salt — deterministic
+    under task retry (see ``salted_sum``); uniform as long as the hot
+    key's rows differ in at least one column. Small side: exploded over
+    all salt values. Join on (key, salt) → each hot-key partition
+    carries 1/n_salt of the hot rows.
     """
-    big_salted = big.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)),
-    )
+    big_salted = big.withColumn("_salt", _content_salt(big, n_salt))
     small_rep = small.withColumn(
         "_salt",
         F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<long>")),

@@ -15,6 +15,7 @@ pruned scans.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -107,7 +108,6 @@ def lsh_bucket_pandas_udf(planes: np.ndarray):
     ships once per executor inside the serialized UDF closure (it is
     n_bits × dim × 8 B — a few hundred KB at worst, far below
     broadcast-join territory)."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     planes_t = np.ascontiguousarray(planes.T, dtype=np.float64)

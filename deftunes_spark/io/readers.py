@@ -150,6 +150,20 @@ def read_csv_landing(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# --- Evolved-schema parquet read -----------------------------------------
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with ``mergeSchema=true``: the union schema across
+    all footers, so a directory whose files were written before AND
+    after a column was added reads as one frame (older files yield
+    NULL). This is the path-based counterpart of
+    ``write_table_append_evolve`` — together they re-express the
+    Iceberg format-v2 schema-evolution semantics the reference relies
+    on (transform-json-job.py:156-187). Footer merging scans every
+    file's metadata, so it is off by default in Spark; reserve it for
+    evolved directories (catalog tables carry their schema instead)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 # --- S6/S7: catalog scan + introspection ---------------------------------
 def table_exists(spark: SparkSession, table: str) -> bool:
     """Existence probe driving append-vs-create (transform-json-job.py:147-151)."""

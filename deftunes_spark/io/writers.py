@@ -18,6 +18,7 @@ gets partition pruning on ``ingest_on`` for free.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_landing_json(
@@ -74,7 +75,21 @@ def write_table_append_or_create(
         # insertInto matches by position — realign to the table's
         # column order (partition column lands last in the catalog).
         aligned = df.select(*spark.table(table).columns)
-        aligned.write.mode(mode).insertInto(table)
+        if overwrite_partitions:
+            # Pin dynamic mode AROUND the write instead of trusting the
+            # ambient session config: under the default 'static' mode
+            # the same INSERT OVERWRITE truncates the ENTIRE table, so
+            # a caller session not built by our factory would silently
+            # lose every other partition.
+            key = "spark.sql.sources.partitionOverwriteMode"
+            prev = spark.conf.get(key, "static")
+            spark.conf.set(key, "dynamic")
+            try:
+                aligned.write.mode(mode).insertInto(table)
+            finally:
+                spark.conf.set(key, prev)
+        else:
+            aligned.write.mode(mode).insertInto(table)
     else:
         (
             df.write.mode("overwrite")
@@ -82,6 +97,53 @@ def write_table_append_or_create(
             .format("parquet")
             .saveAsTable(table)
         )
+
+
+def write_table_append_evolve(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    partition_col: str = "ingest_on",
+) -> list[str]:
+    """K3 with SCHEMA EVOLUTION: append ``df`` into ``table``, adding
+    any columns the table has not seen before.
+
+    The reference leans on Iceberg format-v2 for exactly this
+    (``transform-json-job.py:156-187`` writes ``format-version=2``
+    tables; README.md:24 names schema evolution as the reason): a new
+    field in the upstream API must not break the monthly append. On
+    parquet catalog tables the equivalent is ``ALTER TABLE ... ADD
+    COLUMNS`` (metadata-only — no data rewrite) + a positionally
+    aligned append; files written before the evolution return NULL for
+    the new columns, the same read semantics Iceberg gives. Columns
+    the table has but the frame lacks are appended as NULLs. Returns
+    the list of newly added column names.
+    """
+    if not spark.catalog.tableExists(table):
+        (
+            df.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+        return []
+    existing = {f.name for f in spark.table(table).schema.fields}
+    new_fields = [f for f in df.schema.fields if f.name not in existing]
+    if new_fields:
+        cols_sql = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in new_fields
+        )
+        spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({cols_sql})")
+        spark.catalog.refreshTable(table)
+    target_cols = spark.table(table).columns
+    aligned = df.select(
+        *[
+            F.col(c) if c in df.columns else F.lit(None).alias(c)
+            for c in target_cols
+        ]
+    )
+    aligned.write.mode("append").insertInto(table)
+    return [f.name for f in new_fields]
 
 
 def write_bucketed_table(
@@ -118,8 +180,14 @@ def upsert_table(
     re-runs duplicate, SURVEY §7 "hard parts").
 
     Rewrite: current ANTI-JOIN updates (drop stale versions) UNION
-    updates, materialized via localCheckpoint so the overwrite does not
-    read its own input. On a transactional format (Delta/Iceberg) this
+    updates, written to a STAGING table first, then swapped in via
+    catalog renames. The merged result is fully durable on disk before
+    the original is touched — executor loss, block eviction, or a
+    mid-write crash during the merge leaves the original table intact
+    (the old localCheckpoint materialization was executor-local: one
+    lost executor while overwriting the source-of-truth lost both
+    copies). The swap window itself is two metadata renames, not a
+    data rewrite. On a transactional format (Delta/Iceberg) this
     becomes a real MERGE with file-level pruning; the parquet fallback
     rewrites the table, so at 100 TB partition the table and scope the
     upsert to the touched partitions (same anti-join, partition-pruned
@@ -131,5 +199,16 @@ def upsert_table(
     kept = current.join(
         updates.select(*key_cols).distinct(), key_cols, "left_anti"
     )
-    merged = kept.unionByName(updates).localCheckpoint()
-    merged.write.mode("overwrite").format("parquet").saveAsTable(table)
+    merged = kept.unionByName(updates)
+    staging, old = f"{table}__staging", f"{table}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    merged.write.mode("overwrite").format("parquet").saveAsTable(staging)
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+    try:
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    except Exception:
+        # Roll the original back into place before propagating.
+        spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+        raise
+    spark.sql(f"DROP TABLE {old}")

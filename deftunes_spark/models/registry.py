@@ -19,6 +19,10 @@ from graphlib import TopologicalSorter
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ContractViolation(ValueError):
+    """A model's built columns do not satisfy its declared contract."""
+
+
 @dataclass
 class Model:
     name: str
@@ -29,6 +33,12 @@ class Model:
     materialized: str = "table"  # "table" | "view"
     refs: tuple[str, ...] = ()
     schema: str = "serving"  # target namespace prefix, dbt +schema
+    # Declarative column contract (dbt: serving_layer/schema.yml:5-51
+    # names every column of every serving model). Empty = no contract;
+    # non-empty = the built frame must expose EXACTLY these columns
+    # (a missing or renamed column fails the build, and so does an
+    # undeclared extra — the dbt-contract semantics).
+    columns: tuple[str, ...] = ()
 
     @property
     def qualified_name(self) -> str:
@@ -84,8 +94,22 @@ class ModelRegistry:
             for r in model.refs:
                 self.build_df(spark, r, resolved).createOrReplaceTempView(r)
             out = spark.sql(self._render(model.sql))
+        self._check_contract(model, out)
         resolved[name] = out
         return out
+
+    @staticmethod
+    def _check_contract(model: Model, df: DataFrame) -> None:
+        if not model.columns:
+            return
+        got, want = list(df.columns), list(model.columns)
+        if sorted(got) != sorted(want):
+            missing = sorted(set(want) - set(got))
+            extra = sorted(set(got) - set(want))
+            raise ContractViolation(
+                f"model {model.name!r} violates its column contract: "
+                f"missing={missing} undeclared={extra} (built={got})"
+            )
 
     def _render(self, sql: str) -> str:
         """Substitute ``{var}`` placeholders for KNOWN variables only —

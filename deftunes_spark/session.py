@@ -36,6 +36,11 @@ _DEFAULT_CONF: dict[str, str] = {
     # Quieter, faster local runs; harmless on a cluster.
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
+    # local[32] runs every task inside the driver JVM — the 1g default
+    # heap starves 32 concurrent tasks into GC death. Applied only at
+    # JVM launch (ignored by getOrCreate on a live session); cluster
+    # deployments size executors via spark-submit as usual.
+    "spark.driver.memory": "48g",
 }
 
 

@@ -75,6 +75,32 @@ def test_asof_join_uses_hash_join_not_nested_loop(spark, queries):
     assert "CartesianProduct" not in plan
 
 
+def test_asof_join_two_shuffle_rounds(spark):
+    """The r2 rewrite replaced window+rejoin (3 shuffle rounds, and a
+    2-branch reference to the id-tagged frame) with left-join +
+    max_by aggregation: at most 3 Exchange nodes (left-by-keys,
+    right-by-keys, by-row-id) and a single plan branch."""
+    from pyspark.sql import functions as F
+
+    from deftunes_spark.ext.joins import asof_join
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(100).select(
+            (F.col("id") % 5).alias("k"),
+            F.timestamp_seconds(F.col("id") * 60).alias("lt"),
+        )
+        right = spark.range(100).select(
+            (F.col("id") % 5).alias("k"),
+            F.timestamp_seconds(F.col("id") * 45).alias("rt"),
+            F.col("id").alias("payload"),
+        )
+        plan = _plan(asof_join(left, right, ["k"], "lt", "rt"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert plan.count("Exchange") <= 3, plan
+
+
 def test_range_join_uses_equi_join(spark, queries):
     plan = _plan(queries["range_join_1h"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan

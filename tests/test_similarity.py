@@ -95,3 +95,83 @@ def test_ivf_lists_partition_data(vectors):
     assert len(centroids) == 6
     n_lists_used = assigned.select("ivf_list").distinct().count()
     assert 2 <= n_lists_used <= 6
+
+
+def test_ivf_sampled_fit_recall(vectors):
+    """Quantizer fit on a sample (the 100 TB path: k-means iterations
+    never touch the full corpus), assignment over everything — recall
+    must hold."""
+    df, rows = vectors
+    q = rows[23][1]
+    assigned, centroids = S.ivf_index(
+        df, n_lists=6, max_iter=8, fit_max_rows=60
+    )
+    assert assigned.count() == 120  # every vector assigned
+    exact = set(_exact_topk(rows, q, 10))
+    approx = {
+        r.vec_id
+        for r in S.ivf_topk(assigned, centroids, q, k=10, n_probe=3).collect()
+    }
+    assert len(exact & approx) >= 8
+
+
+def test_ivf_assign_matches_numpy(vectors):
+    """Expression-only assignment = numpy argmin over squared L2."""
+    df, rows = vectors
+    rng = np.random.RandomState(3)
+    cents = [[float(x) for x in rng.randn(16)] for _ in range(5)]
+    got = {
+        r.vec_id: r.ivf_list
+        for r in S.ivf_assign(df, cents).select("vec_id", "ivf_list").collect()
+    }
+    C = np.asarray(cents)
+    for vid, v in rows:
+        d = ((np.asarray(v)[None, :] - C) ** 2).sum(axis=1)
+        assert got[vid] == int(np.argmin(d)), vid
+
+
+def test_lsh_arrow_bucketing_high_dim(spark):
+    """768-dim × 12-bit corpus: the vectorized Arrow path (a) is what
+    'auto' dispatches to past LSH_EXPR_MAX_COEFFS, (b) matches the
+    numpy reference bucket-for-bucket, and (c) keeps the plan free of
+    the unrolled per-coefficient literal tree."""
+    dim, n_bits, n = 768, 12, 50
+    rng = np.random.RandomState(0)
+    rows = [(i, [float(x) for x in rng.randn(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    planes = S.random_hyperplanes(dim, n_bits, seed=1)
+    assert planes.size > S.LSH_EXPR_MAX_COEFFS  # auto → arrow
+
+    bucketed = S.with_lsh_bucket(df, planes)  # method="auto"
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "Python" in plan
+
+    got = {r.vec_id: r.lsh_bucket for r in bucketed.collect()}
+    for vid, v in rows:
+        proj = planes @ np.asarray(v)
+        want = int(((proj >= 0).astype(np.int64) << np.arange(n_bits)).sum())
+        assert got[vid] == want, vid
+
+
+def test_lsh_arrow_and_expr_paths_agree(spark):
+    """Integer-valued vectors and planes → every projection is exact in
+    float64 regardless of summation order, so the codegen-expression
+    path and the Arrow matmul path must agree bucket-for-bucket."""
+    dim, n_bits, n = 16, 6, 80
+    rng = np.random.RandomState(5)
+    rows = [
+        (i, [float(x) for x in rng.randint(-5, 6, size=dim)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    planes = rng.randint(-3, 4, size=(n_bits, dim)).astype(np.float64)
+
+    a = {
+        r.vec_id: r.lsh_bucket
+        for r in S.with_lsh_bucket(df, planes, method="expr").collect()
+    }
+    b = {
+        r.vec_id: r.lsh_bucket
+        for r in S.with_lsh_bucket(df, planes, method="arrow").collect()
+    }
+    assert a == b
