@@ -494,3 +494,114 @@ def q_dq_extended_ruleset(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["dq_extended_ruleset"] = _oracle_rule_rows(
     "lineitem", _extended_rules()
 )
+
+
+# =====================================================================
+# r2: schema evolution + column contracts, driver-visible
+# =====================================================================
+
+
+@query(
+    "schema_evolution_append",
+    """
+    SELECT 'b1' AS batch, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(0 AS BIGINT) AS n_scored,
+           CAST(NULL AS DOUBLE) AS score_sum
+    FROM nation
+    UNION ALL
+    SELECT 'b2', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_nationkey) * 0.5 AS DOUBLE)
+    FROM nation
+    """,
+)
+def q_schema_evolution_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a catalog table (the reference's Iceberg
+    format-v2 motivation, transform-json-job.py:156-187): batch b1
+    lands without ``score``, batch b2 arrives WITH it —
+    ``write_table_append_evolve`` adds the column via ALTER TABLE
+    (metadata-only), b1's files read back as NULL. The oracle pins the
+    union-schema semantics: per batch, row count, non-null score count,
+    and the score sum."""
+    from deftunes_spark.io.writers import write_table_append_evolve
+
+    _utc(spark)
+    t = "evolve_nation_r2"
+    # Idempotent re-runs ACROSS sessions: the default in-memory catalog
+    # forgets the table between processes but its warehouse directory
+    # persists, so DROP alone can't clear the location.
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    import shutil
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    nation = _t(spark, sf_dir, "nation")
+    b1 = nation.select(
+        "n_nationkey", "n_name", F.lit("b1").alias("batch")
+    )
+    b2 = nation.select(
+        "n_nationkey",
+        "n_name",
+        (F.col("n_nationkey") * 0.5).alias("score"),
+        F.lit("b2").alias("batch"),
+    )
+    write_table_append_evolve(spark, b1, t, partition_col="batch")
+    write_table_append_evolve(spark, b2, t, partition_col="batch")
+    return (
+        spark.table(t)
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count("score").cast("bigint").alias("n_scored"),
+            F.sum("score").cast("double").alias("score_sum"),
+        )
+    )
+
+
+@query(
+    "model_contract_status",
+    """
+    SELECT 'dim_nations' AS model, 'ok' AS contract
+    UNION ALL
+    SELECT 'renamed_nations', 'violated'
+    """,
+)
+def q_model_contract_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative column contracts (dbt serving_layer/schema.yml:5-51):
+    a conforming model builds, a model whose output drifted from its
+    declared columns fails with ContractViolation — the dbt-contract
+    gate, surfaced as a status row per model."""
+    from deftunes_spark.models.registry import ContractViolation
+
+    _utc(spark)
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("src_nation_r2")
+    reg = ModelRegistry()
+    reg.add(
+        Model(
+            name="dim_nations",
+            sql=(
+                "SELECT n_nationkey AS nation_id, n_name AS nation "
+                "FROM src_nation_r2"
+            ),
+            columns=("nation_id", "nation"),
+        )
+    )
+    reg.add(
+        Model(
+            name="renamed_nations",
+            sql=(
+                "SELECT n_nationkey AS nation_id, n_name AS nation_name "
+                "FROM src_nation_r2"
+            ),
+            columns=("nation_id", "nation"),  # declared ≠ built
+        )
+    )
+    rows = []
+    for name in ("dim_nations", "renamed_nations"):
+        try:
+            reg.build_df(spark, name)
+            rows.append((name, "ok"))
+        except ContractViolation:
+            rows.append((name, "violated"))
+    return spark.createDataFrame(rows, "model string, contract string")
