@@ -405,6 +405,20 @@ _IVF_CENTROIDS = [
 ]
 
 
+def _ivf_probe_lists(n_probe: int = 3) -> list[int]:
+    """The n_probe centroids nearest the fixed query vector — computed
+    ONCE here so the Spark query and the SQL oracle can never diverge
+    on the probe set."""
+    q = _np.asarray(_ANN_QUERY)
+    dists = [
+        float(_np.linalg.norm(q - _np.asarray(c))) for c in _IVF_CENTROIDS
+    ]
+    return sorted(range(len(dists)), key=lambda i: dists[i])[:n_probe]
+
+
+_IVF_PROBE = _ivf_probe_lists(3)
+
+
 def _sql_vec(vec: list[float]) -> str:
     return "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
 
@@ -467,11 +481,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_oracle() -> str:
-    q = _np.asarray(_ANN_QUERY)
-    dists = [
-        float(_np.linalg.norm(q - _np.asarray(c))) for c in _IVF_CENTROIDS
-    ]
-    probe = sorted(range(len(dists)), key=lambda i: dists[i])[:3]
+    probe = _IVF_PROBE
     d_exprs = ", ".join(
         f"list_dot_product(v, v) - 2.0 * list_dot_product(v, "
         f"{_sql_vec(c)}) + {float(_np.dot(c, c))!r}"
@@ -507,13 +517,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe and rerank value-checked against the DuckDB oracle (rounding
     before the top-k ordering, matching the oracle's sort domain)."""
     emb = _t_cpu(spark, sf_dir, "embeddings")
-    q = _np.asarray(_ANN_QUERY)
-    dists = [
-        float(_np.linalg.norm(q - _np.asarray(c))) for c in _IVF_CENTROIDS
-    ]
-    probe = sorted(range(len(dists)), key=lambda i: dists[i])[:3]
     assigned = S.ivf_assign(emb, _IVF_CENTROIDS)
-    cands = assigned.filter(F.col("ivf_list").isin(probe))
+    cands = assigned.filter(F.col("ivf_list").isin(_IVF_PROBE))
     scored = S.cosine_to_query(cands, _ANN_QUERY).select(
         "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
     )
@@ -740,20 +745,32 @@ def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 __all__ = ["ORACLES"]
 
 
-def _ngram_jaccard_oracle_n(n: int, threshold: float) -> str:
+def _ngram_jaccard_oracle_n(
+    n: int, threshold: float, max_doc_freq: int | None = None
+) -> str:
     """Exact word-n-gram Jaccard pairs in DuckDB (n ≥ 2), mirroring
     ``ngram_jaccard_pairs``: same sliding-window shingling as
-    ``_minhash_oracle``, shared-shingle candidate join, exact ratio."""
+    ``_minhash_oracle``, shared-shingle candidate join, exact ratio;
+    optional document-frequency cap mirroring ``max_doc_freq``."""
+    if max_doc_freq is not None:
+        cap_cte = f""", dfreq AS (
+        SELECT shingle, COUNT(*) AS c FROM toks0 GROUP BY 1
+    ), toks AS (
+        SELECT doc_id, shingle FROM toks0 JOIN dfreq USING (shingle)
+        WHERE c <= {max_doc_freq}
+    )"""
+    else:
+        cap_cte = ", toks AS (SELECT doc_id, shingle FROM toks0)"
     return f"""
     WITH toklist AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
         FROM documents
-    ), toks AS (
+    ), toks0 AS (
         SELECT DISTINCT doc_id,
                array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
         FROM toklist,
              UNNEST(range(1, greatest(len(toks) - {n - 1}, 1) + 1)) AS t(i)
-    ), sizes AS (
+    ){cap_cte}, sizes AS (
         SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY 1
     ), common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
@@ -791,6 +808,108 @@ reach AS (
 SELECT CAST(node AS BIGINT) AS node, CAST(MIN(comp) AS BIGINT) AS comp
 FROM reach GROUP BY node
 """
+
+
+@query("dedup_jaccard_dfcap", _ngram_jaccard_oracle_n(2, 0.4, max_doc_freq=20))
+def q_dedup_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency-capped bigram Jaccard — the skew guard for
+    stopword shingles made real: shingles in more than 20 documents
+    (each worth O(df²) candidate pairs) are dropped from the sets
+    before sizing and joining, turning the candidate space from
+    Σ df² into Σ min(df, cap)². Exact Jaccard of the filtered sets,
+    value-checked against the identically-capped DuckDB oracle."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.4, max_doc_freq=20
+    )
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(toks) > 0
+            THEN len(list_distinct(toks)) / len(toks)
+            ELSE 0.0 END AS distinct_token_ratio,
+       CASE WHEN len(toks) > 0
+            THEN list_max(list_transform(list_distinct(toks),
+                     t2 -> len(list_filter(toks, x -> x = t2))))
+                 / len(toks)
+            ELSE 0.0 END AS top_token_fraction,
+       CASE WHEN len(toks) > 0
+            THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                 / len(toks)
+            ELSE 0.0 END AS symbol_token_ratio
+FROM t
+"""
+
+
+@query("text_repetition", _REPETITION_ORACLE)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (distinct-token ratio, top-token
+    fraction, symbol-to-token ratio) — pure array expressions, one
+    codegen scan, no shuffle."""
+    docs = X.with_repetition_stats(_t_cpu(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        "distinct_token_ratio",
+        "top_token_fraction",
+        "symbol_token_ratio",
+    )
+
+
+def _pii_oracle() -> str:
+    email_pat, email_repl = X.PII_PATTERNS[0]
+    phone_pat, phone_repl = X.PII_PATTERNS[1]
+    return f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com'
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN ' or call 555-123-4567.' ELSE '.' END
+                   AS text
+        FROM documents
+    ), scrubbed AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text, '{email_pat}', '{email_repl}', 'g'),
+                   '{phone_pat}', '{phone_repl}', 'g') AS text_scrubbed
+        FROM aug
+    )
+    SELECT doc_id, text_scrubbed,
+           CAST(len(string_split(text_scrubbed, '{email_repl}')) - 1
+                + len(string_split(text_scrubbed, '{phone_repl}')) - 1
+                AS BIGINT) AS n_redacted
+    FROM scrubbed
+    """
+
+
+@query("text_pii_scrub", _pii_oracle())
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus with deterministic synthetic PII
+    appended (every doc gets an email, even doc_ids also a phone) so
+    both regex families provably fire; the oracle hashes the full
+    scrubbed strings plus redaction counts."""
+    docs = _t_cpu(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(" or call 555-123-4567."),
+            ).otherwise(F.lit(".")),
+        ),
+    )
+    out = X.with_pii_scrubbed(docs)
+    return out.select("doc_id", "text_scrubbed", "n_redacted")
 
 
 @query("dedup_components", _COMPONENTS_ORACLE)

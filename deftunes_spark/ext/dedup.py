@@ -224,17 +224,32 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets.
 
     Candidates come from an equi-join on the shingle itself (only
     pairs sharing ≥1 shingle ever meet), then
-    ``|A∩B| / (|A| + |B| - |A∩B|)``. At 100 TB, ultra-frequent
-    shingles are the skew risk — apply ``df.filter`` on document
-    frequency upstream (stopword-shingle removal) when corpus size
-    warrants it.
+    ``|A∩B| / (|A| + |B| - |A∩B|)``.
+
+    ``max_doc_freq`` is the skew guard for 100 TB corpora: shingles
+    appearing in more than that many documents (stopword shingles —
+    each contributes O(df²) candidate pairs) are dropped from the
+    shingle SETS before sizing and joining, so the result is the exact
+    Jaccard of the FILTERED sets. Deterministic, order-independent,
+    and the candidate space becomes Σ min(df, cap)² instead of Σ df².
+    ``None`` keeps full exact semantics.
     """
     sh = shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        dfreq = sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        sh = (
+            sh.join(dfreq, "shingle")
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -40,7 +40,12 @@ def asof_join(
     smallest >=). Left rows without a match keep NULL right columns.
 
     ``left_ts``/``right_ts`` and payload column names must not collide
-    (alias before calling). Matches pandas ``merge_asof`` semantics.
+    (alias before calling). Matches pandas ``merge_asof`` semantics,
+    with one deliberate divergence on TIED boundary timestamps:
+    several right rows sharing the best ``right_ts`` resolve to the
+    max (backward) / min (forward) payload — a deterministic,
+    partition-order-independent pick — where pandas returns whichever
+    row came last in input order (an order Spark does not have).
 
     Plan shape (two shuffle rounds, down from three): one LEFT
     equi-join on the keys with the as-of condition in the ON clause

@@ -32,13 +32,36 @@ from pyspark.sql import functions as F
 DEFAULT_SALT = 8
 
 
+def _hashable(dt) -> bool:
+    """xxhash64 rejects MapType anywhere in a column's type tree."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
+
+
 def _content_salt(df: DataFrame, n_salt: int) -> Column:
-    """Deterministic salt in [0, n_salt): hash of the whole row's
-    content. Survives task re-execution bit-for-bit (pmod keeps the
-    negative half of xxhash64's range non-negative)."""
-    return F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt)
-    )
+    """Deterministic salt in [0, n_salt): hash of the row's content.
+    Survives task re-execution bit-for-bit (pmod keeps the negative
+    half of xxhash64's range non-negative).
+
+    Columns xxhash64 can't take (MapType anywhere in the type) are
+    hashed through their canonical JSON rendering instead, so any
+    schema works; the fast all-column path covers the common case."""
+    cols = [
+        F.col(f.name) for f in df.schema.fields if _hashable(f.dataType)
+    ]
+    unhashable = [
+        f.name for f in df.schema.fields if not _hashable(f.dataType)
+    ]
+    if unhashable:
+        cols.append(F.to_json(F.struct(*[F.col(c) for c in unhashable])))
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salt))
 
 
 def salted_sum(

@@ -215,3 +215,89 @@ def pack_sequences(
         )
         .select(id_col, "shard", "bin", "token_count")
     )
+
+
+def with_repetition_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    Language Models" §A1.1 repetition filters), as pure array
+    expressions over the token list — no explode, no shuffle:
+
+    - ``distinct_token_ratio``: |set(tokens)| / |tokens| (low =
+      repetitive boilerplate);
+    - ``top_token_fraction``: occurrences of the most frequent token /
+      |tokens| (Gopher caps this at 0.2 for unigrams);
+    - ``symbol_token_ratio``: non-alphanumeric non-space characters
+      per token (Gopher's symbol-to-word ratio, # and … proxies).
+
+    The per-row cost of ``top_token_fraction`` is O(|vocab_row| × n)
+    array scanning — bounded by row length, embarrassingly parallel,
+    and still one codegen stage; for adversarially long documents
+    switch to the explode+groupBy form.
+    """
+    toks = F.filter(F.split(F.trim(F.col(col)), "\\s+"), lambda t: t != "")
+    n = F.size(toks)
+    distinct_ratio = F.when(n > 0, F.size(F.array_distinct(toks)) / n)
+    top_frac = F.when(
+        n > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        )
+        / n,
+    )
+    symbols = F.length(
+        F.regexp_replace(F.col(col), "[A-Za-z0-9\\s]", "")
+    )
+    sym_ratio = F.when(n > 0, symbols / n)
+    return (
+        df.withColumn(
+            "distinct_token_ratio",
+            F.coalesce(distinct_ratio, F.lit(0.0)).cast("double"),
+        )
+        .withColumn(
+            "top_token_fraction",
+            F.coalesce(top_frac, F.lit(0.0)).cast("double"),
+        )
+        .withColumn(
+            "symbol_token_ratio",
+            F.coalesce(sym_ratio, F.lit(0.0)).cast("double"),
+        )
+    )
+
+
+# PII scrubbing patterns (the canonical public shapes; a production
+# pipeline composes more). Applied in order — emails first so their
+# digits can't be half-eaten by the phone pattern.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # No leading \b: '(' and '+' are non-word chars, so a boundary
+    # there never exists; no lookbehind either (DuckDB's RE2 lacks it).
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (
+        r"(?:\+?\d{1,2}[ -])?(?:\(\d{3}\)\s?|\d{3}[ -]?)\d{3}[ -]?\d{4}\b",
+        "<PHONE>",
+    ),
+)
+
+
+def with_pii_scrubbed(
+    df: DataFrame, col: str = "text", out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """Training-data PII redaction: email and phone patterns replaced
+    by typed placeholder tokens, plus a per-document redaction count.
+    Chained ``regexp_replace`` — single codegen stage, order fixed by
+    ``PII_PATTERNS``. Counting: redactions = placeholder occurrences
+    after the rewrite (placeholders are chosen to never occur in
+    input)."""
+    scrubbed = F.col(col)
+    for pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    out = df.withColumn(out_col, scrubbed)
+    n_redacted = sum(
+        F.size(F.split(F.col(out_col), repl.replace("<", "\\<"), -1)) - 1
+        for _, repl in PII_PATTERNS
+    )
+    return out.withColumn(
+        "n_redacted", n_redacted.cast("bigint")
+    )

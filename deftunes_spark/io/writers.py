@@ -127,8 +127,14 @@ def write_table_append_evolve(
             .saveAsTable(table)
         )
         return []
-    existing = {f.name for f in spark.table(table).schema.fields}
-    new_fields = [f for f in df.schema.fields if f.name not in existing]
+    # Name matching is case-INsensitive, like Spark's analyzer default
+    # (spark.sql.caseSensitive=false): a re-delivered column with
+    # drifted casing ('Score' after 'score') must map onto the existing
+    # column, not trip ALTER TABLE with a duplicate-column error.
+    existing = {f.name.lower() for f in spark.table(table).schema.fields}
+    new_fields = [
+        f for f in df.schema.fields if f.name.lower() not in existing
+    ]
     if new_fields:
         cols_sql = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in new_fields
@@ -136,9 +142,12 @@ def write_table_append_evolve(
         spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({cols_sql})")
         spark.catalog.refreshTable(table)
     target_cols = spark.table(table).columns
+    by_lower = {c.lower(): c for c in df.columns}
     aligned = df.select(
         *[
-            F.col(c) if c in df.columns else F.lit(None).alias(c)
+            F.col(by_lower[c.lower()]).alias(c)
+            if c.lower() in by_lower
+            else F.lit(None).alias(c)
             for c in target_cols
         ]
     )
@@ -192,6 +201,16 @@ def upsert_table(
     rewrites the table, so at 100 TB partition the table and scope the
     upsert to the touched partitions (same anti-join, partition-pruned
     on both sides)."""
+    staging, old = f"{table}__staging", f"{table}__old"
+    # Crash recovery: a previous run may have died between the two
+    # renames, leaving the base parked at ``{table}__old`` and no
+    # ``{table}``. Restore it BEFORE the existence check — otherwise
+    # this run would "create" the table from updates alone and a later
+    # cleanup would drop the orphaned original (silent full data loss).
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(
+        old
+    ):
+        spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
     if not spark.catalog.tableExists(table):
         updates.write.mode("overwrite").format("parquet").saveAsTable(table)
         return
@@ -200,9 +219,11 @@ def upsert_table(
         updates.select(*key_cols).distinct(), key_cols, "left_anti"
     )
     merged = kept.unionByName(updates)
-    staging, old = f"{table}__staging", f"{table}__old"
-    spark.sql(f"DROP TABLE IF EXISTS {staging}")
-    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    # Safe to clear residue now: ``table`` exists, so a surviving
+    # ``__old`` is a stale backup from a completed swap and a surviving
+    # ``__staging`` is an abandoned half-write.
+    for residue in (staging, old):
+        spark.sql(f"DROP TABLE IF EXISTS {residue}")
     merged.write.mode("overwrite").format("parquet").saveAsTable(staging)
     spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     try:

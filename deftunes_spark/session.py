@@ -36,12 +36,24 @@ _DEFAULT_CONF: dict[str, str] = {
     # Quieter, faster local runs; harmless on a cluster.
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
-    # local[32] runs every task inside the driver JVM — the 1g default
-    # heap starves 32 concurrent tasks into GC death. Applied only at
-    # JVM launch (ignored by getOrCreate on a live session); cluster
-    # deployments size executors via spark-submit as usual.
-    "spark.driver.memory": "48g",
 }
+
+
+def _local_driver_memory() -> str:
+    """local[N] runs every task inside the driver JVM — the 1g default
+    heap starves 32 concurrent tasks into GC death, while a hardcoded
+    large -Xmx on a small host would outrun physical memory and get
+    OOM-killed instead of spilling. Size to ~half of physical RAM,
+    clamped to [2g, 48g]; overridable via extra_conf. Applied only at
+    JVM launch (getOrCreate ignores it on a live session); cluster
+    deployments size executors via spark-submit as usual."""
+    try:
+        total_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) / (1024**3)
+    except (ValueError, OSError, AttributeError):
+        total_gb = 8.0
+    return f"{max(2, min(48, int(total_gb * 0.5)))}g"
 
 
 def get_spark(
@@ -62,6 +74,8 @@ def get_spark(
     if master:
         builder = builder.master(master)
     conf = dict(_DEFAULT_CONF)
+    if master and master.startswith("local"):
+        conf["spark.driver.memory"] = _local_driver_memory()
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -84,6 +84,7 @@ def test_asof_join_two_shuffle_rounds(spark):
 
     from deftunes_spark.ext.joins import asof_join
 
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         left = spark.range(100).select(
@@ -97,7 +98,7 @@ def test_asof_join_two_shuffle_rounds(spark):
         )
         plan = _plan(asof_join(left, right, ["k"], "lt", "rt"))
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert plan.count("Exchange") <= 3, plan
 
 

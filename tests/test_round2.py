@@ -298,3 +298,132 @@ def test_simhash_md5_variant_matches_python_reference(spark):
         if fp >= 1 << 63:
             fp -= 1 << 64
         assert got[did] == fp, did
+
+
+# ---------------------------------------------------------------------
+# Gopher repetition filters / PII scrub / df-capped jaccard
+# ---------------------------------------------------------------------
+
+
+def test_repetition_stats_values(spark):
+    from deftunes_spark.ext.text import with_repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a a a"),          # fully repetitive
+            Row(doc_id=2, text="w x y z"),          # fully distinct
+            Row(doc_id=3, text="a a b ##"),
+            Row(doc_id=4, text="   "),              # whitespace-only
+        ]
+    )
+    got = {
+        r.doc_id: r
+        for r in with_repetition_stats(docs).collect()
+    }
+    assert got[1].distinct_token_ratio == 0.25
+    assert got[1].top_token_fraction == 1.0
+    assert got[2].distinct_token_ratio == 1.0
+    assert got[2].top_token_fraction == 0.25
+    assert got[3].top_token_fraction == 0.5       # 'a' twice of 4
+    assert got[3].symbol_token_ratio == 0.5       # '##' / 4 tokens
+    assert got[4].distinct_token_ratio == 0.0     # guarded, not NaN
+
+
+def test_pii_scrub_patterns(spark):
+    from deftunes_spark.ext.text import with_pii_scrubbed
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail me at jo.doe+x@corp.example.org!"),
+            Row(doc_id=2, text="call (555) 123-4567 or +1 555-123-4567"),
+            Row(doc_id=3, text="nothing sensitive here"),
+        ]
+    )
+    got = {r.doc_id: r for r in with_pii_scrubbed(docs).collect()}
+    assert got[1].text_scrubbed == "mail me at <EMAIL>!"
+    assert got[1].n_redacted == 1
+    assert got[2].text_scrubbed == "call <PHONE> or <PHONE>"
+    assert got[2].n_redacted == 2
+    assert got[3].text_scrubbed == got[3].text and got[3].n_redacted == 0
+
+
+def test_jaccard_df_cap_drops_stopword_shingles(spark):
+    from deftunes_spark.ext.dedup import ngram_jaccard_pairs
+
+    # 'the' appears in every doc; caps below 4 remove it from the sets.
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the alpha beta"),
+            Row(doc_id=2, text="the alpha beta"),
+            Row(doc_id=3, text="the gamma delta"),
+            Row(doc_id=4, text="the epsilon zeta"),
+        ]
+    )
+    full = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.2)
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=1, threshold=0.2, max_doc_freq=3
+    )
+    # Uncapped: every pair shares 'the' (1/5 = 0.2) → 6 pairs.
+    assert full.count() == 6
+    # Capped: only the true duplicate pair survives, at full score.
+    rows = capped.collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+    assert rows[0].jaccard == 1.0
+
+
+# ---------------------------------------------------------------------
+# r2 code-review regressions
+# ---------------------------------------------------------------------
+
+
+def test_upsert_recovers_from_crashed_swap(spark):
+    """A run killed between the two swap renames leaves the base parked
+    at {table}__old and no {table}; the next upsert must restore it and
+    merge against the ORIGINAL rows, never rebuild from updates alone."""
+    t = "t_upsert_crash"
+    for residue in (t, f"{t}__old", f"{t}__staging"):
+        spark.sql(f"DROP TABLE IF EXISTS {residue}")
+    base = spark.createDataFrame(
+        [(1, "old"), (2, "keep")], "k int, v string"
+    )
+    upsert_table(spark, base, t, ["k"])
+    # Simulate the crash window: base renamed away, staging never landed.
+    spark.sql(f"ALTER TABLE {t} RENAME TO {t}__old")
+    upd = spark.createDataFrame([(1, "new")], "k int, v string")
+    upsert_table(spark, upd, t, ["k"])
+    got = {(r.k, r.v) for r in spark.table(t).collect()}
+    assert got == {(1, "new"), (2, "keep")}  # row 2 survived the crash
+    spark.sql(f"DROP TABLE {t}")
+
+
+def test_table_append_evolve_case_drift(spark):
+    """Upstream casing drift ('Score' after 'score') maps onto the
+    existing column instead of failing ALTER TABLE or dropping data."""
+    t = "t_evolve_case"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    v1 = spark.createDataFrame(
+        [(1, 0.5, "b1")], "id int, score double, batch string"
+    )
+    write_table_append_evolve(spark, v1, t, partition_col="batch")
+    v2 = spark.createDataFrame(
+        [(2, 0.7, "b2")], "id int, Score double, batch string"
+    )
+    assert write_table_append_evolve(spark, v2, t, partition_col="batch") == []
+    got = {r.id: r.score for r in spark.table(t).collect()}
+    assert got == {1: 0.5, 2: 0.7}
+    spark.sql(f"DROP TABLE {t}")
+
+
+def test_content_salt_handles_map_columns(spark):
+    df = spark.createDataFrame(
+        [(i % 3, float(i), {"k": str(i)}) for i in range(60)],
+        "k int, v double, attrs map<string,string>",
+    )
+    out = {
+        r.k: r.v_sum for r in salted_sum(df, ["k"], "v", n_salt=5).collect()
+    }
+    want = {
+        r.k: float(r.s)
+        for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    assert out == want
