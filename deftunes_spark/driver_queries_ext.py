@@ -706,6 +706,62 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_enriched_stream",
+    """
+    SELECT c_mktsegment AS segment, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events STREAM joins the
+    static customer dimension (the classic streaming-ETL enrich step —
+    Spark re-plans the static side per micro-batch, and a broadcast of
+    the dim means the stream never shuffles for the join), then a
+    per-(segment, event_type) aggregate, run to completion with
+    availableNow into a memory sink. Oracle: the equivalent batch
+    join+aggregate — identical results for a bounded source, so the
+    STREAMING operator itself is value-checked, not rows-only."""
+    import tempfile as _tf
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    src = _tf.mkdtemp(prefix="deftunes_enrich_src_")
+    ev.write.mode("overwrite").parquet(src)
+
+    def _enrich(stream):
+        return (
+            stream.join(
+                F.broadcast(dim),
+                stream["user_id"] == dim["c_custkey"],
+            )
+            .groupBy(
+                F.col("c_mktsegment").alias("segment"), F.col("event_type")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("value_sum"),
+            )
+        )
+
+    return run_stream_once(
+        spark,
+        src,
+        "user_id bigint, event_type string, value double",
+        _enrich,
+        query_name="deftunes_enriched_stream",
+    )
+
+
+@query(
     "events_stateful_sessions",
     ORACLES["events_sessionize"],
 )

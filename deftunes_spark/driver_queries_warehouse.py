@@ -146,3 +146,86 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(tbl).localCheckpoint()
     spark.sql(f"DROP TABLE {tbl}")
     return out
+
+
+# fraction=1.0 strata keep everything outright: format(16^6) is a
+# 7-hex-char literal, and comparing a 6-char md5 prefix against it
+# lexicographically would silently exclude hashes >= '1'.
+_STRATIFIED_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE (lang = 'en'
+       AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+           < '{_hex_threshold(0.1)}')
+   OR (lang = 'de'
+       AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+           < '{_hex_threshold(0.5)}')
+   OR lang NOT IN ('en', 'de')
+"""
+
+
+@query("stratified_sample_lang", _STRATIFIED_ORACLE)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling — the corpus-balancing
+    op of an LLM data pipeline (downsample the dominant language,
+    keep low-resource strata whole). Same md5-threshold family as
+    hash_sample, threshold looked up per stratum; membership is a
+    pure function of (doc_id, lang) — stable under re-runs, appends,
+    repartitioning, and replayable by the oracle verbatim."""
+    from deftunes_spark.ext.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    fractions = {
+        lang: 0.1 if lang == "en" else (0.5 if lang == "de" else 1.0)
+        for lang in langs
+    }
+    out = stratified_sample(docs, "lang", fractions, "doc_id")
+    return out.select("doc_id", "lang")
+
+
+# =====================================================================
+# Embedding aggregation: per-label centroids
+# =====================================================================
+
+_CENTROID_ORACLE = """
+WITH expanded AS (
+    SELECT label, CAST(p AS BIGINT) AS pos,
+           CAST(embedding[CAST(p AS INT) + 1] AS DOUBLE) AS val
+    FROM embeddings, UNNEST(range(len(embedding))) AS t(p)
+)
+SELECT label, pos,
+       CAST(SUM(CAST(round(val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           AS comp_sum,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM expanded GROUP BY 1, 2
+"""
+
+
+@query("embedding_centroids", _CENTROID_ORACLE)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulation (cluster means for corpus
+    curation / IVF retraining): posexplode the vectors and aggregate
+    per (label, position) — ONE shuffle keyed by (label, pos), partial
+    aggregation collapses map-side, no driver-side vector math.
+    Emits component SUMS + counts; components are rounded to 6
+    decimals (cross-engine-stable, the cosine-oracle precedent) and
+    summed as DECIMAL(18,6) — associative and exact, so the result is
+    independent of partition order (the repo's money-sum rule applied
+    to vector components). The mean is sum/n downstream."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+        .groupBy("label", F.col("pos").cast("bigint").alias("pos"))
+        .agg(
+            F.sum(F.round(F.col("val"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("comp_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
