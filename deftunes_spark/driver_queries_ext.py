@@ -159,6 +159,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.3,
         hash_fn="md5",
         hash_band_key=False,
+        dict_hashes=True,  # hash per distinct shingle, not per row
     )
 
 
@@ -230,7 +231,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk collisions, and Hamming distances are all value-checked
     against the DuckDB oracle; production default stays xxhash64."""
     docs = _t_cpu(spark, sf_dir, "documents")
-    sims = D.simhash64(docs, "doc_id", "text", hash_fn="md5")
+    sims = D.simhash64(
+        docs, "doc_id", "text", hash_fn="md5", dict_hashes=True
+    )
     pairs = D.simhash_near_pairs(sims, "doc_id", max_hamming=8)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")

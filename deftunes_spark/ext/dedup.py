@@ -85,10 +85,33 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 32,
     hash_fn: str = "xxhash64",
+    dict_hashes: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: one groupBy with ``num_hashes``
     min() aggregates over seeded shingle hashes — a single shuffle
-    keyed by document id regardless of k."""
+    keyed by document id regardless of k.
+
+    ``dict_hashes=True`` hashes each DISTINCT shingle once and
+    broadcast-joins the k-hash dictionary back onto the (doc, shingle)
+    rows — identical signatures, but the k × md5 work drops from
+    O(doc-shingle rows) to O(distinct shingles). The win scales with
+    shingle repetition (natural-language corpora repeat heavily); keep
+    it off when the distinct-shingle set outgrows broadcast range.
+    """
+    if dict_hashes:
+        hash_dict = shingle_df.select("shingle").distinct().select(
+            "shingle",
+            *[
+                _hash_col(F.col("shingle"), i, hash_fn).alias(f"h_{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        joined = shingle_df.join(F.broadcast(hash_dict), "shingle")
+        aggs = [
+            F.min(F.col(f"h_{i}")).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+        return joined.groupBy(id_col).agg(*aggs)
     aggs = [
         F.min(_hash_col(F.col("shingle"), i, hash_fn)).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -197,6 +220,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
     hash_band_key: bool = True,
+    dict_hashes: bool = False,
 ) -> DataFrame:
     """End-to-end near-duplicate pairs: shingle → MinHash → LSH bands →
     estimated-Jaccard filter. Returns (id_a, id_b, est_jaccard).
@@ -205,7 +229,7 @@ def minhash_dedup_pairs(
     expressible in ANSI SQL (the DuckDB oracle mirrors it exactly);
     the defaults are the faster fixed-width-key path."""
     sh = shingles(df, id_col, text_col, n)
-    sig = minhash_signatures(sh, id_col, num_hashes, hash_fn)
+    sig = minhash_signatures(sh, id_col, num_hashes, hash_fn, dict_hashes)
     pairs = lsh_candidate_pairs(
         sig, id_col, num_hashes, bands, hash_band_key
     )
@@ -294,7 +318,11 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(
-    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_fn: str = "xxhash64",
+    dict_hashes: bool = False,
 ) -> DataFrame:
     """64-bit SimHash per document.
 
@@ -321,15 +349,29 @@ def simhash64(
             F.shiftright("h", i).bitwiseAND(F.lit(1)) for i in range(64)
         ]
     elif hash_fn == "md5":
-        toks = toks.withColumn("_md5", F.md5("tok")).select(
-            "_id",
-            *[
-                F.conv(F.substring("_md5", j + 1, 1), 16, 10)
-                .cast("int")
-                .alias(f"d_{j}")
-                for j in range(16)
-            ],
-        )
+        digit_cols = [
+            F.conv(F.substring("_md5", j + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"d_{j}")
+            for j in range(16)
+        ]
+        if dict_hashes:
+            # Hash each DISTINCT token once, broadcast the digit
+            # dictionary back — same bits, md5+conv work drops from
+            # O(token occurrences) to O(vocabulary).
+            tok_dict = (
+                toks.select("tok")
+                .distinct()
+                .withColumn("_md5", F.md5("tok"))
+                .select("tok", *digit_cols)
+            )
+            toks = toks.join(F.broadcast(tok_dict), "tok").select(
+                "_id", *[f"d_{j}" for j in range(16)]
+            )
+        else:
+            toks = toks.withColumn("_md5", F.md5("tok")).select(
+                "_id", *digit_cols
+            )
         bit = [
             F.shiftright(F.col(f"d_{i // 4}"), i % 4).bitwiseAND(F.lit(1))
             for i in range(64)

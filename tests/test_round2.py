@@ -427,3 +427,44 @@ def test_content_salt_handles_map_columns(spark):
         for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
     }
     assert out == want
+
+
+def test_dict_hashes_identical_signatures(spark):
+    """The distinct-value hash dictionary (broadcast-joined back) must
+    produce bit-identical minhash signatures and simhash fingerprints
+    to the per-row hashing path."""
+    from deftunes_spark.ext.dedup import minhash_signatures, shingles
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="red green blue red green"),
+            Row(doc_id=2, text="red green blue yellow"),
+            Row(doc_id=3, text="one two three four five six"),
+        ]
+    )
+    sh = shingles(docs, "doc_id", "text", n=2)
+    for fn in ("md5", "xxhash64"):
+        a = sorted(
+            map(tuple, minhash_signatures(sh, "doc_id", 8, fn).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                minhash_signatures(
+                    sh, "doc_id", 8, fn, dict_hashes=True
+                ).collect(),
+            )
+        )
+        assert a == b, fn
+    a = sorted(
+        map(tuple, simhash64(docs, "doc_id", "text", "md5").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            simhash64(
+                docs, "doc_id", "text", "md5", dict_hashes=True
+            ).collect(),
+        )
+    )
+    assert a == b
