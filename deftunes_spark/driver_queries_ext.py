@@ -617,6 +617,26 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_resize",
+    """
+    SELECT doc_id, 8 AS out_width, 4 AS out_height,
+           CAST(32 AS BIGINT) AS out_byte_size
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched image resize plumbing over binary payloads
+    (codec stubbed by a deterministic fake — the oracle checks the
+    pipeline contract: every doc id, output dims, target-sized
+    payloads; payload determinism asserted in test_multimodal)."""
+    docs = M.text_as_fake_payload(_t_cpu(spark, sf_dir, "documents"))
+    out = M.resize_images(docs, width=8, height=4)
+    return out.select(
+        "doc_id", "out_width", "out_height", "out_byte_size"
+    )
+
+
 # =====================================================================
 # Streaming-windowed events (batch face; streaming equivalence in tests)
 # =====================================================================

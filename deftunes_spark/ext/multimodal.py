@@ -159,3 +159,64 @@ def frame_sample_plan(
         ),
     )
     return df.select(F.col(id_col), F.explode(seq).alias("frame_ts_ms"))
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload_resized", T.BinaryType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("out_byte_size", T.LongType(), False),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for the codec resize: iterated sha256 of
+    (payload, dims) streamed to width×height bytes — stable across
+    runs/partitions so the pipeline shape is testable end-to-end."""
+    need = width * height
+    out = bytearray()
+    h = hashlib.sha256(payload + f"|{width}x{height}".encode()).digest()
+    while len(out) < need:
+        out.extend(h)
+        h = hashlib.sha256(h).digest()
+    return bytes(out[:need])
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake_resize: bool = True,
+) -> DataFrame:
+    """Image resize as ``mapInPandas``: Arrow-batched binary in, binary
+    out — partition-parallel, zero shuffle, output sized by the TARGET
+    dims (the 100 TB note: resized outputs are usually much smaller
+    than inputs, so repartition-by-bytes AFTER this stage, not before).
+    The codec call is the one marked function (``fake_resize=False``
+    raises via ``_decode_image`` until PIL/ffmpeg is swapped in)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = []
+            for payload in pdf[payload_col]:
+                data = bytes(payload)
+                if fake_resize:
+                    resized.append(_fake_resize(data, width, height))
+                else:
+                    _decode_image(data)  # pragma: no cover
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload_resized": resized,
+                    "out_width": width,
+                    "out_height": height,
+                    "out_byte_size": [len(b) for b in resized],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)

@@ -56,3 +56,27 @@ def test_frame_sample_plan(spark):
         (r.doc_id, r.frame_ts_ms) for r in plan
     )
     assert frames == [(1, 0), (1, 1000), (1, 2000), (1, 3000)]
+
+
+def test_resize_images_plumbing(spark):
+    """Arrow-batched resize: output payloads exactly target-sized,
+    deterministic across re-runs, ids preserved."""
+    from deftunes_spark.ext.multimodal import (
+        resize_images,
+        text_as_fake_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    media = text_as_fake_payload(docs)
+    out = resize_images(media, width=8, height=4)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert all(len(r.payload_resized) == 32 for r in rows.values())
+    assert all(
+        (r.out_width, r.out_height, r.out_byte_size) == (8, 4, 32)
+        for r in rows.values()
+    )
+    again = {r.doc_id: bytes(r.payload_resized) for r in out.collect()}
+    assert again == {k: bytes(v.payload_resized) for k, v in rows.items()}
