@@ -297,3 +297,129 @@ def q_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = with_subword_count(_t_cpu(spark, sf_dir, "documents"))
     return docs.select("doc_id", "subword_count")
+
+
+# =====================================================================
+# Cohort retention
+# =====================================================================
+
+_RETENTION_ORACLE = """
+WITH act AS (
+    SELECT DISTINCT user_id,
+           date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+    FROM events
+), cohort AS (
+    SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY 1
+)
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT)
+           AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query("user_retention_cohort", _RETENTION_ORACLE)
+def q_user_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: users bucketed by first-active
+    week, counted in each later week they return.
+
+    The oracle derives cohorts with a self-join; the Spark plan skips
+    it — ONE groupBy(user_id) emits (min week, distinct-week set) per
+    user (collect_set dedupes in the aggregate, so no separate
+    DISTINCT shuffle), explode, then the final (cohort, offset) count.
+    Two shuffles total, both keyed; the per-user week set is bounded
+    by the calendar, so collect_set state stays small at any scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week"),
+        F.collect_set("week").alias("weeks"),
+    )
+    act = per_user.select(
+        "cohort_week", F.explode("weeks").alias("week")
+    )
+    return act.groupBy(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+# =====================================================================
+# Length histogram (binning + cumulative distribution)
+# =====================================================================
+
+_HIST_ORACLE = """
+WITH b AS (
+    SELECT CAST((n_chars // 50) * 50 AS BIGINT) AS bucket_lo
+    FROM documents
+)
+SELECT bucket_lo, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COUNT(*)) OVER (ORDER BY bucket_lo
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs
+FROM b GROUP BY 1
+"""
+
+
+@query("doc_length_histogram", _HIST_ORACLE)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (fixed 50-char bins) with a running
+    cumulative count — the length-distribution snapshot a curation
+    pipeline uses to pick truncation budgets. The heavy pass is the
+    map-side-combined bin count; the unpartitioned cumulative window
+    runs over the bin table only (hundreds of rows at any corpus
+    scale), so the single-partition window is safe by construction."""
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.groupBy(
+        (F.floor(F.col("n_chars") / 50) * 50)
+        .cast("bigint")
+        .alias("bucket_lo")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    cum = W.orderBy("bucket_lo").rowsBetween(W.unboundedPreceding, 0)
+    return hist.withColumn(
+        "cum_docs", F.sum("n_docs").over(cum).cast("bigint")
+    )
+
+
+# =====================================================================
+# Corpus boilerplate: hot n-grams by document frequency
+# =====================================================================
+
+_HOT_NGRAMS_ORACLE = """
+WITH toklist AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i:i+2], ' ') AS shingle
+    FROM toklist,
+         UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS t(i)
+)
+SELECT shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq
+FROM sh GROUP BY 1
+ORDER BY doc_freq DESC, shingle LIMIT 20
+"""
+
+
+@query("hot_ngrams", _HOT_NGRAMS_ORACLE)
+def q_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-boilerplate detector: top-20 word trigrams by document
+    frequency — the phrases worth stripping (or df-capping, see
+    dedup_jaccard_dfcap) before near-dup mining. Reuses the dedup
+    module's codegen shingler; power-law head terms collapse map-side
+    before the single shingle-keyed shuffle, and the top-k is a
+    TakeOrderedAndProject (no global sort)."""
+    from deftunes_spark.ext.dedup import shingles
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", n=3)
+    freq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_freq")
+    )
+    return freq.orderBy(F.col("doc_freq").desc(), "shingle").limit(20)

@@ -102,3 +102,40 @@ def q_approx_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_uniqueness(orders, "o_custkey", rsd=0.05).select(
         "n_rows", "n_distinct_exact", "approx_ok"
     )
+
+
+# =====================================================================
+# Z-order (Morton) clustering — multi-dimensional data skipping
+# =====================================================================
+
+
+def _zorder_oracle() -> str:
+    from deftunes_spark.ext.layout import zvalue_sql
+
+    z = zvalue_sql(["l_partkey", "l_suppkey"], bits=12)
+    return f"""
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST({z} AS BIGINT) AS zval
+    FROM lineitem
+    """
+
+
+@query("zorder_cluster", _zorder_oracle())
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key over (l_partkey, l_suppkey): the
+    bit-interleave expression (ext/layout.py, single source of truth
+    for Spark AND the oracle) that ``zorder_write`` range-partitions
+    and sorts by, so per-file min-max stats prune scans on EITHER key.
+    The layout effect itself (per-file key spans shrinking vs a
+    single-key sort) is asserted in tests/test_layout.py; this query
+    value-checks the curve arithmetic per row."""
+    from deftunes_spark.ext.layout import zvalue_col
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        zvalue_col(["l_partkey", "l_suppkey"], bits=12)
+        .cast("bigint")
+        .alias("zval"),
+    )

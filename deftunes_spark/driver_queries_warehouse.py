@@ -229,3 +229,120 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
     )
+
+
+# =====================================================================
+# Incremental aggregate maintenance
+# =====================================================================
+
+_INCR_ORACLE = """
+SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+            AS TIMESTAMP) AS month,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS o_totalprice_total
+FROM orders GROUP BY 1, 2
+"""
+
+
+@query("incremental_monthly_agg", _INCR_ORACLE)
+def q_incremental_monthly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the serving
+    aggregate is kept as mergeable partials; the latest month is
+    aggregated ALONE (the only data an incremental run touches) and
+    folded into the history partials by re-aggregation — counts add,
+    decimal sums add. The oracle is a full recompute over all orders:
+    algebraic equivalence is the property under test.
+
+    At 100 TB the increment pass shuffles one month, not history, and
+    the merge shuffle carries only aggregate rows. This is the
+    incremental upgrade of the reference's rebuild-the-world dbt
+    serving models (dbt_modeling/models/serving_layer/*.sql)."""
+    from deftunes_spark.ext.incremental import merge_partials, partial_agg
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "month", F.date_trunc("month", F.col("o_orderdate"))
+    )
+    # Single-row scalar collect: the "current run's window" an
+    # orchestrator would pass in as a parameter (O3 context contract).
+    cutoff = o.agg(F.max("month")).collect()[0][0]
+    history = o.filter(F.col("month") < F.lit(cutoff))
+    increment = o.filter(F.col("month") == F.lit(cutoff))
+    keys = ["month", "o_orderstatus"]
+    parts = [
+        partial_agg(history, keys, ["o_totalprice"]),
+        partial_agg(increment, keys, ["o_totalprice"]),
+    ]
+    merged = merge_partials(parts, keys, ["o_totalprice"])
+    return merged.select(
+        "month",
+        "o_orderstatus",
+        "n",
+        F.col("o_totalprice_sum").cast("double").alias(
+            "o_totalprice_total"
+        ),
+    )
+
+
+# =====================================================================
+# Snapshot-diff CDC
+# =====================================================================
+
+_CDC_ORACLE = """
+WITH old AS (
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    WHERE o_orderkey % 7 <> 0
+), new AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 42.5
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM orders
+    WHERE o_orderkey % 11 <> 0
+)
+SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            WHEN o.o_totalprice = n.o_totalprice
+                 AND o.o_orderstatus = n.o_orderstatus THEN 'unchanged'
+            ELSE 'update' END AS change_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+GROUP BY 1
+"""
+
+
+@query("snapshot_diff_cdc", _CDC_ORACLE)
+def q_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff change-data-capture: two deterministic snapshots
+    of orders (key-hash carve-outs simulate rows deleted, inserted,
+    and price-updated between loads) classified insert/update/delete/
+    unchanged by one null-safe full-outer join on the business key —
+    the change feed an incremental consumer reads. Counted per class
+    for a compact checked result; row-level output is the operator's
+    real product (tested in tests/)."""
+    from deftunes_spark.ext.incremental import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 11 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 5 == 0,
+                F.col("o_totalprice") + 42.5,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    diff = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )

@@ -1,0 +1,114 @@
+"""Incremental aggregate maintenance and snapshot-diff CDC.
+
+The reference's pipeline is batch-incremental: each Airflow run lands
+one month of data and the serving models are rebuilt from scratch
+(``dbt_modeling/models/serving_layer/*.sql`` re-aggregate the full
+star — fine at course scale, wrong at 100 TB). These helpers give the
+two primitives that make the serving layer incremental:
+
+- **Partial-aggregate maintenance**: keep the serving aggregate as
+  mergeable partials (count / decimal-sum are associative and
+  commutative); a new increment is aggregated alone — touching ONLY
+  the arriving data — and folded in with a re-aggregation over
+  (existing partials ∪ increment partials). Equivalent to a full
+  recompute by algebra, verified by the driver oracle. At 100 TB the
+  increment shuffle is proportional to the new month, not history.
+- **Snapshot-diff CDC**: classify rows between two table snapshots as
+  insert / update / delete via a single full-outer join on the
+  business key — the change feed a downstream incremental consumer
+  reads. One co-partitioned shuffle of each side, no window.
+
+Both are pure DataFrame compositions (no UDFs, codegen end-to-end).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def partial_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Aggregate ``df`` to mergeable partials per ``keys``: a row count
+    and one DECIMAL(18,4)-exact sum per measure (decimal addition is
+    associative, so partials merge without partition-order effects)."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias(count_col)] + [
+        F.sum(F.col(c).cast("decimal(18,4)")).alias(f"{c}_sum")
+        for c in sum_cols
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_partials(
+    parts: Sequence[DataFrame],
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Fold partial-aggregate frames (same schema as ``partial_agg``
+    output) into one: union, then re-aggregate — counts add, decimal
+    sums add. The union is shuffle-free; the merge shuffle carries
+    only aggregate rows (|distinct keys|, not |input rows|)."""
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    aggs = [F.sum(count_col).cast("bigint").alias(count_col)] + [
+        F.sum(f"{c}_sum").alias(f"{c}_sum") for c in sum_cols
+    ]
+    return merged.groupBy(*keys).agg(*aggs)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots keyed by ``keys``.
+
+    Emits one row per key present in either side with ``change_type``
+    in {'insert', 'delete', 'update', 'unchanged'} plus the new-side
+    values (old-side values for deletes). Null-safe comparison (``<=>``)
+    so NULL→value and value→NULL edits read as updates.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_o_{k}") for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_n_{k}") for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    cond = [
+        o[f"_o_{k}"].eqNullSafe(n[f"_n_{k}"]) for k in keys
+    ]
+    joined = o.join(n, cond, "full_outer")
+    # Business keys are non-null by contract; side-presence is the
+    # first key column surviving the outer join.
+    in_old = joined[f"_o_{keys[0]}"].isNotNull()
+    in_new = joined[f"_n_{keys[0]}"].isNotNull()
+    same = None
+    for c in compare_cols:
+        eq = joined[f"_o_{c}"].eqNullSafe(joined[f"_n_{c}"])
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(joined[f"_n_{k}"], joined[f"_o_{k}"]).alias(k)
+        for k in keys
+    ]
+    out_vals = [
+        F.coalesce(joined[f"_n_{c}"], joined[f"_o_{c}"]).alias(c)
+        for c in compare_cols
+    ]
+    return joined.select(*out_keys, *out_vals, change.alias("change_type"))

@@ -1,0 +1,77 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+Parquet scans prune on per-file/row-group min-max statistics; a table
+range-sorted on ONE key gives tight stats for that key only — a
+predicate on a second key still reads every file. Interleaving the
+key bits (Morton / Z-order curve) localizes ALL participating keys at
+once: each output file covers a small hyper-rectangle, so min-max
+stats stay tight on every z-ordered column and predicates on any of
+them skip most files. This is the layout trick Delta/Iceberg expose
+as ``OPTIMIZE ZORDER BY``, built here from first principles as a sort
+key — no table format required.
+
+The z-value is emitted as a SQL expression string (``zvalue_sql``) so
+the exact same arithmetic runs in Spark (via ``F.expr``) and in any
+ANSI engine (the driver's DuckDB oracle) — bit-identical, fully
+inside whole-stage codegen, no UDF.
+
+Scale shape: ``zorder_write`` is repartitionByRange + in-partition
+sort on the z-value — the same two-exchange layout job as a plain
+range-sorted write; the curve only changes the sort key. AQE sizes
+the range partitions; the sort is spillable. At 100 TB this is the
+standard nightly compaction pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zvalue_sql(cols: Sequence[str], bits: int = 12) -> str:
+    """SQL expression interleaving the low ``bits`` bits of each
+    (non-negative integer) column into a Morton code.
+
+    Bit ``j`` of column ``c`` (index ``i`` in ``cols``) lands at
+    position ``j * len(cols) + i`` — disjoint positions, so the terms
+    combine with ``+`` (engine-neutral; ``|`` precedence differs
+    across dialects). 2 cols × 12 bits = 24 terms: trivial for
+    codegen, and identical text runs on Spark SQL and DuckDB.
+    """
+    n = len(cols)
+    terms = []
+    for i, c in enumerate(cols):
+        masked = f"(CAST({c} AS BIGINT) & {(1 << bits) - 1})"
+        for j in range(bits):
+            pos = j * n + i
+            terms.append(f"((({masked} >> {j}) & 1) << {pos})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zvalue_col(cols: Sequence[str], bits: int = 12) -> Column:
+    """The Morton code as a Spark Column (codegen, no UDF)."""
+    return F.expr(zvalue_sql(cols, bits))
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: Sequence[str],
+    path: str,
+    n_files: int = 16,
+    bits: int = 12,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order curve over
+    ``cols``: range-partition by z-value (contiguous curve segments
+    per file), sort within partitions, drop the helper column. Each
+    file then covers a compact hyper-rectangle in ``cols`` space —
+    min-max stats prune on every clustered column."""
+    z = df.withColumn("_zval", zvalue_col(cols, bits))
+    (
+        z.repartitionByRange(n_files, "_zval")
+        .sortWithinPartitions("_zval")
+        .drop("_zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
