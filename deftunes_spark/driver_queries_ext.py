@@ -784,6 +784,125 @@ def q_events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_JOIN_ORACLE = """
+SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+ AND CAST(c.ts AS TIMESTAMP)
+     <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+GROUP BY 1
+"""
+
+
+@query("events_stream_stream_join", _STREAM_JOIN_ORACLE)
+def q_events_stream_stream_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream interval self-join: views joined to clicks by the
+    same user within the following 30 minutes — both sides STREAMS
+    (attribution joins, the canonical stream-stream shape). Watermarks
+    on both event-time columns plus the time-range join condition are
+    what let Spark evict join state: a view older than the click-side
+    watermark minus 30 min can never match again. Run to completion
+    with availableNow; the emitted pairs are then batch-counted per
+    user for a compact checked result. Oracle: the equivalent batch
+    range self-join — identical pairs for a bounded on-time source."""
+    import tempfile as _tf
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    src = _tf.mkdtemp(prefix="deftunes_ssj_src_")
+    ev.write.mode("overwrite").parquet(src)
+
+    def _join(stream):
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        return views.join(
+            clicks,
+            F.expr(
+                "v_user = c_user AND c_ts >= v_ts "
+                "AND c_ts <= v_ts + interval 30 minutes"
+            ),
+        )
+
+    pairs = run_stream_once(
+        spark,
+        src,
+        "user_id bigint, event_type string, ts timestamp",
+        _join,
+        output_mode="append",
+        query_name="deftunes_stream_stream_join",
+    )
+    return pairs.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1
+"""
+
+
+@query("events_dedup_stream", _STREAM_DEDUP_ORACLE)
+def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with BOUNDED state: the source is the
+    events table with every 10th event duplicated (at-least-once
+    delivery simulated); ``dropDuplicatesWithinWatermark`` on event_id
+    keeps one copy while evicting dedup state older than the watermark
+    — the always-on form of exact dedup (state ∝ watermark window, not
+    stream history; plain streaming dropDuplicates would grow state
+    forever). Emitted rows are batch-counted per event_type; the
+    oracle is the original un-duplicated table aggregated the same
+    way — dedup must collapse the injected copies exactly."""
+    import tempfile as _tf
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    dup = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
+    src = _tf.mkdtemp(prefix="deftunes_sdedup_src_")
+    dup.write.mode("overwrite").parquet(src)
+
+    def _dedup(stream):
+        return stream.withWatermark(
+            "ts", "1 hour"
+        ).dropDuplicatesWithinWatermark(["event_id"])
+
+    deduped = run_stream_once(
+        spark,
+        src,
+        "event_id bigint, event_type string, ts timestamp, value double",
+        _dedup,
+        output_mode="append",
+        query_name="deftunes_stream_dedup",
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
+
+
 @query(
     "events_stateful_sessions",
     ORACLES["events_sessionize"],
