@@ -423,3 +423,80 @@ def q_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("doc_freq")
     )
     return freq.orderBy(F.col("doc_freq").desc(), "shingle").limit(20)
+
+
+# =====================================================================
+# GROUPING SETS / NTILE analytics
+# =====================================================================
+
+_GSETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), ())
+"""
+
+
+@query("grouping_sets_agg", _GSETS_ORACLE)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form under rollup/cube):
+    (flag, status), (flag), and grand total in ONE pass — Spark
+    expands the sets map-side (Expand operator) so the scan count
+    stays 1 regardless of how many sets are requested."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                   AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    AS DOUBLE) AS revenue
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+_NTILE_ORACLE = """
+WITH q AS (
+    SELECT c_nationkey,
+           NTILE(4) OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal, c_custkey) AS quartile,
+           c_acctbal
+    FROM customer
+)
+SELECT c_nationkey, CAST(quartile AS BIGINT) AS quartile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS lo,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS hi
+FROM q GROUP BY 1, 2
+"""
+
+
+@query("ntile_quartiles", _NTILE_ORACLE)
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation account-balance quartiles via NTILE(4). The window
+    partitions by nation — never a global single-partition window (the
+    scale killer WindowExec warns about); ties broken by custkey so
+    the tile assignment is deterministic in both engines."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        "c_acctbal", "c_custkey"
+    )
+    tiled = c.select(
+        "c_nationkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        "c_acctbal",
+    )
+    return tiled.groupBy("c_nationkey", "quartile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("c_acctbal").cast("double").alias("lo"),
+        F.max("c_acctbal").cast("double").alias("hi"),
+    )

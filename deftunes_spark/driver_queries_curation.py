@@ -1,0 +1,241 @@
+"""Driver queries for the corpus-curation extension operators
+(``ext.curation``): benchmark decontamination, CCNet-style segment
+dedup, SemDeDup semantic dedup, and target-mixture reweighting.
+
+Every query has a full DuckDB value-hash oracle: the hash functions
+are md5 (engine-portable), the centroids/thresholds are fixed literals
+shared between both sides, and the float arithmetic (dot products,
+rate computation) is expressed with identical operation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deftunes_spark.driver_queries import _t, _t_cpu, query
+from deftunes_spark.driver_queries_ext import (
+    _IVF_CENTROIDS,
+    _sql_vec,
+)
+from deftunes_spark.ext import curation as C
+from deftunes_spark.ext.sampling import _BUCKETS
+
+# =====================================================================
+# Benchmark decontamination
+# =====================================================================
+
+_DECON_N = 3  # production uses ~13; fixture docs are ~60 tokens
+_DECON_MIN = 2
+
+
+_DECON_ORACLE = f"""
+WITH toklist AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i:i+{_DECON_N - 1}], ' ') AS shingle
+    FROM toklist,
+         UNNEST(range(1, greatest(len(toks) - {_DECON_N - 1}, 1) + 1))
+             AS t(i)
+), ev AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0
+), m AS (
+    SELECT s.doc_id, COUNT(*) AS matched
+    FROM sh s JOIN ev USING (shingle)
+    WHERE s.doc_id % 10 <> 0
+    GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(COALESCE(m.matched, 0) AS BIGINT) AS matched_ngrams,
+       COALESCE(m.matched, 0) >= {_DECON_MIN} AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) t
+LEFT JOIN m USING (doc_id)
+"""
+
+
+@query("decontamination", _DECON_ORACLE)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (doc_id % 10 != 0)
+    sharing ≥2 distinct word 3-grams with the held-out eval split
+    (doc_id % 10 == 0) are flagged. Eval shingles broadcast; the train
+    text payload never shuffles (SCALE.md: eval corpora are small by
+    construction)."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    return C.decontaminate(
+        train, eval_df, "doc_id", "text", n=_DECON_N,
+        min_matches=_DECON_MIN,
+    )
+
+
+# =====================================================================
+# Segment-level (CCNet line) dedup
+# =====================================================================
+
+_SEG_TOKENS = 3
+_SEG_MAXDF = 2
+
+
+_SEGDEDUP_ORACLE = f"""
+WITH toklist AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       t -> t <> '') AS toks
+    FROM documents
+), segs AS (
+    SELECT doc_id,
+           greatest(CAST(ceil(len(toks) / {_SEG_TOKENS}.0) AS INT), 1)
+               AS n_segs,
+           toks
+    FROM toklist
+), seglist AS (
+    SELECT doc_id, n_segs, j,
+           array_to_string(
+               toks[j*{_SEG_TOKENS}+1 : j*{_SEG_TOKENS}+{_SEG_TOKENS}],
+               ' ') AS seg
+    FROM segs, UNNEST(range(0, n_segs)) AS t(j)
+), freq AS (
+    SELECT md5(lower(trim(seg))) AS h, COUNT(DISTINCT doc_id) AS df
+    FROM seglist GROUP BY 1
+), keep AS (
+    SELECT s.doc_id, s.j, s.seg
+    FROM seglist s JOIN freq f ON md5(lower(trim(s.seg))) = f.h
+    WHERE f.df <= {_SEG_MAXDF}
+), agg AS (
+    SELECT doc_id, string_agg(seg, ' ' ORDER BY j) AS cleaned_text,
+           COUNT(*) AS n_kept
+    FROM keep GROUP BY 1
+)
+SELECT s.doc_id,
+       COALESCE(agg.cleaned_text, '') AS cleaned_text,
+       CAST(s.n_segs AS BIGINT) AS n_segments,
+       CAST(s.n_segs - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
+FROM (SELECT doc_id, n_segs FROM segs) s
+LEFT JOIN agg USING (doc_id)
+"""
+
+
+@query("segment_dedup", _SEGDEDUP_ORACLE)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style segment dedup: 3-token windows whose normalized
+    hash appears in >2 distinct documents are boilerplate — dropped
+    from every document, survivors re-joined in order. Hot set
+    broadcast as a literal array filter; document payload never
+    shuffles."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return C.segment_dedup(
+        docs, "doc_id", "text",
+        seg_tokens=_SEG_TOKENS, max_doc_freq=_SEG_MAXDF,
+    )
+
+
+# =====================================================================
+# Semantic dedup (SemDeDup)
+# =====================================================================
+
+_SEM_THRESHOLD = 0.35
+
+
+def _semantic_oracle() -> str:
+    import numpy as np
+
+    # ‖c‖² via np.dot — the SAME reduction ivf_assign folds into its
+    # literal, so the two engines compare bit-identical distances.
+    d_exprs = ", ".join(
+        f"list_dot_product(v, v) - 2.0 * list_dot_product(v, "
+        f"{_sql_vec(c)}) + {float(np.dot(c, c))!r}"
+        for c in _IVF_CENTROIDS
+    )
+    pair_cos = (
+        "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v))"
+        " * sqrt(list_dot_product(y.v, y.v)))"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), d AS (
+        SELECT vec_id, v, [{d_exprs}] AS dl FROM e
+    ), a AS (
+        SELECT vec_id, v,
+               CAST(list_position(dl, list_min(dl)) - 1 AS INT)
+                   AS cluster
+        FROM d
+    ), dup AS (
+        SELECT DISTINCT y.vec_id
+        FROM a x JOIN a y
+          ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        WHERE {pair_cos} >= {_SEM_THRESHOLD}
+    )
+    SELECT a.vec_id, a.cluster,
+           (dup.vec_id IS NULL) AS kept
+    FROM a LEFT JOIN dup USING (vec_id)
+    """
+
+
+@query("semantic_dedup", _semantic_oracle())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: fixed-centroid coarse clusters (same literal
+    quantizer as ann_ivf_topk), then inside each cluster drop vectors
+    with a lower-id cosine-neighbor ≥ threshold. Pairs come from the
+    cluster equi-join — never a cross join."""
+    emb = _t_cpu(spark, sf_dir, "embeddings")
+    return C.semantic_dedup(
+        emb, _IVF_CENTROIDS, threshold=_SEM_THRESHOLD
+    )
+
+
+# =====================================================================
+# Target-mixture reweighting
+# =====================================================================
+
+# Deliberately non-uniform: src0/src1 are "high-value" domains the mix
+# over-weights, the rest share the remainder. The bottleneck domain
+# keeps 100% and everything else downsamples deterministically.
+_MIX_WEIGHTS: dict[str, float] = {
+    "src0": 0.2,
+    "src1": 0.2,
+    **{f"src{i}": 0.075 for i in range(2, 10)},
+}
+
+
+def _mixture_oracle() -> str:
+    values = ", ".join(
+        f"('{d}', {w!r}::DOUBLE)" for d, w in _MIX_WEIGHTS.items()
+    )
+    return f"""
+    WITH w(source, wt) AS (VALUES {values}),
+    counts AS (
+        SELECT source, COUNT(*)::DOUBLE AS n
+        FROM documents GROUP BY 1
+    ), s AS (
+        SELECT MIN(n / wt) AS scale
+        FROM counts JOIN w USING (source) WHERE wt > 0
+    ), r AS (
+        SELECT w.source,
+               least(1.0, wt * scale / n) AS rate
+        FROM w JOIN counts USING (source) CROSS JOIN s
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE rate >= 1.0  -- bottleneck domain keeps all (hex lpad would
+                       -- truncate the 7-digit threshold 0x1000000)
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+          < lpad(to_hex(CAST(floor(rate * {_BUCKETS}.0) AS BIGINT)),
+                 6, '0')
+    """
+
+
+@query("mixture_sample_sources", _mixture_oracle())
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting: downsample each source so the output
+    matches the target domain weights (bottleneck domain keeps 100%).
+    Selection is the deterministic md5-bucket predicate — the oracle
+    recomputes the same rates from the same counts and replays the
+    same predicate, so the row sets match exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return C.mixture_sample(
+        docs, "source", _MIX_WEIGHTS, "doc_id"
+    ).select("doc_id", "source")

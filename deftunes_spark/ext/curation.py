@@ -1,0 +1,337 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+benchmark decontamination, segment-level (CCNet-style line) dedup,
+embedding semantic dedup (SemDeDup-shaped), and target-mixture
+reweighting.
+
+These extend the reference's curation surface (the reference's own
+scope is the DeFtunes ETL — SURVEY §2; this module is north-star
+extension work per BASELINE "north_star").
+
+Scale design per operator:
+
+- **decontaminate**: the eval/benchmark side is small by construction
+  (benchmarks are thousands of documents, not billions), so its
+  distinct shingle set broadcasts; the train side streams through one
+  explode → broadcast-semi-join → groupBy(doc). No shuffle of text
+  payloads, one shuffle of (doc_id, matches).
+- **segment_dedup**: the segment-frequency table groups by segment
+  HASH (map-side combine), and only the *hot* segments (doc_freq >
+  threshold — a tiny, boilerplate-shaped set by Zipf) are broadcast
+  back for the anti-filter. The document payload is never shuffled:
+  segments are re-assembled per-row from the filtered array, not via
+  a groupBy reassembly.
+- **semantic_dedup**: candidate pairs come from an equi-join on the
+  coarse cluster id (IVF assignment), never a cross join; within a
+  cluster the pair count is bounded by cluster size, which the
+  quantizer's k controls at scale.
+- **mixture_sample**: per-domain rates are computed from one
+  aggregate (counts are a kilobyte driver table at any scale) and the
+  selection itself is the deterministic md5-bucket filter of
+  ``ext.sampling`` — re-runnable, partition-layout-independent, zero
+  shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deftunes_spark.ext.dedup import shingles
+from deftunes_spark.ext.sampling import _BUCKETS, _hash_bucket
+
+
+# ---------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap with an eval set)
+# ---------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Flag training documents sharing ≥ ``min_matches`` distinct word
+    n-grams with any eval/benchmark document (the standard n-gram
+    decontamination used for LLM training corpora; production runs use
+    n≈13 — here ``n`` is a parameter because the fixture documents are
+    short).
+
+    Returns one row per train document: (id, matched_ngrams,
+    contaminated). The eval shingle set is deduplicated and
+    broadcast — train-side text never shuffles; the only exchange is
+    the per-doc match count aggregate.
+    """
+    train_sh = shingles(train, id_col, text_col, n)
+    eval_sh = (
+        shingles(eval_df, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    matches = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("matched_ngrams"))
+    )
+    return (
+        train.select(id_col)
+        .join(matches, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("matched_ngrams", F.lit(0).cast("bigint")).alias(
+                "matched_ngrams"
+            ),
+            (
+                F.coalesce("matched_ngrams", F.lit(0)) >= min_matches
+            ).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Segment-level dedup (CCNet line dedup, generalized segmenter)
+# ---------------------------------------------------------------------
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+    max_doc_freq: int = 2,
+    method: str = "broadcast",
+) -> DataFrame:
+    """Remove boilerplate SEGMENTS that repeat across many documents
+    (CCNet-style line-level dedup; newline-free corpora segment into
+    fixed ``seg_tokens``-token windows instead of lines).
+
+    A segment whose normalized hash appears in more than
+    ``max_doc_freq`` distinct documents is dropped from every
+    document; surviving segments re-join in order. Returns (id,
+    cleaned_text, n_segments, n_dropped).
+
+    ``method="broadcast"`` (default): one explode → groupBy(segment
+    md5) for document frequencies (map-side combine), then ONLY the
+    hot segments (tiny by Zipf — boilerplate is the head of the
+    distribution) come back to the driver and are evaluated as an
+    array-membership filter per row. The document payload is never
+    exchanged — the single shuffle carries (hash, count) pairs.
+
+    ``method="shuffle"``: no driver materialization — posexplode,
+    left-anti join against the hot-hash set, groupBy-reassemble in
+    position order. Shuffles the payload twice; use when the hot set
+    could outgrow the driver (adversarial corpora, tiny
+    ``max_doc_freq`` over huge vocabularies).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: t != ""
+    )
+    n_segs = F.greatest(
+        F.ceil(F.size("_toks") / F.lit(seg_tokens)).cast("int"), F.lit(1)
+    )
+    seg_array = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("_toks"), i * seg_tokens + 1, seg_tokens), " "
+        ),
+    )
+    with_segs = df.select(
+        F.col(id_col), toks.alias("_toks")
+    ).select(F.col(id_col), seg_array.alias("_segs"))
+
+    seg_hash = lambda c: F.md5(F.lower(F.trim(c)))  # noqa: E731
+    seg_freq = (
+        with_segs.select(
+            F.explode("_segs").alias("_seg"), F.col(id_col)
+        )
+        .groupBy(seg_hash(F.col("_seg")).alias("_h"))
+        .agg(F.count_distinct(id_col).alias("doc_freq"))
+    )
+    hot_df = seg_freq.filter(F.col("doc_freq") > max_doc_freq)
+
+    if method == "broadcast":
+        hot = [r["_h"] for r in hot_df.collect()]
+        hot_lit = (
+            F.array(*[F.lit(h) for h in hot])
+            if hot
+            else F.array().cast("array<string>")
+        )
+        kept = F.filter(
+            F.col("_segs"),
+            lambda s: ~F.array_contains(hot_lit, seg_hash(s)),
+        )
+        return with_segs.select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("cleaned_text"),
+            F.size("_segs").cast("bigint").alias("n_segments"),
+            (F.size("_segs") - F.size(kept))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    if method == "shuffle":
+        exploded = with_segs.select(
+            F.col(id_col),
+            F.size("_segs").cast("bigint").alias("n_segments"),
+            F.posexplode("_segs").alias("_pos", "_seg"),
+        )
+        surviving = exploded.join(
+            hot_df.select(F.col("_h")),
+            seg_hash(exploded["_seg"]) == F.col("_h"),
+            "left_anti",
+        )
+        rebuilt = surviving.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_seg"))
+                    ),
+                    lambda s: s["_seg"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+            F.count(F.lit(1)).cast("bigint").alias("_n_kept"),
+        )
+        # Re-join on the doc list so fully-boilerplate documents come
+        # back as empty text (matching the broadcast path) instead of
+        # vanishing from the output.
+        return (
+            with_segs.select(
+                F.col(id_col),
+                F.size("_segs").cast("bigint").alias("n_segments"),
+            )
+            .join(rebuilt, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("cleaned_text", F.lit("")).alias(
+                    "cleaned_text"
+                ),
+                "n_segments",
+                (
+                    F.col("n_segments")
+                    - F.coalesce("_n_kept", F.lit(0))
+                ).cast("bigint").alias("n_dropped"),
+            )
+        )
+    raise ValueError(f"unknown method {method!r}")
+
+
+# ---------------------------------------------------------------------
+# Semantic dedup (SemDeDup over a fixed coarse quantizer)
+# ---------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): assign embeddings to coarse
+    clusters, then inside each cluster drop every vector that has a
+    LOWER-id neighbor with cosine ≥ ``threshold`` (keep the min-id
+    representative of each semantic duplicate set).
+
+    Returns (id, cluster, kept). Pair generation is an equi-join on
+    the cluster id with ``id_a < id_b`` — never O(n²) across
+    clusters; at scale the assigned table persists partitioned by
+    cluster so the self-join is co-partitioned.
+    """
+    from deftunes_spark.ext.similarity import (
+        dot_expr,
+        ivf_assign,
+        norm_expr,
+    )
+
+    assigned = ivf_assign(df, centroids, vec_col, "cluster").select(
+        F.col(id_col), F.col(vec_col), F.col("cluster")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        norm_expr(F.col(f"a.{vec_col}")) * norm_expr(F.col(f"b.{vec_col}"))
+    )
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(sim >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.select(id_col, "cluster")
+        .join(
+            dominated.withColumn("_dup", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Target-mixture reweighting
+# ---------------------------------------------------------------------
+
+
+def mixture_rates(
+    counts: Mapping[str, int], target_weights: Mapping[str, float]
+) -> dict[str, float]:
+    """Per-domain keep-rates hitting ``target_weights`` proportions
+    with the largest achievable output (downsample-only: the
+    bottleneck domain — smallest count/weight ratio — keeps 100%).
+
+    Driver-side arithmetic on the per-domain count table (kilobytes
+    at any corpus scale)."""
+    scale = min(
+        counts.get(d, 0) / w for d, w in target_weights.items() if w > 0
+    )
+    return {
+        d: (
+            min(1.0, w * scale / counts[d]) if counts.get(d) else 0.0
+        )
+        for d, w in target_weights.items()
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    target_weights: Mapping[str, float],
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically downsample each domain so the output mixture
+    matches ``target_weights`` (e.g. rebalance web/code/books for a
+    training run). Domains absent from the weights are dropped.
+
+    Selection reuses the md5-bucket predicate of ``ext.sampling`` —
+    stable under re-runs, partition layout, and incremental appends;
+    the only full-data pass is the count aggregate (map-side combined)
+    plus the filter scan itself.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = mixture_rates(counts, target_weights)
+    thresh = None
+    for d, rate in rates.items():
+        t = F.lit(int(rate * _BUCKETS))
+        cond = F.col(domain_col) == d
+        thresh = (
+            F.when(cond, t) if thresh is None else thresh.when(cond, t)
+        )
+    if thresh is None:
+        return df.filter(F.lit(False))
+    return df.filter(_hash_bucket(id_col, salt) < thresh.otherwise(F.lit(0)))
