@@ -1,0 +1,240 @@
+"""Driver queries for the training-data preparation operators
+(``ext.training``): context-window chunking, deterministic negative
+mining, winsorized statistics, sliding-window distinct counts, int8
+embedding-quantization stats, and per-source dataset-card summaries.
+
+All six carry full DuckDB value-hash oracles. Determinism notes:
+
+- chunking/negatives use md5 / modulo arithmetic only — engine-
+  portable and retry-stable;
+- winsorized averages go through DECIMAL(18,4) sums (exact,
+  associative — partition order cannot change the result);
+- percentiles use the shared k = p·(n−1) interpolation definition
+  (Spark ``percentile`` == DuckDB ``quantile_cont``);
+- quantization scales are a single ``(max−min)/255`` double op on
+  bit-identical float→double widenings, rounded to 6dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deftunes_spark.driver_queries import _t, _t_cpu, query
+from deftunes_spark.ext import training as TR
+
+# =====================================================================
+# Context-window chunking
+# =====================================================================
+
+_CHUNK = 12  # fixture docs are ~60 tokens; 12/8 yields real overlap
+_STRIDE = 8
+
+_CHUNK_ORACLE = f"""
+WITH toklist AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       t -> t <> '') AS toks
+    FROM documents
+), n AS (
+    SELECT doc_id, toks,
+           CAST(ceil(greatest(len(toks) - {_CHUNK}, 0) / {_STRIDE}.0)
+                AS INT) + 1 AS n_chunks
+    FROM toklist
+)
+SELECT doc_id,
+       CAST(c AS BIGINT) AS chunk_id,
+       array_to_string(
+           toks[c * {_STRIDE} + 1 : c * {_STRIDE} + {_CHUNK}],
+           ' ') AS chunk_text,
+       CAST(len(toks[c * {_STRIDE} + 1 : c * {_STRIDE} + {_CHUNK}])
+            AS BIGINT) AS chunk_tokens
+FROM n, UNNEST(range(0, n_chunks)) AS t(c)
+"""
+
+
+@query("doc_chunking", _CHUNK_ORACLE)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: 12-token windows advancing
+    8 tokens — the flatMap-shaped prep that turns documents into
+    model-context sequences. Narrow (no shuffle): ``posexplode`` over
+    a computed chunk count, then an in-place array slice."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return TR.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=_CHUNK, stride=_STRIDE
+    )
+
+
+# =====================================================================
+# Deterministic negative-pair mining
+# =====================================================================
+
+_NEG_K = 2
+_NEG_BUCKETS = 8
+
+_NEG_ORACLE = f"""
+WITH a AS (
+    SELECT doc_id AS anchor_id, doc_id % {_NEG_BUCKETS} AS b
+    FROM documents WHERE doc_id % 20 = 0
+), c AS (
+    SELECT doc_id AS neg_id, doc_id % {_NEG_BUCKETS} AS b
+    FROM documents
+), j AS (
+    SELECT anchor_id, neg_id,
+           row_number() OVER (
+               PARTITION BY anchor_id
+               ORDER BY md5(CAST(anchor_id AS VARCHAR) || ':'
+                            || CAST(neg_id AS VARCHAR)), neg_id
+           ) AS rank
+    FROM a JOIN c USING (b)
+    WHERE anchor_id <> neg_id
+)
+SELECT anchor_id, neg_id, CAST(rank AS BIGINT) AS rank
+FROM j WHERE rank <= {_NEG_K}
+"""
+
+
+@query("negative_sampling", _NEG_ORACLE)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative mining: 2 pseudo-random partners per
+    anchor via a bucket equi-join + md5 pair rank — never a cross
+    join, deterministic under task retries."""
+    docs = _t(spark, sf_dir, "documents")
+    return TR.negative_pairs(
+        docs,
+        "doc_id",
+        k=_NEG_K,
+        n_buckets=_NEG_BUCKETS,
+        anchor_pred=F.col("doc_id") % 20 == 0,
+    )
+
+
+# =====================================================================
+# Winsorized statistics
+# =====================================================================
+
+_WINS_ORACLE = """
+WITH b AS (
+    SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+           quantile_cont(l_extendedprice, 0.99) AS hi
+    FROM lineitem
+), w AS (
+    SELECT least(greatest(l_extendedprice, b.lo), b.hi) AS v, b.lo, b.hi
+    FROM lineitem, b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(lo) AS DOUBLE) AS p01,
+       CAST(MAX(hi) AS DOUBLE) AS p99,
+       CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sum_w
+FROM w
+"""
+
+
+@query("winsorized_stats", _WINS_ORACLE)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip a heavy-tailed metric at its exact
+    [p1, p99] band, then aggregate the clipped values through an
+    exact DECIMAL sum. Two jobs: a 1-row percentile aggregate
+    broadcast back, and one narrow clip+agg pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = TR.winsorize(
+        li, "l_extendedprice", 0.01, 0.99, keep_bounds=True
+    )
+    return w.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("_lo_bound").cast("double").alias("p01"),
+        F.max("_hi_bound").cast("double").alias("p99"),
+        F.sum(
+            F.col("l_extendedprice_w").cast("decimal(18,4)")
+        ).cast("double").alias("sum_w"),
+    )
+
+
+# =====================================================================
+# Sliding-window distinct users
+# =====================================================================
+
+_SLIDING_ORACLE = """
+WITH w AS (
+    SELECT user_id,
+           UNNEST([date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                   date_trunc('hour', CAST(ts AS TIMESTAMP))
+                       - INTERVAL 1 HOUR]) AS win_start
+    FROM events
+)
+SELECT win_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w GROUP BY 1
+"""
+
+
+@query("sliding_distinct_users", _SLIDING_ORACLE)
+def q_sliding_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding-window (2h window / 1h slide) exact distinct users.
+    Spark assigns each event to its two covering epoch-aligned
+    windows (the built-in ``window`` expression); the oracle unrolls
+    the same assignment. Scale path: swap ``count_distinct`` for
+    ``approx_count_distinct`` (HLL partial-aggregates; no per-window
+    user set materialization)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .select(F.col("w.start").alias("win_start"), "n_users")
+    )
+
+
+# =====================================================================
+# Embedding int8 quantization stats
+# =====================================================================
+
+_QUANT_ORACLE = """
+WITH e AS (
+    SELECT embedding::DOUBLE[] AS v FROM embeddings
+), d AS (
+    SELECT CAST(i - 1 AS BIGINT) AS dim, v[CAST(i AS INT)] AS x
+    FROM e, UNNEST(range(1, len(v) + 1)) AS t(i)
+)
+SELECT dim, MIN(x) AS dim_min, MAX(x) AS dim_max,
+       round((MAX(x) - MIN(x)) / 255.0, 6) AS scale
+FROM d GROUP BY 1
+"""
+
+
+@query("embedding_quantization", _QUANT_ORACLE)
+def q_embedding_quantization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension linear int8 quantization stats (min/max/scale).
+    The posexplode shuffles only per-partition (dim, min, max)
+    partials after map-side combine — vectors never move."""
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = TR.quantization_stats(emb, "embedding")
+    return stats.select(
+        "dim", "dim_min", "dim_max", F.round("scale", 6).alias("scale")
+    )
+
+
+# =====================================================================
+# Dataset card (per-source datasheet)
+# =====================================================================
+
+_CARD_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(list_filter(
+           regexp_split_to_array(trim(text), '\\s+'),
+           t -> t <> ''))) AS BIGINT) AS total_tokens,
+       round(AVG(length(text)), 6) AS avg_chars
+FROM documents GROUP BY 1
+"""
+
+
+@query("dataset_card", _CARD_ORACLE)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source datasheet row (doc count, total whitespace tokens,
+    mean char length) — the summary a mixture designer reads. One
+    partial-aggregating groupBy over column expressions."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return TR.dataset_card(docs, "source", "text")

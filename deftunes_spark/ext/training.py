@@ -1,0 +1,290 @@
+"""Training-data preparation operators: context-window chunking,
+deterministic negative-pair sampling, outlier winsorization, and
+linear int8 embedding quantization.
+
+These extend the corpus-curation family (``ext.curation``) with the
+ops an LLM pre-training pipeline runs AFTER dedup/filtering: splitting
+long documents into model-context-sized chunks, mining contrastive
+negatives, clipping metric outliers, and compressing embeddings for
+storage/ANN. None of these exist in the reference (its transform
+surface is the Glue jobs, ``terraform/assets/transform_jobs/*.py``) —
+they are engine extensions per the north-star brief.
+
+Scale notes (SCALE.md has the long-form versions):
+
+- **chunking** explodes each document into ``ceil((n-c)/s)+1`` chunks
+  — a flatMap-shaped, shuffle-free narrow transform. Output row count
+  is bounded by ``tokens/stride``, so the op is linear in corpus size
+  and embarrassingly parallel.
+- **negative sampling** never enumerates the cross product: anchors
+  and candidates meet on a BUCKET equi-join (hash-partitioned both
+  sides), and the per-anchor top-k keeps the candidate fan-in at
+  ``|bucket|``, tunable via ``n_buckets``. Selection is a
+  content-derived md5 rank — deterministic under retries (same
+  SPARK-23207 reasoning as ``ext.scale``'s salts).
+- **winsorization** is two jobs: a tiny exact-percentile aggregate
+  (broadcast back as a 1-row bound frame) and a narrow clip pass. At
+  100 TB swap the exact percentile for ``percentile_approx`` — the
+  clip pass is unchanged.
+- **quantization** computes per-dimension min/max via posexplode +
+  partial-aggregating groupBy (combiner keeps the shuffle at
+  ``dim × partitions`` rows), broadcasts the kilobyte scale table,
+  and quantizes in one narrow pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Split each document into overlapping windows of ``chunk_tokens``
+    whitespace tokens, advancing ``stride`` tokens per window — the
+    standard context-window packing prep (stride < chunk_tokens gives
+    token overlap for continuity across chunk boundaries).
+
+    Output: one row per (document, chunk_index) with the chunk text
+    and its token count. Every document yields >= 1 chunk (an empty
+    text yields one empty chunk) so no row silently disappears.
+    """
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    # ceil(max(n - chunk, 0) / stride) + 1 windows cover all tokens.
+    n_chunks = (
+        F.ceil(
+            F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+            / F.lit(float(stride))
+        ).cast("int")
+        + F.lit(1)
+    )
+    exploded = (
+        docs.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "_pos", "chunk_id"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(
+                F.col("_toks"),
+                F.col("chunk_id") * stride + 1,
+                F.lit(chunk_tokens),
+            ).alias("_chunk_toks"),
+        )
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.array_join("_chunk_toks", " ").alias("chunk_text"),
+        F.size("_chunk_toks").cast("long").alias("chunk_tokens"),
+    )
+
+
+def negative_pairs(
+    docs: DataFrame,
+    id_col: str,
+    k: int = 2,
+    n_buckets: int = 8,
+    anchor_pred=None,
+) -> DataFrame:
+    """Mine ``k`` pseudo-random negative partners per anchor row for
+    contrastive training, WITHOUT a cross join.
+
+    Both sides are assigned to one of ``n_buckets`` buckets; anchors
+    meet only the candidates in their bucket (hash-partitioned
+    equi-join), and the k winners per anchor are picked by a
+    content-derived md5 rank over the pair key — fully deterministic,
+    so retried tasks reproduce identical pairs and the op is mirrorable
+    in ANSI SQL. Candidate fan-in per anchor is ``|corpus|/n_buckets``;
+    size ``n_buckets`` so a bucket fits comfortably in a task.
+
+    ``anchor_pred``: optional Column filtering which rows are anchors
+    (default: all rows). The candidate side is always the full corpus.
+    """
+    if k < 1 or n_buckets < 1:
+        raise ValueError("k and n_buckets must be >= 1")
+    bucket = (F.col(id_col) % n_buckets).alias("_bucket")
+    cand = docs.select(
+        F.col(id_col).alias("neg_id"),
+        (F.col(id_col) % n_buckets).alias("_bucket"),
+    )
+    anchors = docs if anchor_pred is None else docs.filter(anchor_pred)
+    a = anchors.select(F.col(id_col).alias("anchor_id"), bucket)
+    pair_rank = F.md5(
+        F.concat_ws(":", F.col("anchor_id"), F.col("neg_id"))
+    )
+    joined = (
+        a.join(cand, "_bucket")
+        .filter(F.col("anchor_id") != F.col("neg_id"))
+        .select("anchor_id", "neg_id", pair_rank.alias("_r"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy("_r", "neg_id")
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lower_pct: float = 0.01,
+    upper_pct: float = 0.99,
+    keep_bounds: bool = False,
+) -> DataFrame:
+    """Clip ``value_col`` to its exact [lower_pct, upper_pct]
+    percentile band (winsorization — the standard outlier treatment
+    before computing susceptible statistics like means over
+    heavy-tailed metrics).
+
+    Adds ``<value_col>_w`` (clipped value); original column retained.
+    ``keep_bounds=True`` also keeps the ``_lo_bound``/``_hi_bound``
+    columns. The percentile aggregate is one tiny job whose 1-row
+    result broadcast-joins back — the clip pass itself is narrow. At
+    100 TB substitute ``percentile_approx`` for the exact percentile;
+    the plan shape is identical.
+    """
+    if not (0.0 <= lower_pct < upper_pct <= 1.0):
+        raise ValueError("need 0 <= lower < upper <= 1")
+    bounds = df.select(
+        F.expr(
+            f"percentile({value_col}, {lower_pct!r})"
+        ).alias("_lo_bound"),
+        F.expr(
+            f"percentile({value_col}, {upper_pct!r})"
+        ).alias("_hi_bound"),
+    )
+    clipped = df.join(F.broadcast(bounds)).withColumn(
+        f"{value_col}_w",
+        F.least(
+            F.greatest(F.col(value_col), F.col("_lo_bound")),
+            F.col("_hi_bound"),
+        ),
+    )
+    if keep_bounds:
+        return clipped
+    return clipped.drop("_lo_bound", "_hi_bound")
+
+
+def quantization_stats(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension min/max/scale for linear int8 quantization of an
+    ``array<float>`` embedding column.
+
+    ``scale = (max - min) / 255`` maps each dimension onto [0, 255].
+    The posexplode shuffles only (dim, partial-min, partial-max) pairs
+    after map-side combine — never the vectors themselves.
+    """
+    per_dim = (
+        emb.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "dim", "v"
+            )
+        )
+        .groupBy("dim")
+        .agg(F.min("v").alias("dim_min"), F.max("v").alias("dim_max"))
+    )
+    return per_dim.select(
+        F.col("dim").cast("long").alias("dim"),
+        "dim_min",
+        "dim_max",
+        ((F.col("dim_max") - F.col("dim_min")) / F.lit(255.0)).alias(
+            "scale"
+        ),
+    )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Quantize each vector to int8 codes using per-dimension linear
+    scales (from :func:`quantization_stats` unless supplied).
+
+    The stats table (``dim`` rows — kilobytes) is collected to a
+    literal array and applied in one narrow ``transform`` pass: no
+    join, no shuffle, vectors never leave their partition. Codes are
+    ``round((v - min) / scale)`` clamped to [0, 255]; zero-width
+    dimensions map to 0.
+    """
+    if stats is None:
+        stats = quantization_stats(emb, vec_col)
+    rows = sorted(stats.collect(), key=lambda r: r["dim"])
+    mins = F.array(*[F.lit(float(r["dim_min"])) for r in rows])
+    scales = F.array(
+        *[F.lit(float(r["scale"])) for r in rows]
+    )
+    dim = len(rows)
+
+    def code(x, i):
+        s = F.get(scales, i)
+        m = F.get(mins, i)
+        raw = F.when(s > 0, F.round((x - m) / s)).otherwise(F.lit(0.0))
+        return F.least(
+            F.greatest(raw, F.lit(0.0)), F.lit(255.0)
+        ).cast("int")
+
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    codes = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        idx,
+        lambda x, i: code(x, i),
+    )
+    return emb.select(
+        F.col(id_col), codes.alias("codes")
+    )
+
+
+def dataset_card(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source datasheet row: document count, total whitespace
+    tokens, mean document length — the summary table a dataset card /
+    mixture designer reads. One partial-aggregating groupBy; token
+    counting is a column expression (no UDF)."""
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        )
+    )
+    return (
+        docs.select(
+            F.col(source_col),
+            toks.alias("_n_toks"),
+            F.length(text_col).alias("_n_chars"),
+        )
+        .groupBy(source_col)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_n_toks").cast("long").alias("total_tokens"),
+            F.round(F.avg("_n_chars"), 6).alias("avg_chars"),
+        )
+    )
