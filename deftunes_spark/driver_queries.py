@@ -91,18 +91,24 @@ def _scan_splits(path: str) -> int:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which the Spark parquet
-    reader rejects; read nanos as long and truncate to micros (exactly
-    what DuckDB's TIMESTAMP_NS→TIMESTAMP cast does)."""
+    """Load events.parquet with a schema-tolerant ``ts``: some testdata
+    generations store TIMESTAMP(NANOS) (which the Spark parquet reader
+    rejects — read nanos as long, truncate to micros, exactly DuckDB's
+    TIMESTAMP_NS→TIMESTAMP cast), others plain TIMESTAMP micros."""
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    # Integer division — `/` would go through double and lose exactness
-    # for nano epochs (~1.7e18 > 2^53).
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # Integer division — `/` would go through double and lose
+        # exactness for nano epochs (~1.7e18 > 2^53).
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Already a timestamp (micros); normalize NTZ → session-local so the
+    # downstream window/sessionize logic sees one type either way.
+    return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 # =====================================================================
