@@ -567,6 +567,83 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- Product quantization ANN ---------------------------------------
+# Fixed random codebooks (like the fixed IVF centroids: training via
+# sampled per-subspace KMeans is covered in tests/test_similarity.py;
+# the driver variant pins codebooks as literals so the DuckDB oracle
+# replays encode → ADC score → candidate cut → exact rerank exactly).
+
+_PQ_M, _PQ_KSUB, _PQ_DSUB = 4, 16, _EMB_DIM // 4
+_PQ_CODEBOOKS = S.pq_codebooks_random(_EMB_DIM, _PQ_M, _PQ_KSUB, seed=23)
+
+
+def _pq_oracle(k: int = 10, refine: int = 4) -> str:
+    codes = []
+    for j in range(_PQ_M):
+        lo, hi = j * _PQ_DSUB + 1, (j + 1) * _PQ_DSUB
+        d_exprs = ", ".join(
+            f"-2.0 * list_dot_product(v[{lo}:{hi}], {_sql_vec(list(c))})"
+            f" + {float(_np.dot(c, c))!r}"
+            for c in _PQ_CODEBOOKS[j]
+        )
+        codes.append(
+            f"CAST(list_position([{d_exprs}], list_min([{d_exprs}])) - 1"
+            f" AS INT)"
+        )
+    q = _np.asarray(_ANN_QUERY)
+    lut_terms = []
+    for j in range(_PQ_M):
+        lut = [
+            float(_np.dot(q[j * _PQ_DSUB : (j + 1) * _PQ_DSUB], c))
+            for c in _PQ_CODEBOOKS[j]
+        ]
+        lut_terms.append(f"({_sql_vec(lut)})[code[{j + 1}] + 1]")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), enc AS (
+        SELECT vec_id, v, [{", ".join(codes)}] AS code FROM e
+    ), scored AS (
+        SELECT vec_id, v,
+               round({" + ".join(lut_terms)}, 6) AS pq_score
+        FROM enc
+    ), cand AS (
+        SELECT vec_id, v FROM scored
+        ORDER BY pq_score DESC, vec_id LIMIT {refine * k}
+    ), r AS (
+        SELECT vec_id, round({_SQL_COSINE}, 6) AS cosine_sim FROM cand
+    )
+    SELECT vec_id, cosine_sim FROM r
+    ORDER BY cosine_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@query("ann_pq_topk", _pq_oracle())
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: product quantization — encode each vector as m=4 nearest-
+    codeword indices, score candidates via the per-query ADC lookup
+    table (m literal-array lookups, never touching the embedding
+    column), exact-cosine rerank the refine×k survivors. The 100 TB
+    memory story: the hot scan reads an m-byte code column instead of
+    the KB-scale vector column. Rounds ADC scores AND cosines before
+    their respective orderings so a sub-ulp float difference can never
+    flip a candidate/rank boundary between the engines."""
+    emb = _t_cpu(spark, sf_dir, "embeddings")
+    enc = S.pq_encode(emb, _PQ_CODEBOOKS)
+    scored = S.pq_adc_scores(enc, _PQ_CODEBOOKS, _ANN_QUERY)
+    cands = (
+        scored.withColumn("pq_score", F.round("pq_score", 6))
+        .orderBy(F.col("pq_score").desc(), F.col("vec_id"))
+        .limit(40)
+    )
+    reranked = S.cosine_to_query(cands, _ANN_QUERY).select(
+        "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+    return reranked.orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    ).limit(10)
+
+
 # =====================================================================
 # Multimodal columns
 # =====================================================================

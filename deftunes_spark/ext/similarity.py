@@ -295,6 +295,155 @@ def ivf_topk(
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 
+# ---------------------------------------------------------------------
+# Product quantization (PQ) — memory-compressed ANN scan
+# ---------------------------------------------------------------------
+#
+# A 100 TB embedding corpus (e.g. 26 B × 1 KB float32 vectors) cannot
+# be exact-reranked per query; PQ stores each vector as m small codes
+# (m bytes at k_sub=256) and scores candidates against a per-query
+# lookup table — the scan reads the code column only (~1000× smaller
+# than the embeddings), then exact-reranks the tiny candidate set.
+
+
+def pq_codebooks_random(
+    dim: int, m: int = 4, k_sub: int = 16, seed: int = 23
+) -> np.ndarray:
+    """Deterministic random codebooks, shape (m, k_sub, dim/m) — the
+    untrained fallback (and the fixed-literal oracle fixture)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    return np.random.RandomState(seed).randn(m, k_sub, dim // m) * 0.5
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_sub: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 23,
+    max_iter: int = 10,
+    fit_max_rows: int | None = 1_000_000,
+) -> np.ndarray:
+    """Train PQ codebooks: an independent k-means per subspace over a
+    bounded sample (same sampled-fit discipline as ``ivf_index`` —
+    training touches ≤ ``fit_max_rows`` vectors regardless of corpus
+    size; only encoding is a full pass). Returns (m, k_sub, dim/m)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    train = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if fit_max_rows is not None:
+        n = train.count()
+        if n > fit_max_rows:
+            train = train.sample(
+                fraction=min(1.0, 1.1 * fit_max_rows / n), seed=seed
+            )
+    # One cached pass feeds all m sub-fits.
+    train = train.localCheckpoint()
+    books = []
+    for j in range(m):
+        sub = train.select(
+            array_to_vector(F.slice("v", j * dsub + 1, dsub)).alias("f")
+        )
+        model = KMeans(
+            k=k_sub, seed=seed + j, maxIter=max_iter, featuresCol="f"
+        ).fit(sub)
+        books.append([np.asarray(c).tolist() for c in model.clusterCenters()])
+    return np.asarray(books)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the PQ code: for each subspace j, the index of the
+    nearest codeword (squared L2, ties break low) — pure column
+    expressions, mirrorable in ANSI SQL for the correctness oracle.
+
+    Distances drop the codeword-independent ‖s‖² term:
+    argmin_c ‖s−c‖² = argmin_c (−2·s·c + ‖c‖²), halving the
+    expression count. Expression size is m × k_sub × dim/m = k_sub×dim
+    coefficients; beyond ~``LSH_EXPR_MAX_COEFFS``×4 prefer training
+    k_sub=256 with an Arrow-batched encode (same pattern as
+    ``lsh_bucket_pandas_udf``)."""
+    m, k_sub, dsub = codebooks.shape
+    codes = []
+    for j in range(m):
+        s = F.slice(F.col(vec_col).cast("array<double>"), j * dsub + 1, dsub)
+        dists = F.array(
+            *[
+                F.lit(-2.0) * dot_expr(s, _vec_lit(list(c)))
+                + F.lit(float(np.dot(c, c)))
+                for c in codebooks[j]
+            ]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_adc_scores(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    code_col: str = "pq_code",
+    score_col: str = "pq_score",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) inner-product score: the query is cut
+    into the same m subvectors, lut[j][c] = q_j · codeword_{j,c} is a
+    driver-side numpy table (m × k_sub doubles — kilobytes), and each
+    row's score is m literal-array lookups summed — the scan never
+    touches the embedding column."""
+    m, k_sub, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype="float64")
+    score = None
+    for j in range(m):
+        lut = [float(np.dot(q[j * dsub : (j + 1) * dsub], c))
+               for c in codebooks[j]]
+        term = F.element_at(
+            _vec_lit(lut), F.col(code_col)[j] + F.lit(1)
+        )
+        score = term if score is None else score + term
+    return encoded.withColumn(score_col, score)
+
+
+def pq_topk(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str | None = None,
+) -> DataFrame:
+    """PQ ANN top-k: ADC-score every code, keep the ``refine × k``
+    best candidates (TakeOrdered — no global sort), exact-cosine
+    rerank only those. If ``code_col`` names a precomputed code column
+    (the 100 TB path: codes persisted next to the ids, embeddings in a
+    separate cold table), the wide vector column is only read for the
+    candidate rows."""
+    if code_col is None:
+        code_col = "pq_code"
+        df = pq_encode(df, codebooks, vec_col, code_col)
+    scored = pq_adc_scores(df, codebooks, query_vec, code_col)
+    cands = (
+        scored
+        .withColumn("pq_score", F.round("pq_score", 6))
+        .orderBy(F.col("pq_score").desc(), F.col(id_col))
+        .limit(refine * k)
+    )
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -175,3 +175,45 @@ def test_lsh_arrow_and_expr_paths_agree(spark):
         for r in S.with_lsh_bucket(df, planes, method="arrow").collect()
     }
     assert a == b
+
+
+def test_pq_encode_matches_numpy(vectors):
+    df, rows = vectors
+    books = S.pq_codebooks_random(16, m=4, k_sub=8, seed=5)
+    got = {
+        r.vec_id: list(r.pq_code)
+        for r in S.pq_encode(df, books).collect()
+    }
+    for vid, v in rows[:20]:
+        x = np.asarray(v)
+        want = []
+        for j in range(4):
+            s = x[j * 4 : (j + 1) * 4]
+            d = [float(-2 * s @ c + c @ c) for c in books[j]]
+            want.append(int(np.argmin(d)))
+        assert got[vid] == want
+
+
+def test_pq_trained_recall_beats_floor(vectors):
+    df, rows = vectors
+    books = S.pq_train(df, dim=16, m=4, k_sub=8, seed=5)
+    assert books.shape == (4, 8, 4)
+    q = rows[23][1]
+    exact = set(_exact_topk(rows, q, 10))
+    approx = {
+        r.vec_id
+        for r in S.pq_topk(df, books, q, k=10, refine=4).collect()
+    }
+    # Trained codebooks over 3 tight clusters: the ADC ranking keeps
+    # most of the true neighborhood in the refine set.
+    assert len(exact & approx) >= 7
+
+
+def test_pq_precomputed_code_column(vectors):
+    df, rows = vectors
+    books = S.pq_codebooks_random(16, m=4, k_sub=8, seed=5)
+    enc = S.pq_encode(df, books)
+    out = S.pq_topk(
+        enc, books, rows[3][1], k=5, refine=4, code_col="pq_code"
+    )
+    assert len(out.collect()) == 5
