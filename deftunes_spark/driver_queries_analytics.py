@@ -500,3 +500,79 @@ def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_acctbal").cast("double").alias("lo"),
         F.max("c_acctbal").cast("double").alias("hi"),
     )
+
+
+# =====================================================================
+# PageRank — iterative graph analytics (fixed iterations)
+# =====================================================================
+
+_PR_ITERS, _PR_DAMP = 3, 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration PageRank: each CTE level r{t} is exactly the
+    engine's superstep (contribute rank·w along edges, gather, damp)."""
+    step = """
+    r{next} AS (
+        SELECT nodes.node,
+               (1.0 - {d})/(SELECT n FROM nn)
+               + {d} * COALESCE(m.mass, 0.0) AS rank
+        FROM nodes LEFT JOIN (
+            SELECT w.d AS node, SUM(r{cur}.rank * w.w) AS mass
+            FROM w JOIN r{cur} ON w.s = r{cur}.node
+            GROUP BY w.d
+        ) m ON nodes.node = m.node
+    )"""
+    steps = ",".join(
+        step.format(cur=t, next=t + 1, d=_PR_DAMP)
+        for t in range(_PR_ITERS)
+    )
+    return f"""
+    WITH e0 AS (
+        SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+        SELECT s, d FROM e0 UNION SELECT d, s FROM e0
+    ), nodes AS (
+        SELECT DISTINCT s AS node FROM edges
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ), w AS (
+        SELECT s, d, 1.0 / COUNT(*) OVER (PARTITION BY s) AS w
+        FROM edges
+    ), r0 AS (
+        SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes
+    ), {steps}
+    SELECT CAST(node AS BIGINT) AS node,
+           round(rank, 10) AS pagerank
+    FROM r{_PR_ITERS}
+    """
+
+
+@query("pagerank_sales", _pagerank_oracle())
+def q_pagerank_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected customer↔supplier trade graph
+    (edge = the pair co-occur on an order line), 3 fixed supersteps.
+    One join + one aggregation per superstep with lineage cut between
+    rounds; the fixed iteration count keeps the result deterministic
+    enough for a value-hash oracle (ranks rounded to 1e-10 — float
+    summation-order noise is ~1e-17)."""
+    from deftunes_spark.ext.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(
+        edges, iterations=_PR_ITERS, damping=_PR_DAMP, undirected=True
+    )
+    return ranks.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.round("rank", 10).alias("pagerank"),
+    )

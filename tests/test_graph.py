@@ -1,0 +1,62 @@
+import numpy as np
+
+from deftunes_spark.ext.graph import pagerank
+
+
+def _np_pagerank(edges, n_nodes, iters, d, undirected):
+    es = set(edges)
+    if undirected:
+        es |= {(b, a) for a, b in es}
+    nodes = sorted({x for e in es for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in es:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1 - d) / n)
+        for s, t in es:
+            nxt[idx[t]] += d * r[idx[s]] / out[idx[s]]
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (1, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=4, damping=0.85).collect()
+    }
+    want = _np_pagerank(edges, 4, 4, 0.85, undirected=False)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+
+
+def test_pagerank_undirected_sums_close_to_one(spark):
+    # Undirected graph: no dangling nodes, total mass stays ~1.
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (2, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    ranks = pagerank(df, iterations=5, damping=0.85, undirected=True)
+    total = sum(r["rank"] for r in ranks.collect())
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    # Star graph: the hub should accumulate the most rank.
+    edges = [(i, 0) for i in range(1, 8)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, iterations=3, damping=0.85, undirected=True
+        ).collect()
+    }
+    assert got[0] > max(v for k, v in got.items() if k != 0)
+
+
+def test_pagerank_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df, iterations=2).count() == 0
