@@ -605,3 +605,66 @@ def q_model_contract_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         except ContractViolation:
             rows.append((name, "violated"))
     return spark.createDataFrame(rows, "model string, contract string")
+
+
+# =====================================================================
+# ORC format roundtrip + small-file compaction (table maintenance)
+# =====================================================================
+
+_ORC_ORACLE = """
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+FROM supplier GROUP BY 1
+"""
+
+
+@query("orc_roundtrip", _ORC_ORACLE)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read-back (the second columnar format Spark ships
+    a vectorized reader for — same predicate-pushdown / column-pruning
+    behavior as parquet, relevant when an upstream warehouse lands
+    ORC). Aggregate after the roundtrip so the oracle checks content,
+    not just schema."""
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    path = tempfile.mkdtemp(prefix="deftunes_orc_") + "/supplier"
+    s.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("bal"),
+    )
+
+
+_COMPACT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(length(text)) AS BIGINT) AS char_sum
+FROM documents
+"""
+
+
+@query("compact_roundtrip", _COMPACT_ORACLE)
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: land documents as 32 deliberately tiny
+    files (the micro-batch-ingest accretion pattern), compact to
+    measured-size targets, and prove bit-level content preservation
+    through the rewrite via count/sum/char-sum. File-count mechanics
+    are asserted in tests/test_layout.py; here the oracle checks the
+    invariant that matters — compaction must never change the data."""
+    from deftunes_spark.ext.layout import compact_path
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="deftunes_compact_") + "/docs"
+    docs.repartition(32).write.mode("overwrite").parquet(path)
+    compact_path(spark, path, target_file_bytes=64 * 1024 * 1024)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.length("text")).alias("char_sum"),
+    )

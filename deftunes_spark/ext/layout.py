@@ -75,3 +75,76 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------
+# Small-file compaction
+# ---------------------------------------------------------------------
+
+
+def path_file_stats(spark, path: str, suffix: str = ".parquet") -> tuple[int, int]:
+    """(file_count, total_bytes) of data files under ``path``, via the
+    Hadoop FileSystem API — works on any supported filesystem (local,
+    HDFS, object stores), not just the local disk."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    it = fs.listFiles(p, True)
+    n = total = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(suffix) and not name.startswith(("_", ".")):
+            n += 1
+            total += st.getLen()
+    return n, total
+
+
+def compact_path(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> dict:
+    """Rewrite a small-files directory into ~``target_file_bytes``
+    files — the nightly table-maintenance pass every streaming /
+    micro-batch ingest needs (a 100 TB table fed by 15-min batches
+    accretes millions of KB-scale files; scan task scheduling, not IO,
+    becomes the bottleneck).
+
+    Sizing is measured, not guessed: file count = ceil(current_bytes /
+    target). The rewrite round-robins rows (``repartition(n)``) for
+    even output sizes, writes to a staging dir, then swaps via rename
+    so a crash mid-write leaves the original intact (same staged-swap
+    discipline as ``io.writers.merge_upsert``). Returns
+    {files_before, bytes_before, files_after}.
+    """
+    import math
+
+    n_before, bytes_before = path_file_stats(spark, path, f".{fmt}")
+    n_target = max(1, math.ceil(bytes_before / target_file_bytes))
+    df = spark.read.format(fmt).load(path)
+
+    staging, old = f"{path}__compact_staging", f"{path}__old"
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+
+    def _p(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    for residue in (staging, old):
+        fs.delete(_p(residue), True)
+    df.repartition(n_target).write.mode("overwrite").format(fmt).save(
+        staging
+    )
+    fs.rename(_p(path), _p(old))
+    fs.rename(_p(staging), _p(path))
+    fs.delete(_p(old), True)
+    n_after, _ = path_file_stats(spark, path, f".{fmt}")
+    return {
+        "files_before": n_before,
+        "bytes_before": bytes_before,
+        "files_after": n_after,
+    }

@@ -112,3 +112,35 @@ def test_zorder_roundtrip_preserves_rows(spark):
     assert back.count() == 1000
     assert sorted(back.columns) == ["a", "b", "id"]
     assert back.selectExpr("sum(id)").collect()[0][0] == 499500
+
+
+def test_compact_path_reduces_files_preserves_rows(spark):
+    from deftunes_spark.ext.layout import compact_path, path_file_stats
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    base = tempfile.mkdtemp(prefix="compact_") + "/t"
+    df.repartition(24).write.parquet(base)
+    n0, bytes0 = path_file_stats(spark, base)
+    assert n0 == 24
+    stats = compact_path(spark, base, target_file_bytes=bytes0)
+    assert stats["files_before"] == 24
+    assert stats["files_after"] == 1
+    back = spark.read.parquet(base)
+    assert back.count() == 10_000
+    assert back.agg({"k": "sum"}).first()[0] == 10_000 * 9_999 // 2
+    # No staging/old residue left behind.
+    assert not glob.glob(base + "__*")
+
+
+def test_compact_path_targets_multiple_files(spark):
+    from deftunes_spark.ext.layout import compact_path, path_file_stats
+
+    df = spark.range(0, 50_000).withColumnRenamed("id", "k")
+    base = tempfile.mkdtemp(prefix="compact_") + "/t"
+    df.repartition(16).write.parquet(base)
+    _, bytes0 = path_file_stats(spark, base)
+    stats = compact_path(
+        spark, base, target_file_bytes=max(1, bytes0 // 4 + 1)
+    )
+    assert 2 <= stats["files_after"] <= 8
+    assert spark.read.parquet(base).count() == 50_000
