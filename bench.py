@@ -39,6 +39,8 @@ HEADLINE = [
     "asof_join_click_view",
     "embedding_topk",
     "ann_lsh_topk",
+    "ann_pq_topk",
+    "pagerank_sales",
     "events_tumbling",
 ]
 

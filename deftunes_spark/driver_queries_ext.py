@@ -1209,3 +1209,120 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("comp").cast("bigint").alias("comp"),
     )
+
+
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_ngram_jaccard_oracle_n(3, 0.5)}),
+edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION ALL
+    SELECT id_b AS s, id_a AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach AS (
+    SELECT node, node AS comp FROM nodes
+    UNION
+    SELECT e.d AS node, r.comp
+    FROM reach r JOIN edges e ON e.s = r.node
+),
+comp AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+scored AS (SELECT doc_id, {QSCORE_SQL} AS q FROM documents),
+labeled AS (
+    SELECT s.doc_id, COALESCE(c.comp, s.doc_id) AS cluster, s.q
+    FROM scored s LEFT JOIN comp c ON s.doc_id = c.node
+),
+ranked AS (
+    SELECT cluster, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY cluster ORDER BY q DESC, doc_id
+           ) AS rn
+    FROM labeled
+)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+           AS canonical_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ranked GROUP BY cluster
+"""
+
+
+@query("dedup_canonical", _CANONICAL_ORACLE)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup decision a training pipeline actually
+    ships: near-dup pairs (trigram Jaccard) → connected components →
+    ONE survivor per cluster, picked by quality score (ties to the
+    lowest doc_id via the (score, −id) struct order — deterministic in
+    both engines). Singleton docs are their own cluster (left join +
+    coalesce), so the output is a full keep/drop decision for the
+    corpus: n_docs − 1 drops per cluster. One extra shuffle
+    (groupBy cluster) on top of the components loop."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    scored = X.with_quality_score(docs).select("doc_id", "quality_score")
+    labeled = scored.join(
+        comp, scored["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("comp", "doc_id").alias("cluster"),
+        "quality_score",
+    )
+    return labeled.groupBy("cluster").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("quality_score"), (-F.col("doc_id")).alias("nid")),
+        )
+        .cast("bigint")
+        .alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).select(
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "canonical_id",
+        "n_docs",
+    )
+
+
+_NFC_ORACLE = """
+WITH decomposed AS (
+    SELECT doc_id, text || ' cafe' || chr(769) || ' nino' || chr(771)
+               AS text_raw
+    FROM documents
+), norm AS (
+    SELECT doc_id, text_raw, nfc_normalize(text_raw) AS text_nfc
+    FROM decomposed
+)
+SELECT doc_id,
+       CAST(length(text_raw) AS BIGINT) AS chars_raw,
+       CAST(length(text_nfc) AS BIGINT) AS chars_nfc,
+       md5(text_nfc) AS nfc_md5
+FROM norm
+"""
+
+
+@query("text_nfc_normalize", _NFC_ORACLE)
+def q_text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization, value-checked cross-engine: combining
+    marks are injected deterministically (cafe+U+0301, nino+U+0303) so
+    the normalizer has real work — composed output is 2 chars shorter
+    and its md5 must agree byte-for-byte with DuckDB's nfc_normalize.
+    The UDF is the Arrow-batched slow-path exception; the md5/length
+    checks run JVM-side on its output."""
+    docs = _t_cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            # DECOMPOSED on purpose: cafe+U+0301, nino+U+0303 — NFC
+            # composes both. Explicit escapes so no editor can
+            # silently normalize the source bytes.
+            F.lit(" cafe\u0301 nino\u0303"),
+        ).alias("text_raw"),
+    )
+    norm = X.with_nfc_normalized(docs, "text_raw", "text_nfc")
+    return norm.select(
+        "doc_id",
+        F.length("text_raw").cast("bigint").alias("chars_raw"),
+        F.length("text_nfc").cast("bigint").alias("chars_nfc"),
+        F.md5("text_nfc").alias("nfc_md5"),
+    )

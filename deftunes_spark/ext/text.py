@@ -301,3 +301,39 @@ def with_pii_scrubbed(
     return out.withColumn(
         "n_redacted", n_redacted.cast("bigint")
     )
+
+
+def with_nfc_normalized(
+    df: DataFrame, col: str = "text", out_col: str = "text_nfc"
+) -> DataFrame:
+    """Unicode NFC normalization — the canonical first step of any
+    multilingual corpus prep (composes combining sequences so
+    'e'+U+0301 and 'é' dedup/fingerprint identically).
+
+    Spark has no built-in Unicode normalizer, so this is the honest
+    UDF case: an Arrow-batched pandas UDF over ``unicodedata`` (C
+    implementation, ~GB/s per core) — batch transfer, never
+    row-at-a-time. Everything downstream (fingerprint, dedup, tokens)
+    stays JVM-side on the normalized column."""
+    import unicodedata
+
+    import pandas  # noqa: F401 — resolves the UDF's type hints
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_batch(s):
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x)
+            if x is not None
+            else None
+        )
+
+    # Explicit (non-annotation) registration: `from __future__ import
+    # annotations` stringifies hints, which pandas_udf can't resolve
+    # against function-local imports.
+    _nfc_batch.__annotations__ = {
+        "s": pandas.Series,
+        "return": pandas.Series,
+    }
+    _nfc = pandas_udf(_nfc_batch, "string")
+
+    return df.withColumn(out_col, _nfc(F.col(col)))

@@ -112,3 +112,18 @@ def test_pack_sequences_bins_bounded(spark):
         later = [k for k in per_bin if k[0] == shard and k[1] > b]
         if later:
             assert tot >= 50 - 14  # closed bin is full up to one doc
+
+
+def test_nfc_normalization_composes(spark):
+    from deftunes_spark.ext.text import with_nfc_normalized
+
+    rows = [(1, "cafe\u0301"), (2, "caf\u00e9"), (3, None),
+            (4, "plain")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.text_nfc
+        for r in with_nfc_normalized(df).collect()
+    }
+    assert out[1] == out[2] == "caf\u00e9"
+    assert out[3] is None
+    assert out[4] == "plain"
