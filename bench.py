@@ -64,15 +64,23 @@ def main() -> None:
     # Steady-state timing: run each query once to compile/codegen the
     # plan, then time the second run — the number that characterizes
     # the plan itself rather than first-run JIT latency.
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
         fn(spark, sf_dir).collect()
+        # Release the warm-up run's localCheckpoint blocks (minhash
+        # signature table, component/pagerank loop states) BEFORE
+        # timing — leftover block-manager pressure from the warm-up
+        # (or a prior query) distorts the steady-state number by 2-4×.
+        gc.collect()
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        gc.collect()
 
     print(
         json.dumps(

@@ -230,6 +230,12 @@ def minhash_dedup_pairs(
     the defaults are the faster fixed-width-key path."""
     sh = shingles(df, id_col, text_col, n)
     sig = minhash_signatures(sh, id_col, num_hashes, hash_fn, dict_hashes)
+    # The signature table feeds FOUR plan branches (both sides of the
+    # band self-join, both sides of the estimate join); materialize it
+    # once or the whole shingle→hash→agg pipeline re-executes per
+    # branch. At scale this is the standard persisted minhash-signature
+    # table (n_docs × k hashes — orders of magnitude under the text).
+    sig = sig.localCheckpoint()
     pairs = lsh_candidate_pairs(
         sig, id_col, num_hashes, bands, hash_band_key
     )

@@ -28,6 +28,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     undirected: bool = False,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """PageRank with a FIXED iteration count (deterministic output —
     mirrorable by unrolled CTEs in the SQL oracle, unlike
@@ -43,9 +44,11 @@ def pagerank(
     (matches the common simplified formulation; with ``undirected=True``
     every node has outdegree ≥ 1 so the question is moot).
 
-    Each superstep: one join (contributions) + one groupBy (gather) +
-    a lineage cut, so ``iterations`` rounds cost O(iterations) shuffles
-    and the plan never deepens.
+    Each superstep: one join (contributions) + one groupBy (gather).
+    Lineage is cut every ``checkpoint_every`` rounds — not every round:
+    an eager materialization is a whole extra job, and a plan a few
+    supersteps deep is exactly what Catalyst handles well. Long runs
+    still never stack unbounded lineage.
     """
     e = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
@@ -79,9 +82,9 @@ def pagerank(
         .select("s", "d", (F.lit(1.0) / F.col("outdeg")).alias("w"))
         .localCheckpoint()
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
 
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = weighted.join(ranks, weighted["s"] == ranks["node"]).select(
             weighted["d"].alias("to"),
             (ranks["rank"] * weighted["w"]).alias("w"),
@@ -89,15 +92,13 @@ def pagerank(
         gathered = contribs.groupBy(F.col("to").alias("node")).agg(
             F.sum("w").alias("in_mass")
         )
-        ranks = (
-            nodes.join(gathered, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(gathered, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+            ).alias("rank"),
         )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks

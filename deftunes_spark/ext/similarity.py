@@ -20,8 +20,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _sql_vec(vec: list[float]) -> str:
+    """SQL text of a double-array literal. ``repr`` round-trips the
+    exact IEEE value; the ``D`` suffix pins the literal type to DOUBLE
+    (a bare ``0.5`` would parse as DECIMAL)."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
+
+
 def _vec_lit(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)).cast("double") for x in vec])
+    """Literal double array as ONE parsed expression. Building it from
+    per-element ``F.lit`` calls costs a py4j round trip per element —
+    at 64-dim × dozens of codewords/planes that is thousands of driver
+    round trips (seconds of pure Python time) before Catalyst ever
+    sees the plan; a single ``F.expr`` string is one."""
+    return F.expr(_sql_vec(vec))
+
+
+def _dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL text of Σ aᵢbᵢ — same aggregate(zip_with(...)) expression
+    tree ``dot_expr`` builds, but composed as text so loops over many
+    literal vectors stay O(1) in py4j calls."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql},"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -82,15 +105,16 @@ def random_hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
 def lsh_bucket_expr(
     vec_col: str, planes: np.ndarray
 ) -> Column:
-    """Bucket id = sign-bit integer over the hyperplane projections."""
-    bucket = F.lit(0).cast("long")
+    """Bucket id = sign-bit integer over the hyperplane projections.
+    Composed as ONE SQL string (a py4j call per plane × dim would make
+    DataFrame *construction* the bottleneck — see ``_vec_lit``)."""
+    terms = []
     for i, plane in enumerate(planes):
-        d = dot_expr(F.col(vec_col), _vec_lit([float(x) for x in plane]))
-        bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        d = _dot_sql(vec_col, _sql_vec([float(x) for x in plane]))
+        terms.append(
+            f"CASE WHEN {d} >= 0.0D THEN shiftleft(1L, {i}) ELSE 0L END"
         )
-        bucket = bucket + F.shiftleft(bit, i)
-    return bucket
+    return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
 
 
 # Above this many plane coefficients (n_bits × dim) the unrolled
@@ -261,18 +285,18 @@ def ivf_assign(
 
     ``d_c = ‖v‖² − 2·(v·c) + ‖c‖²`` with ``‖c‖²`` folded to a literal;
     argmin = first index attaining the minimum (ties break low)."""
-    v = F.col(vec_col)
-    dists = F.array(
-        *[
-            dot_expr(v, v)
-            - F.lit(2.0) * dot_expr(v, _vec_lit(c))
-            + F.lit(float(np.dot(c, c)))
-            for c in centroids
-        ]
-    )
+    dists = "array(" + ", ".join(
+        f"{_dot_sql(vec_col, vec_col)}"
+        f" - 2.0D * {_dot_sql(vec_col, _sql_vec(c))}"
+        f" + {float(np.dot(c, c))!r}D"
+        for c in centroids
+    ) + ")"
     return df.withColumn(
         list_col,
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        F.expr(
+            f"CAST(array_position({dists}, array_min({dists})) - 1"
+            " AS INT)"
+        ),
     )
 
 
@@ -376,18 +400,22 @@ def pq_encode(
     m, k_sub, dsub = codebooks.shape
     codes = []
     for j in range(m):
-        s = F.slice(F.col(vec_col).cast("array<double>"), j * dsub + 1, dsub)
-        dists = F.array(
-            *[
-                F.lit(-2.0) * dot_expr(s, _vec_lit(list(c)))
-                + F.lit(float(np.dot(c, c)))
-                for c in codebooks[j]
-            ]
+        s = (
+            f"slice(CAST({vec_col} AS array<double>),"
+            f" {j * dsub + 1}, {dsub})"
         )
+        dists = "array(" + ", ".join(
+            f"-2.0D * {_dot_sql(s, _sql_vec(list(c)))}"
+            f" + {float(np.dot(c, c))!r}D"
+            for c in codebooks[j]
+        ) + ")"
         codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            f"CAST(array_position({dists}, array_min({dists})) - 1"
+            " AS INT)"
         )
-    return df.withColumn(code_col, F.array(*codes))
+    return df.withColumn(
+        code_col, F.expr("array(" + ", ".join(codes) + ")")
+    )
 
 
 def pq_adc_scores(
@@ -404,15 +432,15 @@ def pq_adc_scores(
     touches the embedding column."""
     m, k_sub, dsub = codebooks.shape
     q = np.asarray(query_vec, dtype="float64")
-    score = None
+    terms = []
     for j in range(m):
         lut = [float(np.dot(q[j * dsub : (j + 1) * dsub], c))
                for c in codebooks[j]]
-        term = F.element_at(
-            _vec_lit(lut), F.col(code_col)[j] + F.lit(1)
+        # arr[j] is 0-based in Spark SQL; element_at is 1-based.
+        terms.append(
+            f"element_at({_sql_vec(lut)}, {code_col}[{j}] + 1)"
         )
-        score = term if score is None else score + term
-    return encoded.withColumn(score_col, score)
+    return encoded.withColumn(score_col, F.expr(" + ".join(terms)))
 
 
 def pq_topk(
