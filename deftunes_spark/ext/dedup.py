@@ -280,6 +280,9 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_doc_freq)
             .drop("_df")
         )
+    # The shingle set feeds four plan branches (sizes + both join
+    # sides); materialize once so split+explode+distinct runs once.
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -422,6 +425,10 @@ def simhash_near_pairs(
         raise ValueError(
             f"max_hamming must be in [0, 15], got {max_hamming}"
         )
+    # Both sides of the chunk self-join read sim_df; materialize so the
+    # upstream fingerprint pipeline (token explode + 64 bit votes)
+    # executes once, not once per branch.
+    sim_df = sim_df.localCheckpoint()
     n_chunks = max_hamming + 1
     # Spread 64 bits as evenly as possible: first (64 % n) chunks get
     # one extra bit.
