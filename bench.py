@@ -4,15 +4,28 @@ Prints ONE JSON line:
   {"metric": "headline_queries_total", "value": N, "unit": "sec",
    "queries": {...}, "sf": ...}
 
-Timing is per-query wall clock around the terminal action
-(``collect`` — every headline query returns a small aggregate/top-k
-result, so collect cost is the query cost, not a transfer cost).
+Measurement isolation (round-3 fix): each headline query runs in its
+OWN subprocess with a fresh JVM/SparkSession. Round 2 showed that a
+single-session sweep is untrustworthy — leftover localCheckpoint
+blocks from the heavy iterative queries (minhash signatures,
+PageRank/component loop state) poison later timings by 3-15x
+depending on run order. Per-query isolation plus a 3-run median
+inside each subprocess gives numbers that match isolated re-timing
+and agree run-over-run within ~20%.
+
+Per query, the subprocess runs the query once to warm codegen/IO,
+then times 3 runs and reports all of them; the parent records the
+median. Timing wraps the terminal ``collect`` — every headline query
+returns a small aggregate/top-k result, so collect cost is the query
+cost, not a transfer cost.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
@@ -20,7 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: the flagship BI views, a scan-heavy filter, a windowed
 # top-k, a multi-way join agg, and the scale-path extension operators —
-# including the shuffle-heavy dedup/ANN family (minhash-LSH e2e,
+# including the shuffle-heavy dedup/ANN family (minhash-LSH e2e — both
+# the md5 oracle-mirror variant and the production xxhash64 path —
 # iterative connected components, LSH-probe top-k) so regressions in
 # the expensive shapes show up round-over-round, not just the cheap
 # single-shuffle queries.
@@ -33,6 +47,7 @@ HEADLINE = [
     "date_parts",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_minhash_fast",
     "dedup_components",
     "text_quality",
     "corpus_curation",
@@ -44,13 +59,21 @@ HEADLINE = [
     "events_tumbling",
 ]
 
+TIMED_RUNS = 3
 
-def main() -> None:
+
+def _run_one(name: str, sf_dir: str) -> None:
+    """Child mode: fresh session, warm-up + TIMED_RUNS timed runs.
+
+    Prints one JSON line {"name": ..., "runs": [...]} and exits.
+    """
     from deftunes_spark.registry import QUERIES
     from deftunes_spark.session import get_spark
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    fn = QUERIES.get(name)
+    if fn is None:
+        print(json.dumps({"name": name, "runs": None, "err": "unknown query"}))
+        return
     # Local-mode input-split sizing: the sf0.1 parquet files are ~10 MB,
     # so the cluster default (128 MB → 1 split) would serialize every
     # scan on one of 32 cores. Sizing splits to the file/core ratio is
@@ -60,39 +83,60 @@ def main() -> None:
         extra_conf={"spark.sql.files.maxPartitionBytes": "2MB"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-
-    # Steady-state timing: run each query once to compile/codegen the
-    # plan, then time the second run — the number that characterizes
-    # the plan itself rather than first-run JIT latency.
-    import gc
-
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        fn(spark, sf_dir).collect()
-        # Release the warm-up run's localCheckpoint blocks (minhash
-        # signature table, component/pagerank loop states) BEFORE
-        # timing — leftover block-manager pressure from the warm-up
-        # (or a prior query) distorts the steady-state number by 2-4×.
-        gc.collect()
+    fn(spark, sf_dir).collect()  # warm-up: codegen + file listing
+    runs = []
+    for _ in range(TIMED_RUNS):
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        gc.collect()
+        runs.append(round(time.perf_counter() - t0, 3))
+    print(json.dumps({"name": name, "runs": runs}))
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        _run_one(sys.argv[2], sf_dir)
+        return
+
+    timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    here = os.path.abspath(__file__)
+    for name in HEADLINE:
+        proc = subprocess.run(
+            [sys.executable, here, "--one", name],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=1800,
         )
-    )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            errors[name] = (proc.stderr or "no output")[-500:]
+            continue
+        if not rec.get("runs"):
+            errors[name] = rec.get("err", "no runs")
+            continue
+        all_runs[name] = rec["runs"]
+        timings[name] = round(statistics.median(rec["runs"]), 3)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs": all_runs,
+        "isolation": "per-query subprocess, median of %d" % TIMED_RUNS,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

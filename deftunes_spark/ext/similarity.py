@@ -381,23 +381,75 @@ def pq_train(
     return np.asarray(books)
 
 
+# Above this many codebook coefficients (k_sub × dim) the unrolled
+# literal encode expression hits the same driver-side analysis/codegen
+# blow-up `with_lsh_bucket` hit (a 768-dim × k_sub=256 codebook is
+# ~196k expression nodes). Past the cutoff, encoding switches to one
+# Arrow-batched vectorized stage. 4× the LSH cutoff because the encode
+# expression is flat literal arrays (cheap nodes), not nested CASEs.
+PQ_EXPR_MAX_COEFFS = 4 * LSH_EXPR_MAX_COEFFS
+
+
+def pq_encode_pandas_udf(codebooks: np.ndarray):
+    """Arrow-batched PQ encode: per batch, one (batch, dsub) × (dsub,
+    k_sub) matmul per subspace, then argmin. The codebook array ships
+    once per executor in the UDF closure (m × k_sub × dsub × 8 B —
+    ~1.5 MB for a 768-dim k_sub=256 book, far below broadcast-join
+    territory). argmin ties break low, matching the expr path's
+    array_position-of-array_min."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, k_sub, dsub = books.shape
+    # Precompute ‖c‖² per codeword and the transposed books for matmul.
+    books_t = [np.ascontiguousarray(books[j].T) for j in range(m)]
+    c_norms = [np.einsum("kd,kd->k", books[j], books[j]) for j in range(m)]
+
+    @pandas_udf("array<int>")
+    def _encode(v: pd.Series) -> pd.Series:
+        arr = np.array(v.tolist(), dtype=np.float64)  # (batch, dim)
+        codes = np.empty((arr.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            sub = arr[:, j * dsub : (j + 1) * dsub]  # (batch, dsub)
+            # argmin_c ‖s−c‖² = argmin_c (−2·s·c + ‖c‖²)
+            dist = -2.0 * (sub @ books_t[j]) + c_norms[j]
+            codes[:, j] = np.argmin(dist, axis=1)
+        return pd.Series(list(codes))
+
+    return _encode
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     code_col: str = "pq_code",
+    method: str = "auto",
 ) -> DataFrame:
     """Attach the PQ code: for each subspace j, the index of the
-    nearest codeword (squared L2, ties break low) — pure column
-    expressions, mirrorable in ANSI SQL for the correctness oracle.
+    nearest codeword (squared L2, ties break low).
+
+    ``method="expr"`` unrolls pure column expressions — mirrorable in
+    ANSI SQL for the correctness oracle, best for small codebooks.
+    ``method="arrow"`` runs one Arrow-batched numpy stage — the path
+    for realistic dims (768+) × k_sub=256, where the literal expression
+    tree would make the DRIVER the bottleneck before a task runs.
+    ``"auto"`` picks by ``PQ_EXPR_MAX_COEFFS`` over k_sub × dim, the
+    same auto-cutoff pattern as ``with_lsh_bucket``. Both paths agree
+    exactly up to float summation order (an argmin flips only when two
+    codewords are within ~1 ulp).
 
     Distances drop the codeword-independent ‖s‖² term:
     argmin_c ‖s−c‖² = argmin_c (−2·s·c + ‖c‖²), halving the
-    expression count. Expression size is m × k_sub × dim/m = k_sub×dim
-    coefficients; beyond ~``LSH_EXPR_MAX_COEFFS``×4 prefer training
-    k_sub=256 with an Arrow-batched encode (same pattern as
-    ``lsh_bucket_pandas_udf``)."""
+    expr-path expression count."""
     m, k_sub, dsub = codebooks.shape
+    if method == "auto":
+        method = "expr" if k_sub * m * dsub <= PQ_EXPR_MAX_COEFFS else "arrow"
+    if method == "arrow":
+        udf = pq_encode_pandas_udf(codebooks)
+        return df.withColumn(code_col, udf(F.col(vec_col)))
+    if method != "expr":
+        raise ValueError(f"unknown method {method!r}")
     codes = []
     for j in range(m):
         s = (

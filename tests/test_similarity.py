@@ -209,6 +209,59 @@ def test_pq_trained_recall_beats_floor(vectors):
     assert len(exact & approx) >= 7
 
 
+def test_pq_encode_arrow_realistic_dims(spark):
+    """The 100 TB encode shape: 768-dim vectors, m=8, k_sub=256 —
+    196,608 codebook coefficients, far past PQ_EXPR_MAX_COEFFS, so
+    method='auto' must take the Arrow path (the expr path at this size
+    is a driver-side plan-construction blow-up). Codes must match a
+    direct numpy full-distance argmin."""
+    dim, m, k_sub, n = 768, 8, 256, 40
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, [float(x) for x in rng.randn(dim)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = S.pq_codebooks_random(dim, m=m, k_sub=k_sub, seed=7)
+    assert k_sub * dim > S.PQ_EXPR_MAX_COEFFS
+
+    got = {
+        r.vec_id: list(r.pq_code)
+        for r in S.pq_encode(df, books, method="auto").collect()
+    }
+    dsub = dim // m
+    for vid, v in rows:
+        x = np.asarray(v)
+        want = []
+        for j in range(m):
+            s = x[j * dsub : (j + 1) * dsub]
+            d = ((books[j] - s) ** 2).sum(axis=1)
+            want.append(int(np.argmin(d)))
+        assert got[vid] == want, vid
+
+
+def test_pq_encode_expr_and_arrow_paths_agree(spark):
+    """Integer-valued vectors and codebooks → every distance is exact
+    in float64, so the expr and Arrow paths must agree code-for-code
+    (same guarantee style as the LSH twin test)."""
+    dim, m, k_sub, n = 16, 4, 8, 60
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in rng.randint(-4, 5, size=dim)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = rng.randint(-3, 4, size=(m, k_sub, dim // m)).astype(np.float64)
+    a = {
+        r.vec_id: list(r.pq_code)
+        for r in S.pq_encode(df, books, method="expr").collect()
+    }
+    b = {
+        r.vec_id: list(r.pq_code)
+        for r in S.pq_encode(df, books, method="arrow").collect()
+    }
+    assert a == b
+
+
 def test_pq_precomputed_code_column(vectors):
     df, rows = vectors
     books = S.pq_codebooks_random(16, m=4, k_sub=8, seed=5)
