@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from deftunes_spark.ext.lineage import cut_lineage
+
 
 def _hash_col(col: Column, seed: int, fn: str) -> Column:
     """Seeded string hash. xxhash64 → bigint; md5 → hex string (min()
@@ -221,13 +223,17 @@ def minhash_dedup_pairs(
     hash_fn: str = "xxhash64",
     hash_band_key: bool = True,
     dict_hashes: bool = False,
+    reliable: bool = False,
 ) -> DataFrame:
     """End-to-end near-duplicate pairs: shingle → MinHash → LSH bands →
     estimated-Jaccard filter. Returns (id_a, id_b, est_jaccard).
 
     ``hash_fn="md5"`` + ``hash_band_key=False`` makes every step
     expressible in ANSI SQL (the DuckDB oracle mirrors it exactly);
-    the defaults are the faster fixed-width-key path."""
+    the defaults are the faster fixed-width-key path.
+    ``reliable=True`` materializes the signature table to the
+    configured checkpoint dir instead of executor-local blocks (the
+    cluster path — see ``ext.lineage``)."""
     sh = shingles(df, id_col, text_col, n)
     sig = minhash_signatures(sh, id_col, num_hashes, hash_fn, dict_hashes)
     # The signature table feeds FOUR plan branches (both sides of the
@@ -235,7 +241,7 @@ def minhash_dedup_pairs(
     # once or the whole shingle→hash→agg pipeline re-executes per
     # branch. At scale this is the standard persisted minhash-signature
     # table (n_docs × k hashes — orders of magnitude under the text).
-    sig = sig.localCheckpoint()
+    sig = cut_lineage(sig, reliable)
     pairs = lsh_candidate_pairs(
         sig, id_col, num_hashes, bands, hash_band_key
     )
@@ -484,6 +490,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    reliable: bool = False,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: turn
     pairwise near-dup EDGES into dedup CLUSTERS (component id = min
@@ -497,25 +504,28 @@ def connected_components(
 
     Scale notes: the per-iteration work is one groupBy(dst).min over
     the edge list — a single shuffle keyed by node id. Lineage is cut
-    with localCheckpoint so 50 iterations don't stack 50 plans. For
-    100 TB graphs with long chains, switch to the large-star/small-star
-    rewrite (Kiveris et al., "Connected Components in MapReduce"),
-    which converges in O(log²) rounds; near-dup dedup never needs it.
+    per round so 50 iterations don't stack 50 plans; ``reliable=True``
+    writes the cuts to the configured checkpoint dir so an executor
+    loss mid-iteration doesn't kill a cluster run (``ext.lineage``).
+    For 100 TB graphs with long chains, switch to the
+    large-star/small-star rewrite (Kiveris et al., "Connected
+    Components in MapReduce"), which converges in O(log²) rounds;
+    near-dup dedup never needs it.
     """
     # Materialize the (symmetrized) edge list ONCE before iterating:
     # it is referenced in every round, and without a checkpoint the
     # entire upstream pair-generation plan (shingle → candidate join →
     # verify — the expensive part) would re-execute per iteration.
-    sym = (
+    sym = cut_lineage(
         edges.selectExpr(f"{src} AS s", f"{dst} AS d")
-        .unionAll(edges.selectExpr(f"{dst} AS s", f"{src} AS d"))
-        .localCheckpoint()
+        .unionAll(edges.selectExpr(f"{dst} AS s", f"{src} AS d")),
+        reliable,
     )
-    comp = (
+    comp = cut_lineage(
         sym.select(F.col("s").alias("node"))
         .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint()
+        .withColumn("comp", F.col("node")),
+        reliable,
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -535,7 +545,7 @@ def connected_components(
                 (F.col("nmin") < F.col("comp")).alias("_chg"),
             )
         )
-        updated = updated.localCheckpoint()
+        updated = cut_lineage(updated, reliable)
         changed = updated.filter(F.col("_chg")).limit(1).count()
         comp = updated.drop("_chg")
         if changed == 0:

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from deftunes_spark.ext.lineage import cut_lineage
+
 
 def pagerank(
     edges: DataFrame,
@@ -29,6 +31,7 @@ def pagerank(
     damping: float = 0.85,
     undirected: bool = False,
     checkpoint_every: int = 4,
+    reliable: bool = False,
 ) -> DataFrame:
     """PageRank with a FIXED iteration count (deterministic output —
     mirrorable by unrolled CTEs in the SQL oracle, unlike
@@ -49,6 +52,11 @@ def pagerank(
     an eager materialization is a whole extra job, and a plan a few
     supersteps deep is exactly what Catalyst handles well. Long runs
     still never stack unbounded lineage.
+
+    ``reliable=True`` switches every lineage cut from executor-local
+    blocks to the configured checkpoint directory — the cluster path,
+    where an executor loss mid-iteration must not kill the job (see
+    ``ext.lineage``).
     """
     e = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
@@ -58,13 +66,13 @@ def pagerank(
             e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
             .distinct()
         )
-    e = e.localCheckpoint()
+    e = cut_lineage(e, reliable)
 
-    nodes = (
+    nodes = cut_lineage(
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable,
     )
     n = nodes.count()
     if n == 0:
@@ -77,10 +85,10 @@ def pagerank(
     outdeg = e.groupBy(F.col("s").alias("node")).agg(
         F.count("*").alias("outdeg")
     )
-    weighted = (
+    weighted = cut_lineage(
         e.join(outdeg, e["s"] == outdeg["node"])
-        .select("s", "d", (F.lit(1.0) / F.col("outdeg")).alias("w"))
-        .localCheckpoint()
+        .select("s", "d", (F.lit(1.0) / F.col("outdeg")).alias("w")),
+        reliable,
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
 
@@ -100,5 +108,5 @@ def pagerank(
             ).alias("rank"),
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
-            ranks = ranks.localCheckpoint()
+            ranks = cut_lineage(ranks, reliable)
     return ranks

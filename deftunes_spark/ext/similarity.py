@@ -349,13 +349,19 @@ def pq_train(
     seed: int = 23,
     max_iter: int = 10,
     fit_max_rows: int | None = 1_000_000,
+    reliable: bool = False,
 ) -> np.ndarray:
     """Train PQ codebooks: an independent k-means per subspace over a
     bounded sample (same sampled-fit discipline as ``ivf_index`` —
     training touches ≤ ``fit_max_rows`` vectors regardless of corpus
-    size; only encoding is a full pass). Returns (m, k_sub, dim/m)."""
+    size; only encoding is a full pass). Returns (m, k_sub, dim/m).
+    ``reliable=True`` materializes the training sample to the
+    configured checkpoint dir instead of executor-local blocks
+    (``ext.lineage``)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    from deftunes_spark.ext.lineage import cut_lineage
 
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -368,7 +374,7 @@ def pq_train(
                 fraction=min(1.0, 1.1 * fit_max_rows / n), seed=seed
             )
     # One cached pass feeds all m sub-fits.
-    train = train.localCheckpoint()
+    train = cut_lineage(train, reliable)
     books = []
     for j in range(m):
         sub = train.select(

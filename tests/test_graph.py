@@ -60,3 +60,60 @@ def test_pagerank_hub_outranks_leaves(spark):
 def test_pagerank_empty_edges(spark):
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df, iterations=2).count() == 0
+
+
+def test_pagerank_reliable_checkpoint(spark, tmp_path):
+    """reliable=True writes lineage cuts to the configured checkpoint
+    dir (the cluster path surviving executor loss) and must produce
+    bit-identical ranks; without a checkpoint dir it fails fast."""
+    import pytest
+
+    from deftunes_spark.ext.lineage import ensure_checkpoint_dir
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (1, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    with pytest.raises(ValueError, match="checkpoint dir"):
+        pagerank(df, iterations=2, reliable=True).collect()
+
+    ensure_checkpoint_dir(spark, str(tmp_path / "ckpt"))
+    try:
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                df, iterations=5, checkpoint_every=2, reliable=True
+            ).collect()
+        }
+        want = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                df, iterations=5, checkpoint_every=2
+            ).collect()
+        }
+        assert got == want
+        import os
+
+        assert os.listdir(str(tmp_path / "ckpt"))  # cuts actually landed
+    finally:
+        sc.setCheckpointDir(None)
+
+
+def test_components_reliable_checkpoint(spark, tmp_path):
+    from deftunes_spark.ext.dedup import connected_components
+    from deftunes_spark.ext.lineage import ensure_checkpoint_dir
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    ensure_checkpoint_dir(spark, str(tmp_path / "ckpt2"))
+    try:
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(df, reliable=True).collect()
+        }
+    finally:
+        spark.sparkContext.setCheckpointDir(None)
+    assert got == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20
+    }
