@@ -115,10 +115,18 @@ def compact_path(
 
     Sizing is measured, not guessed: file count = ceil(current_bytes /
     target). The rewrite round-robins rows (``repartition(n)``) for
-    even output sizes, writes to a staging dir, then swaps via rename
-    so a crash mid-write leaves the original intact (same staged-swap
-    discipline as ``io.writers.merge_upsert``). Returns
-    {files_before, bytes_before, files_after}.
+    even output sizes, writes to a staging dir, then swaps via rename.
+
+    Crash safety: a directory swap on a rename-based FS is two renames
+    (``path→old``, ``staging→path``) and cannot be atomic, so the
+    protocol is roll-forward-able at every step instead. The staging
+    write completes (``_SUCCESS`` marker) before any rename; ``__old``
+    is retained until the new ``path`` is verified live (non-empty
+    stats) and only then deleted. A crash at ANY point leaves a state
+    ``recover_compact_path`` repairs deterministically: staging
+    complete + path missing → finish the swap; staging absent/partial
+    + path missing → roll back ``__old``; path live → sweep residue.
+    Returns {files_before, bytes_before, files_after}.
     """
     import math
 
@@ -141,10 +149,67 @@ def compact_path(
     )
     fs.rename(_p(path), _p(old))
     fs.rename(_p(staging), _p(path))
+    # Verify the new path is actually live BEFORE dropping the only
+    # remaining copy of the previous table state.
+    n_after, bytes_after = path_file_stats(spark, path, f".{fmt}")
+    if n_after == 0 or bytes_after == 0:
+        # Swap did not land (rename raced/failed) — roll back.
+        fs.delete(_p(path), True)
+        fs.rename(_p(old), _p(path))
+        raise RuntimeError(
+            f"compaction swap verification failed for {path}; "
+            "original table restored from __old"
+        )
     fs.delete(_p(old), True)
-    n_after, _ = path_file_stats(spark, path, f".{fmt}")
     return {
         "files_before": n_before,
         "bytes_before": bytes_before,
         "files_after": n_after,
     }
+
+
+def recover_compact_path(spark, path: str, fmt: str = "parquet") -> str:
+    """Repair an interrupted ``compact_path`` swap; idempotent.
+
+    Decision table (returns the action taken):
+
+    - ``path`` live → sweep ``__compact_staging``/``__old`` residue
+      (``"clean"`` / ``"swept_residue"``).
+    - ``path`` missing, staging COMPLETE (``_SUCCESS`` present) →
+      roll forward: ``staging→path``, drop ``__old``
+      (``"rolled_forward"``).
+    - ``path`` missing, staging absent or partial → roll back:
+      ``old→path``, drop staging (``"rolled_back"``).
+
+    Run it before any read/write of ``path`` after an unclean shutdown
+    (or wire it as the first step of the nightly maintenance job).
+    """
+    staging, old = f"{path}__compact_staging", f"{path}__old"
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+
+    def _p(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    if fs.exists(_p(path)):
+        swept = False
+        for residue in (staging, old):
+            if fs.exists(_p(residue)):
+                fs.delete(_p(residue), True)
+                swept = True
+        return "swept_residue" if swept else "clean"
+
+    staging_complete = fs.exists(_p(f"{staging}/_SUCCESS"))
+    if staging_complete:
+        fs.rename(_p(staging), _p(path))
+        fs.delete(_p(old), True)
+        return "rolled_forward"
+    if fs.exists(_p(old)):
+        fs.delete(_p(staging), True)
+        fs.rename(_p(old), _p(path))
+        return "rolled_back"
+    raise RuntimeError(
+        f"{path}: no live table, no complete staging, no __old backup — "
+        "not a compact_path crash state"
+    )

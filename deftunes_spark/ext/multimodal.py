@@ -7,21 +7,35 @@ and predicate pushdown works on the metadata.
 
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages: the Spark-side plumbing (schemas, batching,
-partitioning) is real and tested; the codec call itself is stubbed
-(``NotImplementedError``) or replaced by a deterministic fake, because
-this container ships no image/audio libraries. Swapping in PIL/ffmpeg
-changes ONE marked function per operator, nothing else.
+partitioning) is real and tested. The codec itself is OPTIONAL: when
+PIL (Pillow) is importable, ``fake_features=False`` /
+``fake_resize=False`` run a real decode/resize through the ONE marked
+boundary function (``_decode_image``); without it the deterministic
+fake keeps the full pipeline shape testable and the real path raises
+with a clear message. ffmpeg-class audio/video decode remains a
+documented stub.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional codec — absent in the build container
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - exercised via codec_available
+    _PILImage = None
+
+
+def codec_available() -> bool:
+    """True when a real image codec (Pillow) is importable."""
+    return _PILImage is not None
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -83,13 +97,38 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_image(payload: bytes) -> "object":
-    """CODEC BOUNDARY — the only line a real deployment replaces
-    (e.g. PIL.Image.open). No image libs in this container."""
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "use fake_features=True or install a codec and replace "
-        "_decode_image"
+    """CODEC BOUNDARY — the only function that touches a real image
+    library. PIL when installed; a clear error otherwise (the build
+    container ships no image libs — use the ``fake_*`` paths there)."""
+    if _PILImage is None:
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "use fake_features=True / fake_resize=True or install "
+            "Pillow"
+        )
+    return _PILImage.open(io.BytesIO(payload))
+
+
+def _real_feature(payload: bytes, dim: int) -> list[float]:
+    """Real image feature via the codec: grayscale, resize to a dim×1
+    strip (area-average), pixels scaled to [-1, 1] — a deterministic,
+    library-stable baseline embedding (a model-based encoder slots in
+    here unchanged: same batch shape, same output schema)."""
+    img = _decode_image(payload).convert("L").resize(
+        (dim, 1), resample=_PILImage.BILINEAR
     )
+    return [p / 127.5 - 1.0 for p in img.getdata()]
+
+
+def _real_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize via the codec; re-encodes as PNG (deterministic,
+    lossless — byte size varies with content, unlike the fake)."""
+    img = _decode_image(payload).resize(
+        (width, height), resample=_PILImage.BILINEAR
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
 
 
 def _fake_feature(payload: bytes, dim: int) -> list[float]:
@@ -126,7 +165,7 @@ def extract_image_features(
                 if fake_features:
                     feats.append(_fake_feature(data, dim))
                 else:
-                    _decode_image(data)  # pragma: no cover
+                    feats.append(_real_feature(data, dim))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -197,8 +236,8 @@ def resize_images(
     out — partition-parallel, zero shuffle, output sized by the TARGET
     dims (the 100 TB note: resized outputs are usually much smaller
     than inputs, so repartition-by-bytes AFTER this stage, not before).
-    The codec call is the one marked function (``fake_resize=False``
-    raises via ``_decode_image`` until PIL/ffmpeg is swapped in)."""
+    The codec call is the one marked boundary (``fake_resize=False``
+    runs PIL when installed, raises clearly otherwise)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -208,7 +247,7 @@ def resize_images(
                 if fake_resize:
                     resized.append(_fake_resize(data, width, height))
                 else:
-                    _decode_image(data)  # pragma: no cover
+                    resized.append(_real_resize(data, width, height))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

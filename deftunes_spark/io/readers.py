@@ -84,6 +84,122 @@ def fetch_rest_window(
     return read_json_literal(spark, json.dumps(rows))
 
 
+def _urllib_fetcher(url: str) -> list[dict]:
+    """Stdlib HTTP fetcher (no external deps — picklable for the
+    executor-side fan-out). Non-200 raises; body must be a JSON array."""
+    from urllib.request import urlopen  # noqa: PLC0415
+
+    with urlopen(url, timeout=60) as resp:
+        if resp.status != 200:
+            raise RuntimeError(f"API returned {resp.status} for {url}")
+        return json.loads(resp.read().decode("utf-8"))
+
+
+def fetch_rest_windows(
+    spark: SparkSession,
+    api_url: str,
+    windows: list[tuple[str, str]],
+    fetcher: Callable[[str], list[dict]] | None = None,
+    max_workers: int = 8,
+    landing_path: str | None = None,
+    num_files: int = 1,
+) -> DataFrame:
+    """Backfill fan-out: fetch MANY date windows concurrently (driver
+    thread pool), preserving the per-window idempotent landing write
+    (api-extract-job.py:66-72 — each window overwrites its own
+    ``ingest_on={start}`` partition path, so re-running a backfill is
+    a no-op byte-wise).
+
+    Same endpoint contract as ``fetch_rest_window``; HTTP latency —
+    the driver loop's actual bottleneck over a long backfill — is
+    overlapped across ``max_workers`` threads. Landing writes run
+    after the fetches (driver-side Spark job submission is serial
+    anyway). For 1000-way executor-side fan-out use
+    ``fetch_rest_windows_distributed``.
+    """
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    fetcher = fetcher or _urllib_fetcher
+
+    def one(w: tuple[str, str]) -> tuple[str, str, list[dict]]:
+        s, e = w
+        rows = fetcher(f"{api_url}?start_date={s}&end_date={e}")
+        if not isinstance(rows, list):
+            raise ValueError("API payload must be a JSON array of records")
+        return s, e, rows
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        results = list(ex.map(one, windows))
+
+    all_rows: list[dict] = []
+    if landing_path is not None:
+        from deftunes_spark.io.writers import (  # noqa: PLC0415
+            write_landing_json,
+        )
+
+        for s, _e, rows in results:
+            write_landing_json(
+                read_json_literal(spark, json.dumps(rows)),
+                landing_path,
+                s,
+                num_files,
+            )
+    for _s, _e, rows in results:
+        all_rows.extend(rows)
+    return read_json_literal(spark, json.dumps(all_rows))
+
+
+def fetch_rest_windows_distributed(
+    spark: SparkSession,
+    api_url: str,
+    windows: list[tuple[str, str]],
+    fetcher: Callable[[str], list[dict]] | None = None,
+) -> DataFrame:
+    """Executor-side window fan-out: one HTTP fetch per TASK via
+    ``mapInPandas`` over a window table — the 1000-way-parallel
+    backfill shape SCALE.md describes (rate limiting becomes task
+    sizing; a failed window retries with its task).
+
+    Returns ``(start_date, end_date, record)`` where ``record`` is the
+    raw JSON object text (sorted keys — deterministic) — parsing /
+    schema enforcement happens in the transform layer, same
+    inferred-then-enforced discipline as the landing files. Write with
+    ``partitionBy('start_date')`` + dynamic partition overwrite for
+    the idempotent-per-window landing contract at scale.
+
+    Caveat (SCALE.md): against a cursorless offset-paging API,
+    per-window fetches race concurrent upstream writes — use for
+    backfills over closed windows, not the live increment.
+    """
+    fetcher = fetcher or _urllib_fetcher
+    wdf = spark.createDataFrame(
+        list(windows), "start_date string, end_date string"
+    ).repartition(max(1, len(windows)))
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            for s, e in zip(pdf["start_date"], pdf["end_date"]):
+                rows = fetcher(f"{api_url}?start_date={s}&end_date={e}")
+                if not isinstance(rows, list):
+                    raise ValueError(
+                        "API payload must be a JSON array of records"
+                    )
+                recs = [json.dumps(r, sort_keys=True) for r in rows]
+                yield pd.DataFrame(
+                    {
+                        "start_date": [s] * len(recs),
+                        "end_date": [e] * len(recs),
+                        "record": recs,
+                    }
+                )
+
+    return wdf.mapInPandas(
+        run, "start_date string, end_date string, record string"
+    )
+
+
 # --- S2: JSON literal → DataFrame ----------------------------------------
 def read_json_literal(spark: SparkSession, payload: str) -> DataFrame:
     """Parallelize a JSON string and infer schema (api-extract-job.py:63)."""

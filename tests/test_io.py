@@ -104,3 +104,108 @@ def test_upsert_table(spark):
     upsert_table(spark, upd, "upsert_t", ["k"])
     assert spark.table("upsert_t").count() == 4
     spark.sql("DROP TABLE IF EXISTS upsert_t")
+
+
+class _WindowStubServer:
+    """Local HTTP stub: serves a deterministic JSON array derived from
+    the window query params — the per-window fetch contract."""
+
+    def __enter__(self):
+        import http.server
+        import threading
+        from urllib.parse import parse_qs, urlparse
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                q = parse_qs(urlparse(self.path).query)
+                s = q["start_date"][0]
+                e = q["end_date"][0]
+                body = json.dumps(
+                    [
+                        {"user_id": i, "window_start": s, "window_end": e}
+                        for i in range(3)
+                    ]
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # silence request logging
+                pass
+
+        self.srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.thread = threading.Thread(target=self.srv.serve_forever)
+        self.thread.daemon = True
+        self.thread.start()
+        return f"http://127.0.0.1:{self.srv.server_address[1]}/sessions"
+
+    def __exit__(self, *exc):
+        self.srv.shutdown()
+        self.thread.join()
+
+
+def _landing_bytes(path):
+    """Sorted per-window concatenated landing content (file NAMES carry
+    a write UUID; the idempotence contract is about bytes)."""
+    import glob as g
+    import os
+
+    out = {}
+    for d in sorted(g.glob(str(path) + "/ingest_on=*")):
+        chunks = []
+        for f in sorted(g.glob(d + "/part-*")):
+            with open(f, "rb") as fh:
+                chunks.append(fh.read())
+        out[os.path.basename(d)] = b"".join(chunks)
+    return out
+
+
+def test_fetch_rest_windows_concurrent_landing(spark, tmp_path):
+    """Three windows fetched through a real (local) HTTP stub with a
+    concurrent pool; per-window landing paths written idempotently —
+    re-running the backfill produces byte-identical landing output."""
+    from deftunes_spark.io.readers import fetch_rest_windows
+
+    windows = [
+        ("2020-01-01", "2020-02-01"),
+        ("2020-02-01", "2020-03-01"),
+        ("2020-03-01", "2020-04-01"),
+    ]
+    land = str(tmp_path / "landing")
+    with _WindowStubServer() as url:
+        df = fetch_rest_windows(
+            spark, url, windows, max_workers=3, landing_path=land
+        )
+        assert df.count() == 9
+        assert set(df.columns) == {"user_id", "window_start", "window_end"}
+        first = _landing_bytes(land)
+        assert set(first) == {f"ingest_on={s}" for s, _ in windows}
+        # Idempotent re-run: same bytes per window partition.
+        fetch_rest_windows(
+            spark, url, windows, max_workers=3, landing_path=land
+        )
+        assert _landing_bytes(land) == first
+
+
+def test_fetch_rest_windows_distributed(spark):
+    """Executor-side fan-out: one task per window via mapInPandas,
+    records returned as deterministic sorted-key JSON text."""
+    from deftunes_spark.io.readers import fetch_rest_windows_distributed
+
+    windows = [("2020-01-01", "2020-02-01"), ("2020-02-01", "2020-03-01")]
+    with _WindowStubServer() as url:
+        out = fetch_rest_windows_distributed(spark, url, windows)
+        rows = out.collect()
+    assert len(rows) == 6
+    by_window = {}
+    for r in rows:
+        by_window.setdefault(r.start_date, []).append(r.record)
+    assert set(by_window) == {"2020-01-01", "2020-02-01"}
+    rec = json.loads(sorted(by_window["2020-01-01"])[0])
+    assert rec == {
+        "user_id": 0,
+        "window_start": "2020-01-01",
+        "window_end": "2020-02-01",
+    }

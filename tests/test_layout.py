@@ -144,3 +144,65 @@ def test_compact_path_targets_multiple_files(spark):
     )
     assert 2 <= stats["files_after"] <= 8
     assert spark.read.parquet(base).count() == 50_000
+
+
+def _simulate_crash_state(spark, tmp_path, *, after_first_rename: bool):
+    """Build the on-disk state compact_path leaves if it dies between
+    the staging write and the swap (or between the two renames)."""
+    import os
+    import shutil
+
+    base = str(tmp_path / "t")
+    df = spark.range(0, 1_000).withColumnRenamed("id", "k")
+    df.repartition(4).write.parquet(base)
+    # Complete staging write (has _SUCCESS), as before any rename.
+    df.repartition(1).write.parquet(base + "__compact_staging")
+    assert os.path.exists(base + "__compact_staging/_SUCCESS")
+    if after_first_rename:
+        # rename(path -> old) happened; crash before staging -> path.
+        shutil.move(base, base + "__old")
+        assert not os.path.exists(base)
+    return base
+
+
+def test_recover_rolls_forward_between_renames(spark, tmp_path):
+    """The round-2 crash window: path renamed away, staging complete,
+    swap unfinished — no live table. Recovery must finish the swap."""
+    from deftunes_spark.ext.layout import recover_compact_path
+
+    base = _simulate_crash_state(spark, tmp_path, after_first_rename=True)
+    assert recover_compact_path(spark, base) == "rolled_forward"
+    back = spark.read.parquet(base)
+    assert back.count() == 1_000
+    assert back.agg({"k": "sum"}).first()[0] == 1_000 * 999 // 2
+    assert not glob.glob(base + "__*")
+    # Idempotent: a second recovery is a no-op.
+    assert recover_compact_path(spark, base) == "clean"
+
+
+def test_recover_sweeps_residue_when_table_live(spark, tmp_path):
+    """Crash BEFORE the first rename: original table still live,
+    staging is residue — recovery must keep the original untouched."""
+    from deftunes_spark.ext.layout import recover_compact_path
+
+    base = _simulate_crash_state(spark, tmp_path, after_first_rename=False)
+    assert recover_compact_path(spark, base) == "swept_residue"
+    assert spark.read.parquet(base).count() == 1_000
+    assert not glob.glob(base + "__*")
+
+
+def test_recover_rolls_back_partial_staging(spark, tmp_path):
+    """Staging without _SUCCESS (mid-write crash after the first
+    rename cannot happen in compact_path's order, but a manually
+    broken staging must not be rolled forward) → restore __old."""
+    import os
+    import shutil
+
+    from deftunes_spark.ext.layout import recover_compact_path
+
+    base = _simulate_crash_state(spark, tmp_path, after_first_rename=True)
+    os.remove(base + "__compact_staging/_SUCCESS")
+    assert recover_compact_path(spark, base) == "rolled_back"
+    assert spark.read.parquet(base).count() == 1_000
+    assert not glob.glob(base + "__*")
+    shutil.rmtree(str(tmp_path), ignore_errors=True)

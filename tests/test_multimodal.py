@@ -80,3 +80,59 @@ def test_resize_images_plumbing(spark):
     )
     again = {r.doc_id: bytes(r.payload_resized) for r in out.collect()}
     assert again == {k: bytes(v.payload_resized) for k, v in rows.items()}
+
+
+def test_real_codec_paths_raise_clearly_without_pil(spark):
+    """Without Pillow the real-codec paths must fail with the marked
+    NotImplementedError, not an obscure import traceback."""
+    import pytest
+
+    from deftunes_spark.ext import multimodal as M
+
+    if M.codec_available():
+        pytest.skip("Pillow installed — covered by the real-codec test")
+    with pytest.raises(NotImplementedError, match="image codec"):
+        M._decode_image(b"\x89PNG")
+
+
+def test_real_codec_decode_resize_features(spark):
+    """Real-codec path (runs only where Pillow is installed): a tiny
+    generated PNG goes through decode, feature extraction, and resize;
+    the output re-opens as an image of the target size."""
+    import pytest
+
+    from deftunes_spark.ext import multimodal as M
+
+    if not M.codec_available():
+        pytest.skip("Pillow not installed in this environment")
+    from PIL import Image
+    import io as _io
+
+    def png(w, h, color):
+        img = Image.new("RGB", (w, h), color)
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png(16, 16, (255, 0, 0))), (2, png(32, 8, (0, 0, 255)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    feats = {
+        r.doc_id: r.feature
+        for r in M.extract_image_features(
+            df, dim=8, fake_features=False
+        ).collect()
+    }
+    assert set(feats) == {1, 2}
+    assert all(len(v) == 8 for v in feats.values())
+    assert all(-1.0 <= x <= 1.0 for v in feats.values() for x in v)
+
+    resized = {
+        r.doc_id: r for r in M.resize_images(
+            df, width=4, height=4, fake_resize=False
+        ).collect()
+    }
+    for r in resized.values():
+        img = Image.open(_io.BytesIO(bytes(r.payload_resized)))
+        assert img.size == (4, 4)
+        assert (r.out_width, r.out_height) == (4, 4)
