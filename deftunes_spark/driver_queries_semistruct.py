@@ -48,24 +48,32 @@ from deftunes_spark.driver_queries import _t, _t_cpu, query
     "variant_json_agg",
     """
     SELECT event_type,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-               AS k_sum,
-           CAST(COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-               AS n_k
+           CAST(SUM(TRY_CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(COUNT(TRY_CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS n_k
     FROM events
     GROUP BY 1
     """,
 )
 def q_variant_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Variant-typed JSON column: `parse_json` builds the binary
-    variant once per row; `try_variant_get` does a typed extraction
-    (no string re-parse, returns NULL on path/type miss). At 100 TB
-    this replaces N `get_json_object` re-parses with one parse + N
-    probes, all JVM-side."""
+    """Variant-typed JSON column: `try_parse_json` builds the binary
+    variant once per row (NULL on malformed text, matching the unit
+    test's semantics); `try_variant_get` does a typed extraction (no
+    string re-parse, NULL on path/type miss). The oracle mirrors the
+    whole NULL ladder with TRY_CAST(json_extract(...)) so malformed or
+    non-integer `$.k` values agree engine-to-engine. (Residual
+    documented asymmetry: a JSON STRING holding digits — `"5"` —
+    coerces on Spark's variant path but not through DuckDB's
+    json_extract quoting; the events generator emits numeric k only.)
+    At 100 TB this replaces N `get_json_object` re-parses with one
+    parse + N probes, all JVM-side."""
     e = _t(spark, sf_dir, "events")
     v = e.select(
         "event_type",
-        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+        F.try_variant_get(
+            F.try_parse_json("props"), "$.k", "bigint"
+        ).alias("k"),
     )
     return v.groupBy("event_type").agg(
         F.sum("k").alias("k_sum"),
@@ -136,6 +144,9 @@ def q_udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("window", "vector", "stream")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
+# Explicit SQL IN list — a tuple repr would render a single-element
+# list as ('window',), which is invalid SQL.
+_BM25_IN = "(" + ", ".join(repr(t) for t in _BM25_TERMS) + ")"
 
 
 @query(
@@ -149,7 +160,7 @@ _BM25_B = 0.75
     stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
     tf AS (
       SELECT doc_id, term, COUNT(*) AS tf
-      FROM tok WHERE term IN {_BM25_TERMS!r}
+      FROM tok WHERE term IN {_BM25_IN}
       GROUP BY 1, 2
     ),
     df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),

@@ -54,7 +54,7 @@ def test_udtf_chunks_reconstruct_text(spark):
     assert [r.frag_idx for r in frags] == [0, 1, 2]
 
 
-def test_bm25_single_doc_matches_formula(spark):
+def test_bm25_single_doc_matches_formula(spark, tmp_path):
     # 3 docs; "window" appears twice in doc 1, once in doc 2, never in 3.
     docs = spark.createDataFrame(
         [
@@ -79,14 +79,11 @@ def test_bm25_single_doc_matches_formula(spark):
         )
 
     from deftunes_spark.driver_queries_semistruct import q_bm25_rank
-    import deftunes_spark.driver_queries_semistruct as mod
 
     # run the real query body against a temp parquet dir shaped like
     # the testdata layout (documents.parquet)
-    import tempfile, os
-
-    d = tempfile.mkdtemp(prefix="bm25_")
-    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    d = str(tmp_path)
+    docs.write.mode("overwrite").parquet(d + "/documents.parquet")
     out = {r.doc_id: r.bm25 for r in q_bm25_rank(spark, d).collect()}
     assert set(out) == {1, 2}
     assert out[1] == pytest.approx(round(bm25(2, dl[1]), 6), abs=1e-6)
@@ -94,9 +91,7 @@ def test_bm25_single_doc_matches_formula(spark):
     assert out[1] > out[2]
 
 
-def test_gapfill_zero_fills_missing_cells(spark):
-    import tempfile, os
-
+def test_gapfill_zero_fills_missing_cells(spark, tmp_path):
     events = spark.createDataFrame(
         [
             (1, "2024-01-01 10:00:00", 10, "click", 500.0, "{}"),
@@ -106,8 +101,8 @@ def test_gapfill_zero_fills_missing_cells(spark):
         "event_id long, ts string, user_id long, event_type string,"
         " value double, props string",
     ).withColumn("ts", F.to_timestamp("ts"))
-    d = tempfile.mkdtemp(prefix="gapfill_")
-    events.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    d = str(tmp_path)
+    events.write.mode("overwrite").parquet(d + "/events.parquet")
 
     from deftunes_spark.driver_queries_semistruct import q_gapfill_daily
 
@@ -121,9 +116,7 @@ def test_gapfill_zero_fills_missing_cells(spark):
     assert sum(filled.values()) == 3
 
 
-def test_median_interpolates_and_mode_breaks_ties_low(spark):
-    import tempfile, os
-
+def test_median_interpolates_and_mode_breaks_ties_low(spark, tmp_path):
     li = spark.createDataFrame(
         # flag A: even count -> interpolated median (1,2,3,4 -> 2.5);
         # modes tie (each value once) -> smallest value wins (1.0)
@@ -132,8 +125,8 @@ def test_median_interpolates_and_mode_breaks_ties_low(spark):
          ("B", 5.0), ("B", 7.0), ("B", 7.0), ("B", 7.0), ("B", 9.0)],
         "l_returnflag string, l_quantity double",
     )
-    d = tempfile.mkdtemp(prefix="medmode_")
-    li.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    d = str(tmp_path)
+    li.write.mode("overwrite").parquet(d + "/lineitem.parquet")
 
     from deftunes_spark.driver_queries_semistruct import q_exact_median_mode
 
