@@ -62,6 +62,25 @@ HEADLINE = [
 TIMED_RUNS = 3
 
 
+def _release_run_state(spark) -> None:
+    """Unpersist every persistent RDD left by the PREVIOUS execution.
+
+    The heavy queries localCheckpoint intermediates (minhash signature
+    table, component/PageRank loop state). Each bench execution builds
+    fresh DataFrames, so the previous run's blocks are dead weight —
+    but they sit in executor storage memory until the store fills,
+    after which eviction + disk spill make later runs measure memory
+    pressure instead of the plan (observed: the md5-minhash run
+    climbing 22→30→46 s across three runs in one session).
+    """
+    import gc
+
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd in jmap.values():
+        rdd.unpersist(True)
+    gc.collect()
+
+
 def _run_one(name: str, sf_dir: str) -> None:
     """Child mode: fresh session, warm-up + TIMED_RUNS timed runs.
 
@@ -86,6 +105,7 @@ def _run_one(name: str, sf_dir: str) -> None:
     fn(spark, sf_dir).collect()  # warm-up: codegen + file listing
     runs = []
     for _ in range(TIMED_RUNS):
+        _release_run_state(spark)
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         runs.append(round(time.perf_counter() - t0, 3))

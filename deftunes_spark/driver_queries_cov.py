@@ -648,6 +648,43 @@ FROM documents
 """
 
 
+_TIME_TRAVEL_ORACLE = """
+SELECT n_regionkey,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM nation
+GROUP BY 1
+"""
+
+
+@query("versioned_time_travel", _TIME_TRAVEL_ORACLE)
+def q_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on a versioned parquet table (io/versioned.py —
+    the Iceberg-v2 snapshot-read guarantee rebuilt on plain parquet:
+    immutable _v{N} data dirs + atomic put-if-absent manifest rename;
+    reference boundary: transform-json-job.py:156-187 Iceberg conf).
+
+    Version 0 = per-region nation counts; version 1 OVERWRITES with a
+    deliberately wrong projection (counts doubled). Reading
+    ``version=0`` after the overwrite must return the original result
+    — which is exactly what the oracle recomputes from the source.
+    """
+    from deftunes_spark.io.versioned import read_version, write_versioned
+
+    nation = _t(spark, sf_dir, "nation")
+    v0 = nation.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations")
+    )
+    path = tempfile.mkdtemp(prefix="deftunes_ttv_") + "/t"
+    write_versioned(spark, v0, path, mode="overwrite")
+    write_versioned(
+        spark,
+        v0.withColumn("n_nations", F.col("n_nations") * 2),
+        path,
+        mode="overwrite",
+    )
+    return read_version(spark, path, version=0)
+
+
 @query("compact_roundtrip", _COMPACT_ORACLE)
 def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction: land documents as 32 deliberately tiny

@@ -1,0 +1,101 @@
+"""Versioned parquet tables (io/versioned.py): time travel, optimistic
+concurrent commits, retention — the Iceberg-v2 user guarantees rebuilt
+on plain parquet (SURVEY §1.3 boundary; VERDICT r2 'What's missing' #1).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from deftunes_spark.io import versioned as V
+
+
+def test_write_read_versions_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    df1 = spark.createDataFrame([(3, "c")], "id long, s string")
+    df2 = spark.createDataFrame([(9, "z")], "id long, s string")
+
+    assert V.write_versioned(spark, df0, t, mode="overwrite") == 0
+    assert V.write_versioned(spark, df1, t, mode="append") == 1
+    assert V.write_versioned(spark, df2, t, mode="overwrite") == 2
+
+    def ids(df):
+        return sorted(r.id for r in df.collect())
+
+    # Latest is the overwrite; history intact underneath.
+    assert ids(V.read_version(spark, t)) == [9]
+    assert ids(V.read_version(spark, t, version=0)) == [1, 2]
+    assert ids(V.read_version(spark, t, version=1)) == [1, 2, 3]
+
+    versions = V.list_versions(spark, t)
+    assert [m["version"] for m in versions] == [0, 1, 2]
+    assert [m["rows"] for m in versions] == [2, 3, 1]
+    # Time travel by commit timestamp: as-of v1's ts resolves to the
+    # newest version published at or before it.
+    ts1 = versions[1]["ts_ms"]
+    assert ids(V.read_version(spark, t, as_of_ts_ms=ts1)) == [1, 2, 3]
+    with pytest.raises(ValueError, match="at or before"):
+        V.read_version(spark, t, as_of_ts_ms=versions[0]["ts_ms"] - 10_000)
+
+
+def test_concurrent_appends_serialize(spark, tmp_path):
+    """Two racing appends must BOTH land (no lost update): the loser
+    of the manifest rename retries against the winner's snapshot."""
+    t = str(tmp_path / "race")
+    base = spark.createDataFrame([(0,)], "id long")
+    V.write_versioned(spark, base, t, mode="overwrite")
+
+    errs = []
+
+    def append(v):
+        try:
+            df = spark.createDataFrame([(v,)], "id long")
+            V.write_versioned(spark, df, t, mode="append")
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append(exc)
+
+    threads = [threading.Thread(target=append, args=(v,)) for v in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert V.latest_version(spark, t) == 2
+    final = sorted(r.id for r in V.read_version(spark, t).collect())
+    assert final == [0, 1, 2]
+
+
+def test_manifest_publish_is_put_if_absent(spark, tmp_path):
+    """The commit primitive itself: second publication of the same
+    version number must fail, not overwrite."""
+    t = str(tmp_path / "pia")
+    ok1 = V._publish_manifest(
+        spark, t, {"version": 5, "data_dir": "x", "ts_ms": 1, "mode": "o",
+                   "rows": 0}
+    )
+    ok2 = V._publish_manifest(
+        spark, t, {"version": 5, "data_dir": "y", "ts_ms": 2, "mode": "o",
+                   "rows": 0}
+    )
+    assert ok1 is True and ok2 is False
+    assert V.list_versions(spark, t)[0]["data_dir"] == "x"
+
+
+def test_expire_versions_retention(spark, tmp_path):
+    t = str(tmp_path / "exp")
+    for i in range(4):
+        V.write_versioned(
+            spark,
+            spark.createDataFrame([(i,)], "id long"),
+            t,
+            mode="overwrite",
+        )
+    assert V.expire_versions(spark, t, keep_last=2) == [0, 1]
+    assert [m["version"] for m in V.list_versions(spark, t)] == [2, 3]
+    # Expired snapshots are gone on disk too.
+    with pytest.raises(ValueError, match="not published"):
+        V.read_version(spark, t, version=0)
+    assert [r.id for r in V.read_version(spark, t, version=3).collect()] == [3]

@@ -19,6 +19,7 @@ SHOW = [
     "rollup_agg",
     "asof_join_click_view",
     "dedup_exact",
+    "dedup_minhash_fast",
     "corpus_curation",
 ]
 
