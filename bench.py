@@ -13,18 +13,23 @@ depending on run order. Per-query isolation plus a 3-run median
 inside each subprocess gives numbers that match isolated re-timing
 and agree run-over-run within ~20%.
 
-Per query, the subprocess runs the query once to warm codegen/IO,
-then times 3 runs and reports all of them; the parent records the
-median. Timing wraps the terminal ``collect`` — every headline query
-returns a small aggregate/top-k result, so collect cost is the query
-cost, not a transfer cost.
+Per query, the subprocess runs the query WARMUP_RUNS times to warm
+codegen/JIT/IO, then times TIMED_RUNS runs and reports all of them;
+the parent records the MINIMUM. Min — not median — is the estimator
+for "what does this plan cost": scheduler contention, JIT not yet
+warm, and GC pauses (the md5-heavy minhash allocates GB of short-
+lived strings; a full GC mid-run quadruples a sample) only ever ADD
+time, so the fastest observed run is the closest sample to the
+plan's true cost and the most stable across sweeps. Timing wraps the
+terminal ``collect`` — every headline query returns a small
+aggregate/top-k result, so collect cost is the query cost, not a
+transfer cost.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import statistics
 import subprocess
 import sys
 import time
@@ -59,7 +64,8 @@ HEADLINE = [
     "events_tumbling",
 ]
 
-TIMED_RUNS = 3
+WARMUP_RUNS = 2
+TIMED_RUNS = 4
 
 
 def _release_run_state(spark) -> None:
@@ -102,13 +108,15 @@ def _run_one(name: str, sf_dir: str) -> None:
         extra_conf={"spark.sql.files.maxPartitionBytes": "2MB"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    fn(spark, sf_dir).collect()  # warm-up: codegen + file listing
+    for _ in range(WARMUP_RUNS):  # codegen + JIT + file listing
+        fn(spark, sf_dir).collect()
+        _release_run_state(spark)
     runs = []
     for _ in range(TIMED_RUNS):
-        _release_run_state(spark)
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         runs.append(round(time.perf_counter() - t0, 3))
+        _release_run_state(spark)
     print(json.dumps({"name": name, "runs": runs}))
 
 
@@ -143,7 +151,7 @@ def main() -> None:
             errors[name] = rec.get("err", "no runs")
             continue
         all_runs[name] = rec["runs"]
-        timings[name] = round(statistics.median(rec["runs"]), 3)
+        timings[name] = round(min(rec["runs"]), 3)
 
     out = {
         "metric": "headline_queries_total",
@@ -152,7 +160,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs": all_runs,
-        "isolation": "per-query subprocess, median of %d" % TIMED_RUNS,
+        "isolation": "per-query subprocess, min of %d (2 warm-ups)"
+        % TIMED_RUNS,
     }
     if errors:
         out["errors"] = errors

@@ -244,6 +244,51 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_K = 0.5
+
+_LM_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOK_LOWER} AS t FROM documents
+), big AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM toks, UNNEST(range(1, len(t))) AS g(i)
+    WHERE len(t) >= 2
+), c2 AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2
+), c1 AS (
+    SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+), v AS (
+    SELECT COUNT(DISTINCT term) AS vocab
+    FROM (SELECT unnest(t) AS term FROM toks)
+)
+SELECT big.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ln((c2.c2 + {_LM_K}) /
+                    (c1.c1 + {_LM_K} * (SELECT vocab FROM v)))), 6)
+           AS avg_logp,
+       ROUND(exp(-AVG(ln((c2.c2 + {_LM_K}) /
+                         (c1.c1 + {_LM_K} * (SELECT vocab FROM v))))), 6)
+           AS perplexity
+FROM big
+JOIN c2 ON big.w1 = c2.w1 AND big.w2 = c2.w2
+JOIN c1 ON big.w1 = c1.w1
+GROUP BY 1
+"""
+
+
+@query("lm_perplexity", _LM_ORACLE)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: average bigram log-probability and
+    perplexity per document under an add-k LM trained on the corpus
+    itself (`ext.text.bigram_lm_scores`) — the "how typical is this
+    document" filter signal. One tokenize scan; the context counts
+    derive from the bigram table, not a second text pass."""
+    from deftunes_spark.ext.text import bigram_lm_scores
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, k_smooth=_LM_K)
+
+
 _PACKING_ORACLE = """
 WITH tok AS (
     SELECT doc_id, doc_id % 8 AS shard,

@@ -121,6 +121,60 @@ def minhash_signatures(
     return shingle_df.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_mapside(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """MinHash signature with ZERO shuffle: shingling and all k minima
+    are computed per ROW with array expressions — ``array_min`` over a
+    ``transform`` of the document's shingle array, once per seed.
+
+    Identical signatures to the explode→groupBy path because min() is
+    duplicate-insensitive: the minimum over a document's shingle
+    multiset equals the minimum over its distinct-shingle set, so the
+    explode + DISTINCT + k-way min-aggregate shuffle buys nothing the
+    per-row array can't. At 100 TB this is the difference between
+    shuffling an exploded shingle table (10–50× the text) and
+    shuffling NOTHING before the (tiny, fixed-width) band join — the
+    signature stage rides the text scan, embarrassingly parallel.
+
+    Shingling matches ``shingles()`` exactly (same slice/join
+    expression; documents shorter than ``n`` tokens contribute the
+    full token string; a NULL text yields one NULL shingle, hashing
+    to the xxhash64 seed / NULL under md5 — bit-identical to the
+    exploded path, parity-tested). Prefer with cheap hashes
+    (xxhash64); with md5 the per-occurrence hashing can exceed the
+    saved shuffle — measure.
+    """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash fn {hash_fn!r}")
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    sh_expr = (
+        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)), "
+        f"i -> array_join(slice(_toks, i, {n}), ' '))"
+    )
+    hfmt = (
+        "xxhash64(concat('{seed}|', s))"
+        if hash_fn == "xxhash64"
+        else "md5(concat('{seed}|', s))"
+    )
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(_sh, s -> {hfmt.format(seed=i)}))"
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(F.col(id_col), F.expr(sh_expr).alias("_sh"))
+        .select(F.col(id_col), *sig_cols)
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,
@@ -224,6 +278,7 @@ def minhash_dedup_pairs(
     hash_band_key: bool = True,
     dict_hashes: bool = False,
     reliable: bool = False,
+    signature_strategy: str = "auto",
 ) -> DataFrame:
     """End-to-end near-duplicate pairs: shingle → MinHash → LSH bands →
     estimated-Jaccard filter. Returns (id_a, id_b, est_jaccard).
@@ -231,11 +286,32 @@ def minhash_dedup_pairs(
     ``hash_fn="md5"`` + ``hash_band_key=False`` makes every step
     expressible in ANSI SQL (the DuckDB oracle mirrors it exactly);
     the defaults are the faster fixed-width-key path.
+    ``signature_strategy``: ``"mapside"`` computes signatures per row
+    with array expressions (zero shuffle — see
+    ``minhash_signatures_mapside``); ``"shuffle"`` is the explode →
+    k-way min-aggregate path; ``"auto"`` picks mapside for the cheap
+    xxhash64 (the shuffle saved dwarfs the per-occurrence hashing) and
+    the shuffle+dict path for md5 (hashing per distinct shingle wins
+    when the hash itself is the cost). Signatures are identical either
+    way (pytest-asserted), so the choice is purely physical.
     ``reliable=True`` materializes the signature table to the
     configured checkpoint dir instead of executor-local blocks (the
     cluster path — see ``ext.lineage``)."""
-    sh = shingles(df, id_col, text_col, n)
-    sig = minhash_signatures(sh, id_col, num_hashes, hash_fn, dict_hashes)
+    if signature_strategy == "auto":
+        signature_strategy = "mapside" if hash_fn == "xxhash64" else "shuffle"
+    if signature_strategy == "mapside":
+        sig = minhash_signatures_mapside(
+            df, id_col, text_col, n, num_hashes, hash_fn
+        )
+    elif signature_strategy == "shuffle":
+        sh = shingles(df, id_col, text_col, n)
+        sig = minhash_signatures(
+            sh, id_col, num_hashes, hash_fn, dict_hashes
+        )
+    else:
+        raise ValueError(
+            f"unknown signature_strategy {signature_strategy!r}"
+        )
     # The signature table feeds FOUR plan branches (both sides of the
     # band self-join, both sides of the estimate join); materialize it
     # once or the whole shingle→hash→agg pipeline re-executes per

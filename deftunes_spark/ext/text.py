@@ -182,6 +182,78 @@ def tf_idf(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """Model-based quality scoring with a corpus-trained bigram LM:
+    score every document by its average bigram log-probability (and
+    perplexity) under add-k smoothed counts from the SAME corpus —
+    the classic "how typical is this document" signal (boilerplate
+    and gibberish both land in the tails), no external model needed.
+
+    P(w₂|w₁) = (C(w₁,w₂) + k) / (C(w₁) + k·V), V = corpus vocabulary.
+
+    Shape at 100 TB: one tokenize scan feeds the bigram-count
+    aggregate (single shuffle, term-skew absorbed by AQE) and the
+    context-count aggregate derives from IT (not a second text pass);
+    scoring joins occurrences back to the count tables on the bigram
+    key, then one per-doc aggregate. V and nothing else is a driver
+    scalar. Documents with fewer than 2 tokens carry no bigram
+    evidence and are excluded (inner semantics).
+
+    Returns (id, n_bigrams, avg_logp, perplexity), floats rounded to
+    6 dp so cross-partition summation order cannot leak into the
+    value hash.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(col))), "\\s+"), lambda t: t != ""
+    )
+    big = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t) - 1), "
+                    "i -> struct(element_at(_t, i) AS w1, "
+                    "element_at(_t, i + 1) AS w2))"
+                )
+            ).alias("_b"),
+        )
+        .select(F.col(id_col), F.col("_b.w1"), F.col("_b.w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    # Context counts derive from the bigram table: C(w1) = Σ_w2 C2 —
+    # no second pass over the text.
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    vocab = (
+        df.select(toks.alias("_t"))
+        .select(F.explode("_t").alias("w"))
+        .agg(F.count_distinct("w"))
+        .collect()[0][0]
+    )
+    logp = F.log(
+        (F.col("c2") + F.lit(float(k_smooth)))
+        / (F.col("c1") + F.lit(float(k_smooth * vocab)))
+    )
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logp"),
+            F.round(F.exp(-F.avg(logp)), 6).alias("perplexity"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     context_tokens: int = 4096,

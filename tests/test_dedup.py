@@ -108,3 +108,62 @@ def test_connected_components_chain_and_clique(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
                     10: 10, 11: 10, 12: 10,
                     20: 20, 21: 20}
+
+
+def test_mapside_signatures_equal_shuffle_signatures(spark):
+    """The zero-shuffle array-expression signature path must produce
+    BIT-IDENTICAL signatures to the explode->groupBy path for both
+    hash families (min over a multiset == min over its distinct set),
+    including the edge docs: empty text, whitespace-only, shorter than
+    n tokens, repeated shingles."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "one two"),          # shorter than n=3 -> single shingle
+        (4, ""),                  # empty -> single '' shingle
+        (5, "   "),               # whitespace-only -> same as empty
+        (6, "rep rep rep rep rep rep"),  # heavy shingle repetition
+        (7, None),  # NULL text -> one NULL shingle on both paths
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for hash_fn in ("xxhash64", "md5"):
+        mapside = {
+            r.doc_id: tuple(r[f"mh_{i}"] for i in range(8))
+            for r in D.minhash_signatures_mapside(
+                df, "doc_id", "text", n=3, num_hashes=8, hash_fn=hash_fn
+            ).collect()
+        }
+        sh = D.shingles(df, "doc_id", "text", n=3)
+        shuffled = {
+            r.doc_id: tuple(r[f"mh_{i}"] for i in range(8))
+            for r in D.minhash_signatures(
+                sh, "doc_id", num_hashes=8, hash_fn=hash_fn
+            ).collect()
+        }
+        assert mapside == shuffled, hash_fn
+        # NULL text degenerates identically on both paths: xxhash64 of
+        # a NULL shingle is the seed constant; md5 propagates NULL.
+        assert 7 in mapside
+
+
+def test_minhash_pairs_same_across_signature_strategies(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(n=2, num_hashes=16, bands=4, threshold=0.2)
+    out = {}
+    for strat in ("mapside", "shuffle"):
+        out[strat] = sorted(
+            (r.id_a, r.id_b, round(r.est_jaccard, 9))
+            for r in D.minhash_dedup_pairs(
+                docs, "doc_id", "text",
+                signature_strategy=strat, **kw
+            ).collect()
+        )
+    assert out["mapside"] == out["shuffle"]
+    assert any(p[:2] == (1, 2) for p in out["mapside"])

@@ -127,3 +127,43 @@ def test_nfc_normalization_composes(spark):
     assert out[1] == out[2] == "caf\u00e9"
     assert out[3] is None
     assert out[4] == "plain"
+
+
+def test_bigram_lm_scores_match_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from deftunes_spark.ext.text import bigram_lm_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "dog"),                      # < 2 tokens -> excluded
+        (4, "THE CAT sat"),              # lowercasing folds with 1/2
+        (5, ""),                         # empty -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 0.5
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logp, r.perplexity)
+        for r in bigram_lm_scores(df, k_smooth=k).collect()
+    }
+    assert set(got) == {1, 2, 4}
+
+    toks = {i: t.lower().split() for i, t in rows}
+    bigs = {
+        i: list(zip(t, t[1:])) for i, t in toks.items() if len(t) >= 2
+    }
+    c2 = Counter(b for bs in bigs.values() for b in bs)
+    c1 = Counter(b[0] for bs in bigs.values() for b in bs)
+    vocab = len({w for t in toks.values() for w in t})
+    for i, bs in bigs.items():
+        avg = sum(
+            math.log((c2[b] + k) / (c1[b[0]] + k * vocab)) for b in bs
+        ) / len(bs)
+        assert got[i][0] == len(bs)
+        assert got[i][1] == pytest.approx(round(avg, 6), abs=2e-6)
+        assert got[i][2] == pytest.approx(round(math.exp(-avg), 6), abs=2e-6)
+    # Docs 1 and 2 share most bigrams; the shared-structure docs score
+    # better (higher avg logp) than the folded short doc 4's worst case.
+    assert got[1][1] > -10 and got[2][1] > -10
