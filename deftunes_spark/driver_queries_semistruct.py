@@ -351,3 +351,103 @@ def q_exact_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mode_qty",
         "mode_count",
     )
+
+
+# ---------------------------------------------------------------------
+# Pandas UDF surface completion: grouped-agg UDAF + batch applyInPandas
+# (the two grouped shapes the engine had not yet exercised — scalar
+# pandas UDFs, mapInPandas, UDTFs and applyInPandasWithState live in
+# ext/ and streaming/).
+# ---------------------------------------------------------------------
+
+
+@query(
+    "udaf_geomean",
+    """
+    SELECT l_returnflag,
+           ROUND(exp(AVG(ln(l_quantity))), 6) AS geomean_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY 1
+    """,
+)
+def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as a GROUPED_AGG pandas UDF: per-flag geometric
+    mean of quantities. Arrow ships each group's column once; the
+    UDAF runs vectorized numpy. At 100 TB the shuffle is the same
+    hash-by-key exchange as any aggregate — the UDF only changes the
+    reduce side; prefer built-ins (exp∘avg∘ln here) when they exist,
+    this query pins the surface for aggregates that have none."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _geomean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    # `from __future__ import annotations` stringifies inline hints,
+    # which pandas_udf cannot resolve (same workaround as
+    # ext/text.with_nfc_normalized); real annotation objects make this
+    # a GROUPED_AGG UDF (Series -> scalar).
+    _geomean.__annotations__ = {"v": pd.Series, "return": float}
+    geomean = pandas_udf(_geomean, "double")
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    # A grouped-agg pandas UDF cannot share an agg() with JVM
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — the count rides a
+    # separate 3-row aggregate joined back.
+    g = li.groupBy("l_returnflag").agg(
+        geomean(F.col("l_quantity")).alias("_g")
+    )
+    n = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return g.join(n, "l_returnflag").select(
+        "l_returnflag",
+        F.round("_g", 6).alias("geomean_qty"),
+        "n",
+    )
+
+
+@query(
+    "grouped_zscore",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER w)
+                 / NULLIF(STDDEV_SAMP(o_totalprice) OVER w, 0), 6) AS z
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey)
+    """,
+)
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ``applyInPandas`` (grouped map): per-customer z-scores of
+    order totals. One hash shuffle on the group key, then each group
+    arrives as ONE Arrow-backed pandas frame — the shape for
+    group-local logic a window function can't express (here it can,
+    which is exactly what makes the DuckDB window oracle possible).
+    Degenerate groups (single order / identical totals) yield NULL on
+    both paths (pandas ddof=1 NaN ↔ SQL STDDEV_SAMP NULL)."""
+    import numpy as np
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["o_totalprice"].to_numpy(dtype="float64")
+        s = pdf["o_totalprice"].std(ddof=1)
+        if not np.isfinite(s) or s == 0.0:
+            z = pd.Series([None] * len(pdf), dtype="object")
+        else:
+            z = ((x - x.mean()) / s).round(6)
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "z": z,
+            }
+        )
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    return orders.groupBy("o_custkey").applyInPandas(
+        zscore, "o_custkey long, o_orderkey long, z double"
+    )
