@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_minhash_fast",
     "dedup_components",
     "text_quality",
+    "lm_perplexity",
     "corpus_curation",
     "asof_join_click_view",
     "embedding_topk",

@@ -226,9 +226,14 @@ def bigram_lm_scores(
         )
         .select(F.col(id_col), F.col("_b.w1"), F.col("_b.w2"))
     )
+    # Materialize the count table once: it feeds TWO branches (the
+    # context-count rollup and the scoring join) and is bounded by the
+    # observed-bigram vocabulary — orders of magnitude under the text,
+    # while recomputing it would cost a full tokenize+aggregate pass
+    # per branch.
     c2 = big.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c2")
-    )
+    ).localCheckpoint()
     # Context counts derive from the bigram table: C(w1) = Σ_w2 C2 —
     # no second pass over the text.
     c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))

@@ -144,3 +144,18 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_mapside_minhash_signatures_have_zero_exchange(spark):
+    """The production MinHash signature stage must be shuffle-free:
+    array_min-over-transform per row, no explode, no groupBy — the
+    whole point of minhash_signatures_mapside at 100 TB. Any Exchange
+    in its plan is a regression."""
+    from deftunes_spark.ext.dedup import minhash_signatures_mapside
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sig = minhash_signatures_mapside(docs, "doc_id", "text", n=2,
+                                     num_hashes=16)
+    plan = _plan(sig)
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode either
