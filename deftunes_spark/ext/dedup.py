@@ -408,19 +408,62 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------
 
 
+def simhash64_mapside(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """64-bit SimHash with ZERO shuffle: token hashes and all 64 bit
+    votes compute per ROW over the token-hash array — the same
+    explode-elimination as ``minhash_signatures_mapside`` (votes are a
+    per-document sum, so they never needed a cross-document shuffle).
+
+    Bit-identical to ``simhash64(hash_fn="xxhash64")`` (parity-
+    tested): same tokenization (occurrences vote, not distinct
+    tokens — term-frequency weighting), same vote rule (+1 set / −1
+    unset, ties → 0 bit), and NULL texts are dropped on both paths
+    (explode drops them; here an explicit filter). xxhash64 only —
+    the md5 oracle twin keeps the exploded shape that mirrors into
+    ANSI SQL.
+    """
+    vote = (
+        "(2 * size(filter(_h, h -> (shiftright(h, {i}) & 1) = 1)) "
+        "- size(_h))"
+    )
+    fingerprint = " + ".join(
+        f"shiftleft(CAST(IF({vote.format(i=i)} > 0, 1, 0) AS BIGINT), {i})"
+        for i in range(64)
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"transform(split(trim({text_col}), '\\\\s+'), "
+                "t -> xxhash64(t))"
+            ).alias("_h"),
+        )
+        .select(F.col(id_col), F.expr(fingerprint).alias("simhash"))
+    )
+
+
 def simhash64(
     df: DataFrame,
     id_col: str,
     text_col: str,
     hash_fn: str = "xxhash64",
     dict_hashes: bool = False,
+    strategy: str = "auto",
 ) -> DataFrame:
     """64-bit SimHash per document.
 
     Token hash bit-votes: for each bit, +1 if set else -1, summed over
-    tokens; the sign becomes the fingerprint bit. Expressed as one
-    explode + one groupBy with 64 conditional-sum aggregates — a
-    single shuffle keyed by doc id.
+    tokens; the sign becomes the fingerprint bit.
+
+    ``strategy="mapside"`` (and ``"auto"`` with xxhash64) computes the
+    votes per row with array expressions — zero shuffle, see
+    ``simhash64_mapside``. ``"shuffle"`` is the explode + 64
+    conditional-sum groupBy path — one shuffle keyed by doc id; it is
+    what the md5 oracle mirrors, and ``dict_hashes=True`` amortizes
+    md5 over distinct tokens there.
 
     ``hash_fn="xxhash64"`` (default) takes bit i of the JVM xxhash64 —
     the scale path. ``hash_fn="md5"`` derives bit i from hex digit
@@ -428,6 +471,14 @@ def simhash64(
     slower, but every step mirrors into ANSI SQL for the correctness
     oracle. Any injective 64-bit token hash yields a valid SimHash.
     """
+    if strategy == "auto":
+        strategy = "mapside" if hash_fn == "xxhash64" else "shuffle"
+    if strategy == "mapside":
+        if hash_fn != "xxhash64":
+            raise ValueError("mapside simhash supports xxhash64 only")
+        return simhash64_mapside(df, id_col, text_col)
+    if strategy != "shuffle":
+        raise ValueError(f"unknown strategy {strategy!r}")
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(

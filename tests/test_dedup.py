@@ -167,3 +167,35 @@ def test_minhash_pairs_same_across_signature_strategies(spark):
         )
     assert out["mapside"] == out["shuffle"]
     assert any(p[:2] == (1, 2) for p in out["mapside"])
+
+
+def test_mapside_simhash_equals_shuffle_simhash(spark):
+    """Zero-shuffle SimHash must be bit-identical to the exploded
+    bit-vote path: occurrence-weighted votes, tie -> 0 bit, NULL text
+    dropped by both."""
+    rows = [
+        (1, "the quick brown fox the quick"),  # repeated tokens vote 2x
+        (2, "completely different content here"),
+        (3, "single"),
+        (4, ""),      # '' token still votes on both paths
+        (5, None),    # dropped on both paths
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mapside = {
+        r.doc_id: r.simhash
+        for r in D.simhash64_mapside(df, "doc_id", "text").collect()
+    }
+    shuffled = {
+        r.doc_id: r.simhash
+        for r in D.simhash64(
+            df, "doc_id", "text", hash_fn="xxhash64", strategy="shuffle"
+        ).collect()
+    }
+    assert mapside == shuffled
+    assert 5 not in mapside and 1 in mapside
+    # And the plan really is shuffle-free.
+    plan = (
+        D.simhash64_mapside(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Generate" not in plan
