@@ -238,3 +238,32 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregating groupBy over column expressions."""
     docs = _t_cpu(spark, sf_dir, "documents")
     return TR.dataset_card(docs, "source", "text")
+
+
+# =====================================================================
+# BPE tokenizer-vocabulary induction (ext.tokenizer)
+# =====================================================================
+
+
+@query("bpe_merges")
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top BPE merge rules trained on the documents corpus — the
+    tokenizer-induction step of a training-data pipeline. One full
+    text pass (word-frequency table), then every merge round runs on
+    the bounded vocab table. Iterative training is not
+    SQL-expressible, so this carries the driver's rows-only check;
+    exact parity with a plain-Python BPE reference (merge choices,
+    tiebreaks, and resulting segmentations) is pinned in
+    tests/test_tokenizer.py.
+    """
+    from deftunes_spark.ext.tokenizer import bpe_train
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=8, min_freq=2)
+    return spark.createDataFrame(
+        [
+            (i, a, b, n)
+            for i, (a, b, n) in enumerate(merges)
+        ],
+        "merge_rank int, left string, right string, pair_freq bigint",
+    )

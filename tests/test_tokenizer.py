@@ -1,0 +1,106 @@
+"""BPE vocabulary induction (ext/tokenizer.py) vs a plain-Python
+reference implementation of Sennrich-style BPE."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from deftunes_spark.ext.tokenizer import (
+    EOW,
+    bpe_segment_udf,
+    bpe_train,
+    word_vocab,
+)
+
+
+def _ref_bpe(texts: list[str], num_merges: int):
+    """Reference trainer: same tokenization, same tiebreak
+    (-freq, left, right), same left-to-right non-overlapping fold."""
+    vocab = Counter()
+    for t in texts:
+        for w in (t or "").lower().split():
+            vocab[w] += 1
+    seqs = {
+        w: (list(w[:-1]) + [w[-1] + EOW], f) for w, f in vocab.items()
+    }
+
+    def fold(syms, a, b):
+        out = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for syms, f in seqs.values():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 2:
+            break
+        merges.append((a, b, n))
+        seqs = {w: (fold(s, a, b), f) for w, (s, f) in seqs.items()}
+    return merges, seqs
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wider wide wide widest",
+    "low newer wide lowest",
+    "",
+]
+
+
+def test_bpe_train_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    got = bpe_train(df, num_merges=8)
+    want, _ = _ref_bpe(TEXTS, 8)
+    assert got == want
+    # Sanity on the learned structure: frequent suffix/stem merges
+    # appear, frequencies are non-increasing.
+    freqs = [n for _, _, n in got]
+    assert freqs == sorted(freqs, reverse=True)
+    assert len(got) == 8
+
+
+def test_bpe_train_early_stop_on_tiny_corpus(spark):
+    df = spark.createDataFrame([("ab",)], "text string")
+    # Single word occurrence: no pair reaches freq 2 -> no merges.
+    assert bpe_train(df, num_merges=5) == []
+
+
+def test_bpe_segment_matches_training_segmentation(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    merges = bpe_train(df, num_merges=8)
+    want_merges, seqs = _ref_bpe(TEXTS, 8)
+    assert merges == want_merges
+
+    seg = bpe_segment_udf(merges)
+    out = {
+        r.text: r.units
+        for r in df.select("text", seg("text").alias("units")).collect()
+    }
+    for t in TEXTS:
+        expect = []
+        for w in (t or "").lower().split():
+            expect.extend(seqs[w][0])
+        assert out[t] == expect, t
+    # Round-trip: concatenating units and stripping EOW restores the
+    # lowercased text tokens.
+    joined = "".join(out["low lower lowest low low"]).replace(EOW, " ")
+    assert joined.strip() == "low lower lowest low low"
+
+
+def test_word_vocab_min_freq(spark):
+    df = spark.createDataFrame([("a a a b b c",)], "text string")
+    v = {r.word: r.freq for r in word_vocab(df, min_freq=2).collect()}
+    assert v == {"a": 3, "b": 2}
