@@ -209,3 +209,43 @@ def test_fetch_rest_windows_distributed(spark):
         "window_start": "2020-01-01",
         "window_end": "2020-02-01",
     }
+
+
+def test_fetch_rest_windows_distributed_landing_partitioned(
+    spark, tmp_path
+):
+    """The documented scale landing pattern for the executor-side
+    fan-out: partitionBy(start_date) + dynamic partition overwrite →
+    re-running a backfill rewrites only its own window partitions."""
+    from deftunes_spark.io.readers import fetch_rest_windows_distributed
+
+    windows = [("2020-01-01", "2020-02-01"), ("2020-02-01", "2020-03-01")]
+    land = str(tmp_path / "dist_landing")
+    with _WindowStubServer() as url:
+        out = fetch_rest_windows_distributed(spark, url, windows)
+        (
+            out.write.partitionBy("start_date")
+            .mode("overwrite")
+            .json(land)
+        )
+        first = _partition_rows(spark, land)
+        # Re-run ONE window only: with dynamic overwrite the other
+        # window's partition must survive untouched.
+        again = fetch_rest_windows_distributed(spark, url, windows[:1])
+        (
+            again.write.partitionBy("start_date")
+            .mode("overwrite")
+            .json(land)
+        )
+    assert _partition_rows(spark, land) == first
+    assert set(first) == {"2020-01-01", "2020-02-01"}
+    assert all(n == 3 for n in first.values())
+
+
+def _partition_rows(spark, path):
+    df = spark.read.json(path)
+    return {
+        str(r.start_date): r.n
+        for r in df.groupBy("start_date").count()
+        .withColumnRenamed("count", "n").collect()
+    }

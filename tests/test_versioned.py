@@ -99,3 +99,64 @@ def test_expire_versions_retention(spark, tmp_path):
     with pytest.raises(ValueError, match="not published"):
         V.read_version(spark, t, version=0)
     assert [r.id for r in V.read_version(spark, t, version=3).collect()] == [3]
+
+
+# ---------------------------------------------------------------------
+# Model-based property test: random commit sequences vs an in-memory
+# snapshot model — every published version stays readable with exactly
+# its committed content, and time travel resolves like the model.
+# ---------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["overwrite", "append"]),
+        st.lists(
+            st.integers(min_value=0, max_value=99),
+            min_size=0,
+            max_size=4,
+            unique=True,
+        ),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops)
+def test_versioned_commits_match_snapshot_model(
+    spark, tmp_path_factory, ops
+):
+    t = str(tmp_path_factory.mktemp("vprop") / "tbl")
+    model = []  # model[v] = multiset of ids in version v
+    for i, (mode, ids) in enumerate(ops):
+        df = spark.createDataFrame(
+            [(x + 1000 * i,) for x in ids] or [], "id long"
+        )
+        rows = [x + 1000 * i for x in ids]
+        v = V.write_versioned(spark, df, t, mode=mode)
+        assert v == len(model)
+        if mode == "append" and model:
+            model.append(sorted(model[-1] + rows))
+        else:
+            model.append(sorted(rows))
+    for v, want in enumerate(model):
+        got = sorted(r.id for r in V.read_version(spark, t, version=v).collect())
+        assert got == want, f"version {v}"
+    manifests = V.list_versions(spark, t)
+    assert [m["version"] for m in manifests] == list(range(len(model)))
+    assert [m["rows"] for m in manifests] == [len(w) for w in model]
+    # as-of the last manifest's timestamp resolves to the newest version.
+    last_ts = manifests[-1]["ts_ms"]
+    got = sorted(
+        r.id
+        for r in V.read_version(spark, t, as_of_ts_ms=last_ts).collect()
+    )
+    assert got == model[-1]
