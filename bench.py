@@ -135,13 +135,19 @@ def main() -> None:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     here = os.path.abspath(__file__)
     for name in HEADLINE:
-        proc = subprocess.run(
-            [sys.executable, here, "--one", name],
-            capture_output=True,
-            text=True,
-            env=env,
-            timeout=1800,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, here, "--one", name],
+                capture_output=True,
+                text=True,
+                env=env,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            # One hung query must not abort the sweep — record it and
+            # keep the per-query isolation promise for the rest.
+            errors[name] = "timeout"
+            continue
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
         try:
             rec = json.loads(line)

@@ -147,8 +147,20 @@ def compact_path(
     df.repartition(n_target).write.mode("overwrite").format(fmt).save(
         staging
     )
-    fs.rename(_p(path), _p(old))
-    fs.rename(_p(staging), _p(path))
+    # Hadoop rename reports failure via its boolean return, not an
+    # exception — a discarded False here would let the later cleanup
+    # delete the only surviving copy.
+    if not fs.rename(_p(path), _p(old)):
+        raise RuntimeError(
+            f"compaction: rename {path} -> {old} failed; table untouched"
+        )
+    if not fs.rename(_p(staging), _p(path)):
+        # Put the original back before surfacing the failure.
+        fs.rename(_p(old), _p(path))
+        raise RuntimeError(
+            f"compaction: rename {staging} -> {path} failed; "
+            "original table restored"
+        )
     # Verify the new path is actually live BEFORE dropping the only
     # remaining copy of the previous table state.
     n_after, bytes_after = path_file_stats(spark, path, f".{fmt}")
@@ -202,12 +214,23 @@ def recover_compact_path(spark, path: str, fmt: str = "parquet") -> str:
 
     staging_complete = fs.exists(_p(f"{staging}/_SUCCESS"))
     if staging_complete:
-        fs.rename(_p(staging), _p(path))
+        # Only drop the __old backup once the roll-forward rename is
+        # CONFIRMED (boolean return) — a failed rename followed by the
+        # backup delete would leave the table unrecoverable.
+        if not fs.rename(_p(staging), _p(path)):
+            raise RuntimeError(
+                f"recover: rename {staging} -> {path} failed; "
+                "__old backup retained"
+            )
         fs.delete(_p(old), True)
         return "rolled_forward"
     if fs.exists(_p(old)):
         fs.delete(_p(staging), True)
-        fs.rename(_p(old), _p(path))
+        if not fs.rename(_p(old), _p(path)):
+            raise RuntimeError(
+                f"recover: rename {old} -> {path} failed; "
+                "backup left in place"
+            )
         return "rolled_back"
     raise RuntimeError(
         f"{path}: no live table, no complete staging, no __old backup — "

@@ -129,10 +129,17 @@ def write_versioned(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
     jvm, fs = _fs(spark, path)
-    ts_ms = _now_ms(spark)
     for _ in range(max_retries):
-        base = latest_version(spark, path)
+        versions = list_versions(spark, path)
+        base = versions[-1]["version"] if versions else None
+        prev_ts = versions[-1]["ts_ms"] if versions else -1
         n = 0 if base is None else base + 1
+        # Commit timestamp is stamped per ATTEMPT (not once before the
+        # retry loop) and clamped monotonic vs the predecessor manifest,
+        # so a writer that loses the race can never publish a later
+        # version with an earlier ts_ms — which would make as_of_ts_ms
+        # time travel ambiguous. Iceberg likewise stamps at commit.
+        ts_ms = max(prev_ts + 1, _now_ms(spark))
         data_dir = f"{path}/{_DATA_PREFIX}{n}-{uuid.uuid4().hex[:8]}"
         out_df = df
         if mode == "append" and base is not None:
