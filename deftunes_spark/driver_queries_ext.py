@@ -163,6 +163,100 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_mapside_oracle(
+    n: int = 2, num_hashes: int = 32, bands: int = 8, threshold: float = 0.3
+) -> str:
+    """DuckDB mirror of the MAPSIDE signature algebra
+    (``minhash_signatures_mapside``): signatures are computed PER ROW
+    as ``list_min(list_transform(shingle_list, s -> md5(seed || s)))``
+    — the exact per-row fold Spark runs (``array_min`` over a
+    ``transform`` of the shingle array), not the exploded
+    groupBy-of-mins the ``dedup_minhash`` oracle mirrors. The shingle
+    list keeps duplicates on both sides (min is duplicate-insensitive,
+    so the result matches the distinct-set path — that equivalence is
+    exactly what this oracle proves in the hard signal). Banding,
+    candidate join, and agreement-fraction estimate mirror the raw
+    string-key path."""
+    rows = num_hashes // bands
+    sig_lambdas = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{s}|' || s))) AS mh_{s}"
+        for s in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS band_key FROM sigs".format(
+            b=b,
+            key="||','||".join(
+                f"mh_{b * rows + r}" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.mh_{s} = sb.mh_{s} THEN 1 ELSE 0 END"
+        for s in range(num_hashes)
+    )
+    return f"""
+    WITH toklist AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), shlist AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(len(toks) - {n - 1}, 1) + 1),
+                   i -> array_to_string(toks[i:i+{n - 1}], ' ')
+               ) AS sh
+        FROM toklist
+    ), sigs AS (
+        SELECT doc_id, {sig_lambdas} FROM shlist
+    ), bands AS (
+        {band_selects}
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ), est AS (
+        SELECT id_a, id_b, ({matches}) / {float(num_hashes)} AS est_jaccard
+        FROM pairs
+        JOIN sigs sa ON sa.doc_id = id_a
+        JOIN sigs sb ON sb.doc_id = id_b
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           est_jaccard
+    FROM est WHERE est_jaccard >= {threshold}
+    """
+
+
+@query("dedup_minhash_mapside_md5", _minhash_mapside_oracle())
+def q_dedup_minhash_mapside_md5(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shuffle-free signature stage under the full value-hash oracle:
+    the MAPSIDE minhash path (per-row ``array_min`` over a transform
+    of the shingle array — zero Exchange before the band join,
+    plan-asserted in tests/test_plans.py) run with md5 so DuckDB's
+    list lambdas can mirror it hash-for-hash. ``dedup_minhash``
+    value-checks the exploded/shuffle algebra; this entry value-checks
+    the mapside algebra itself, closing the rows-only gap on the
+    production signature strategy (``dedup_minhash_fast`` stays the
+    pure-speed xxhash64 variant)."""
+    docs = _t_cpu(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return D.minhash_dedup_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=2,
+        num_hashes=32,
+        bands=8,
+        threshold=0.3,
+        hash_fn="md5",
+        hash_band_key=False,
+        signature_strategy="mapside",
+    )
+
+
 @query("dedup_minhash_fast")
 def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash path: xxhash64 minwise hashes + hashed band
