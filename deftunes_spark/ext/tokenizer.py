@@ -74,6 +74,93 @@ def _merge_expr(col: str, left: str, right: str) -> str:
     )
 
 
+def _bpe_merge_loop_local(
+    word_freqs: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str, int]]:
+    """In-memory merge loop over a collected (word, freq) vocabulary.
+
+    Incremental pair-count maintenance (the trick from Sennrich's
+    reference subword-nmt trainer): a lazy max-heap of
+    ``(-freq, left, right)`` entries plus an inverted index
+    pair → {word ids}, so each merge round touches only the words
+    containing the chosen pair and re-heapifies only the pairs whose
+    counts changed — O(affected words) per round instead of
+    O(vocabulary). A 32k-merge vocabulary runs in seconds where one
+    Spark job per round would take hours of driver latency.
+
+    Selection is EXACTLY the distributed rule: highest total
+    frequency, ties broken lexicographically on (left, right); stop
+    when the best pair's frequency drops below 2. Heap entries are
+    validated against the live count on pop (lazy deletion), so
+    stale entries never win.
+
+    Unicode boundary: symbols here are Python code points while the
+    distributed path splits on JVM UTF-16 code units — identical for
+    BMP text (parity-tested); astral-plane characters differ in
+    representation on the two paths.
+    """
+    import heapq
+    from collections import Counter
+
+    seqs: list[tuple[list[str], int]] = [
+        (list(w[:-1]) + [w[-1] + EOW], f) for w, f in word_freqs if w
+    ]
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, f) in enumerate(seqs):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += f
+            pair_words.setdefault(p, set()).add(wi)
+    heap = [(-n, a, b) for (a, b), n in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def _fold(syms: list[str], a: str, b: str) -> list[str]:
+        out: list[str] = []
+        ab = a + b
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = ab
+            else:
+                out.append(x)
+        return out
+
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < num_merges and heap:
+        negn, a, b = heapq.heappop(heap)
+        n = -negn
+        if pair_counts.get((a, b), 0) != n:
+            continue  # stale heap entry — count has changed since push
+        if n < 2:
+            break
+        merges.append((a, b, n))
+        changed: set[tuple[str, str]] = set()
+        for wi in pair_words.pop((a, b), ()):
+            syms, f = seqs[wi]
+            new_syms = _fold(syms, a, b)
+            if len(new_syms) == len(syms):
+                continue  # inverted-index entry gone stale — no-op
+            old_pairs = Counter(zip(syms, syms[1:]))
+            new_pairs = Counter(zip(new_syms, new_syms[1:]))
+            seqs[wi] = (new_syms, f)
+            for p in old_pairs.keys() | new_pairs.keys():
+                d = new_pairs[p] - old_pairs[p]
+                if d:
+                    pair_counts[p] += d * f
+                    changed.add(p)
+                if new_pairs[p]:
+                    pair_words.setdefault(p, set()).add(wi)
+        pair_counts.pop((a, b), None)
+        changed.discard((a, b))
+        for p in changed:
+            c = pair_counts.get(p, 0)
+            if c <= 0:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+            else:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -81,14 +168,52 @@ def bpe_train(
     min_freq: int = 1,
     checkpoint_every: int = 4,
     reliable: bool = False,
+    strategy: str = "auto",
+    local_vocab_max: int = 5_000_000,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merge rules from the corpus.
 
     Returns [(left, right, pair_freq), ...] in merge order. Stops
     early when no pair repeats. ``reliable=`` selects the lineage-cut
     mode for the iterated vocab table (``ext.lineage``).
+
+    ``strategy``: ``"local"`` collects the (word, freq) table once
+    after the single corpus pass and runs the merge rounds in-memory
+    (``_bpe_merge_loop_local``) — the merge loop is
+    vocabulary-bounded, so this is almost always right even on a
+    100 TB corpus; ``"distributed"`` iterates on the Spark vocab
+    table (one job per round — only for vocabularies too large for
+    the driver); ``"auto"`` picks local when the distinct-word count
+    is at most ``local_vocab_max``. Both paths produce identical
+    merges (parity-tested in tests/test_tokenizer.py).
     """
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     vocab = word_vocab(df, text_col, min_freq)
+    if strategy == "auto":
+        # Probe-collect up to the threshold + 1 rows: one corpus pass
+        # decides the mode AND (when local wins) already delivers the
+        # vocabulary — no separate count() job.
+        probe = vocab.limit(local_vocab_max + 1).collect()
+        strategy = (
+            "local" if len(probe) <= local_vocab_max else "distributed"
+        )
+        import logging
+
+        logging.getLogger(__name__).info(
+            "bpe_train: %s distinct words -> %s merge loop",
+            len(probe) if strategy == "local" else f">{local_vocab_max}",
+            strategy,
+        )
+        if strategy == "local":
+            return _bpe_merge_loop_local(
+                [(r["word"], int(r["freq"])) for r in probe], num_merges
+            )
+    if strategy == "local":
+        word_freqs = [
+            (r["word"], int(r["freq"])) for r in vocab.collect()
+        ]
+        return _bpe_merge_loop_local(word_freqs, num_merges)
     # Initial symbols: characters, with the end-of-word marker fused
     # onto the last character (standard BPE formulation).
     syms = (

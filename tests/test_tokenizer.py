@@ -72,6 +72,36 @@ def test_bpe_train_matches_reference(spark):
     assert len(got) == 8
 
 
+def test_bpe_train_local_and_distributed_parity(spark):
+    """Both merge-loop strategies produce identical merge lists (the
+    auto rule picks local for driver-sized vocabularies; distributed
+    is the fallback above local_vocab_max)."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    local = bpe_train(df, num_merges=8, strategy="local")
+    dist = bpe_train(df, num_merges=8, strategy="distributed")
+    want, _ = _ref_bpe(TEXTS, 8)
+    assert local == dist == want
+    # auto with a tiny threshold must fall back to distributed and
+    # still agree.
+    assert (
+        bpe_train(df, num_merges=8, local_vocab_max=2) == want
+    )
+
+
+def test_bpe_train_local_many_merges_exhausts(spark):
+    """The local loop handles merge budgets far past exhaustion (the
+    realistic-vocab mode: 32k merges must not mean 32k Spark jobs) and
+    stops exactly where the reference stops."""
+    texts = [
+        " ".join(f"tok{i % 37}abcdefgh"[: 5 + i % 9] for i in range(200))
+    ] * 3
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_train(df, num_merges=1000, strategy="local")
+    want, _ = _ref_bpe(texts, 1000)
+    assert got == want
+    assert len(got) < 1000  # exhausted, not truncated
+
+
 def test_bpe_train_early_stop_on_tiny_corpus(spark):
     df = spark.createDataFrame([("ab",)], "text string")
     # Single word occurrence: no pair reaches freq 2 -> no merges.
