@@ -264,6 +264,56 @@ def q_model_registry_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("bi_sales_per_segment")
 
 
+@query(
+    "model_versioned_rebuild",
+    """
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def q_model_versioned_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 + Iceberg-guarantee end-to-end: a model materialized as
+    ``versioned_table`` through the registry, rebuilt with a changed
+    variable (second run doubles the balances — a deliberately wrong
+    rebuild), then time-traveled back to version 0 VIA the registry
+    (``read_model_version``). The oracle recomputes the v0 content
+    from source, so a rebuild leaking into the old snapshot fails the
+    value hash — the snapshot-isolation guarantee itself is what's
+    checked."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView(
+        "src_vt_customer"
+    )
+    base = tempfile.mkdtemp(prefix="deftunes_vt_model_")
+
+    def build(mult: str) -> ModelRegistry:
+        reg = ModelRegistry(
+            variables={"mult": mult}, versioned_base_path=base
+        )
+        reg.add(
+            Model(
+                name="seg_balance",
+                sql=(
+                    "SELECT c_mktsegment AS segment, "
+                    "CAST(COUNT(*) AS BIGINT) AS n_customers, "
+                    "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) * {mult} "
+                    "AS DOUBLE) AS bal "
+                    "FROM src_vt_customer GROUP BY 1"
+                ),
+                materialized="versioned_table",
+                columns=("segment", "n_customers", "bal"),
+            )
+        )
+        return reg
+
+    build("1").run(spark)  # version 0 — the truth
+    reg = build("2")
+    reg.run(spark)  # version 1 — doubled balances
+    return reg.read_model_version(spark, "seg_balance", version=0)
+
+
 # =====================================================================
 # O1–O6: pipeline backfill with DQ gate
 # =====================================================================

@@ -30,7 +30,12 @@ class Model:
     # a function (spark, {ref_name: DataFrame}) -> DataFrame.
     sql: str | None = None
     fn: Callable[[SparkSession, dict[str, DataFrame]], DataFrame] | None = None
-    materialized: str = "table"  # "table" | "view"
+    # "table" (CTAS per run), "view", or "versioned_table" — the
+    # opt-in Iceberg-style materialization: every rebuild commits a new
+    # immutable version under the registry's versioned_base_path
+    # (io/versioned.py), so silver/gold models get time travel and
+    # concurrent-rebuild safety end-to-end.
+    materialized: str = "table"
     refs: tuple[str, ...] = ()
     schema: str = "serving"  # target namespace prefix, dbt +schema
     # Declarative column contract (dbt: serving_layer/schema.yml:5-51
@@ -50,6 +55,9 @@ class ModelRegistry:
     """Holds models; runs them in dependency order (dbt `run` analog)."""
 
     variables: dict[str, str] = field(default_factory=dict)
+    # Filesystem root for "versioned_table" models; each lands at
+    # {versioned_base_path}/{qualified_name}.
+    versioned_base_path: str | None = None
     _models: dict[str, Model] = field(default_factory=dict)
 
     def add(self, model: Model) -> None:
@@ -139,7 +147,23 @@ class ModelRegistry:
         for name in self.topo_order():
             model = self._models[name]
             df = self.build_df(spark, name, resolved)
-            if model.materialized == "table" and use_catalog:
+            if model.materialized == "versioned_table":
+                from deftunes_spark.io.versioned import (
+                    read_version,
+                    write_versioned,
+                )
+
+                path = self._versioned_path(name)
+                v = write_versioned(spark, df, path, mode="overwrite")
+                # Downstream reads the COMMITTED snapshot — same
+                # persisted-not-lazy rule as catalog tables, plus the
+                # version pin means a concurrent rebuild publishing
+                # v+1 mid-run cannot shift what this run's downstream
+                # models see.
+                persisted = read_version(spark, path, version=v)
+                persisted.createOrReplaceTempView(name)
+                resolved[name] = persisted
+            elif model.materialized == "table" and use_catalog:
                 df.write.mode("overwrite").saveAsTable(model.qualified_name)
                 # Downstream models must read the PERSISTED table, not
                 # re-derive the lazy plan that produced it.
@@ -150,3 +174,39 @@ class ModelRegistry:
                 df.createOrReplaceTempView(name)
             built.append(name)
         return built
+
+    def _versioned_path(self, name: str) -> str:
+        if self.versioned_base_path is None:
+            raise ValueError(
+                f"model {name!r} is materialized='versioned_table' but "
+                "the registry has no versioned_base_path"
+            )
+        model = self._models[name]
+        return f"{self.versioned_base_path}/{model.qualified_name}"
+
+    def read_model_version(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: int | None = None,
+        as_of_ts_ms: int | None = None,
+    ) -> DataFrame:
+        """Time travel THROUGH the registry: read a committed snapshot
+        of a versioned_table model (latest when neither selector is
+        given). The dbt-has-no-answer feature the reference gets from
+        Iceberg (transform-json-job.py:156-187): 'what did
+        serving_sales look like before this morning's rebuild?'."""
+        model = self._models[name]
+        if model.materialized != "versioned_table":
+            raise ValueError(
+                f"model {name!r} is materialized={model.materialized!r}, "
+                "not 'versioned_table'"
+            )
+        from deftunes_spark.io.versioned import read_version
+
+        return read_version(
+            spark,
+            self._versioned_path(name),
+            version=version,
+            as_of_ts_ms=as_of_ts_ms,
+        )

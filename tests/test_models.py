@@ -80,3 +80,93 @@ def test_registry_rejects_cycles_and_dupes():
         raise AssertionError("expected duplicate rejection")
     except ValueError:
         pass
+
+
+def test_versioned_table_materialization_time_travel(spark, tmp_path):
+    """versioned_table models: every run() commits a new version; old
+    snapshots stay readable through read_model_version, and two
+    rebuilds racing from threads both commit (distinct versions, no
+    corruption) — the Iceberg guarantees surfaced at the registry
+    level."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from deftunes_spark.io.versioned import list_versions
+
+    src = spark.range(10).select(
+        F.col("id"), (F.col("id") % 3).alias("seg")
+    )
+    src.createOrReplaceTempView("vt_src")
+
+    def registry(mult: int) -> ModelRegistry:
+        reg = ModelRegistry(
+            variables={"mult": str(mult)},
+            versioned_base_path=str(tmp_path),
+        )
+        reg.add(
+            Model(
+                name="agg",
+                sql=(
+                    "SELECT seg, CAST(SUM(id) * {mult} AS BIGINT) AS s "
+                    "FROM vt_src GROUP BY seg"
+                ),
+                materialized="versioned_table",
+            )
+        )
+        return reg
+
+    reg1 = registry(1)
+    reg1.run(spark)
+    registry(10).run(spark)
+
+    v0 = {
+        r.seg: r.s
+        for r in reg1.read_model_version(spark, "agg", version=0).collect()
+    }
+    latest = {
+        r.seg: r.s for r in reg1.read_model_version(spark, "agg").collect()
+    }
+    assert latest == {k: v * 10 for k, v in v0.items()}
+
+    # Two rebuilds racing from threads: both must commit, as distinct
+    # versions, each internally consistent (its own multiplier).
+    errs = []
+
+    def rebuild(mult):
+        try:
+            registry(mult).run(spark)
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    ts = [threading.Thread(target=rebuild, args=(m,)) for m in (100, 1000)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    versions = list_versions(spark, str(tmp_path) + "/serving_agg")
+    assert [m["version"] for m in versions] == [0, 1, 2, 3]
+    for v in (2, 3):
+        snap = {
+            r.seg: r.s
+            for r in reg1.read_model_version(
+                spark, "agg", version=v
+            ).collect()
+        }
+        mult = next(
+            m for m in (100, 1000) if snap == {k: x * m for k, x in v0.items()}
+        )
+        assert mult in (100, 1000)
+
+
+def test_versioned_table_requires_base_path(spark):
+    reg = ModelRegistry()
+    reg.add(
+        Model(name="m", sql="SELECT 1 AS x", materialized="versioned_table")
+    )
+    try:
+        reg.run(spark)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
