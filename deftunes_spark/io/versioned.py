@@ -27,21 +27,104 @@ format actually does it:
   reads only its data directory. ``expire_versions`` is the
   retention pass (keep last K, never the current).
 
-Object-store caveat (documented boundary, same as Iceberg's): S3 has
-no atomic exclusive rename, so this protocol needs an HDFS-like FS or
-a coordination service for the single manifest-publish step; data
-files themselves are format-identical everywhere.
+Object-store boundary (same as Iceberg's): S3 has no atomic exclusive
+rename, so the single manifest-publish step is PLUGGABLE — a
+``CommitProtocol`` provides the put-if-absent primitive. The default
+(``RenameCommitProtocol``) is stage + atomic rename (HDFS/local);
+``ConditionalPutCommitProtocol`` is the object-store shape: ONE
+conditional write of the manifest payload (S3 ``If-None-Match: *``,
+GCS ``if-generation-match: 0``, or a DynamoDB-style conditional
+write), adapted through a user-supplied callable. Data files are
+format-identical everywhere; only this one primitive varies.
 """
 
 from __future__ import annotations
 
 import json
 import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_DIR = "_manifests"
 _DATA_PREFIX = "_v"
+
+
+class CommitProtocol:
+    """The ONE primitive a table-format commit needs: publish
+    ``payload`` at ``{mdir}/{name}`` iff nothing is there, atomically,
+    reporting whether this writer won. Everything else in this module
+    (immutable data dirs, retries, time travel) is store-agnostic."""
+
+    def put_if_absent(
+        self, spark: SparkSession, mdir: str, name: str, payload: bytes
+    ) -> bool:
+        raise NotImplementedError
+
+
+class RenameCommitProtocol(CommitProtocol):
+    """Stage to a temp name, then ``FileSystem.rename`` to the final
+    name — atomic and fails-if-destination-exists on HDFS and local
+    FS (the contract Iceberg's HadoopTableOperations commit uses).
+    The payload is never observable half-written: readers see the
+    whole manifest or no manifest."""
+
+    def put_if_absent(
+        self, spark: SparkSession, mdir: str, name: str, payload: bytes
+    ) -> bool:
+        jvm, fs = _fs(spark, mdir)
+        fs.mkdirs(_p(jvm, mdir))
+        final = _p(jvm, f"{mdir}/{name}")
+        if fs.exists(final):
+            return False
+        tmp = _p(jvm, f"{mdir}/.tmp-{uuid.uuid4().hex}.json")
+        out = fs.create(tmp, False)
+        try:
+            out.write(payload)
+        finally:
+            out.close()
+        ok = fs.rename(tmp, final)
+        if not ok:
+            fs.delete(tmp, True)
+        return bool(ok)
+
+
+class ConditionalPutCommitProtocol(CommitProtocol):
+    """Object-store commit: a SINGLE conditional put of the manifest —
+    no rename, no staging object. ``put_fn(key, payload) -> bool``
+    adapts the store's create-if-absent (S3 ``PutObject`` +
+    ``If-None-Match: *``, GCS ``if-generation-match: 0``, a DynamoDB
+    ``attribute_not_exists`` write, ...); it must be all-or-nothing —
+    on False/exception, nothing may be visible at ``key``.
+
+    Without ``put_fn``, falls back to Hadoop ``create(path,
+    overwrite=False)`` — exclusive create, atomic on HDFS/local, so
+    the protocol is testable (incl. under contention) in this
+    container; a REAL object store must supply ``put_fn``, since
+    S3A's create() is check-then-write, not conditional."""
+
+    def __init__(
+        self, put_fn: Callable[[str, bytes], bool] | None = None
+    ) -> None:
+        self._put_fn = put_fn
+
+    def put_if_absent(
+        self, spark: SparkSession, mdir: str, name: str, payload: bytes
+    ) -> bool:
+        key = f"{mdir}/{name}"
+        if self._put_fn is not None:
+            return bool(self._put_fn(key, payload))
+        jvm, fs = _fs(spark, mdir)
+        fs.mkdirs(_p(jvm, mdir))
+        try:
+            out = fs.create(_p(jvm, key), False)  # exclusive create
+        except Exception:  # FileAlreadyExistsException → lost the race
+            return False
+        try:
+            out.write(payload)
+        finally:
+            out.close()
+        return True
 
 
 def _fs(spark: SparkSession, path: str):
@@ -81,29 +164,22 @@ def latest_version(spark: SparkSession, path: str) -> int | None:
     return versions[-1]["version"] if versions else None
 
 
-def _publish_manifest(spark, path: str, manifest: dict) -> bool:
-    """Stage + atomic rename to the canonical manifest name.
+def _publish_manifest(
+    spark, path: str, manifest: dict, protocol: CommitProtocol | None = None
+) -> bool:
+    """Publish via the commit protocol's put-if-absent.
 
-    Returns False when another writer already published this version
-    (rename-to-existing fails) — the optimistic-concurrency signal.
+    Returns False when another writer already published this version —
+    the optimistic-concurrency signal.
     """
-    jvm, fs = _fs(spark, path)
+    protocol = protocol or RenameCommitProtocol()
     n = manifest["version"]
-    mdir = f"{path}/{_MANIFEST_DIR}"
-    fs.mkdirs(_p(jvm, mdir))
-    final = _p(jvm, f"{mdir}/{n:020d}.json")
-    if fs.exists(final):
-        return False
-    tmp = _p(jvm, f"{mdir}/.tmp-{uuid.uuid4().hex}.json")
-    out = fs.create(tmp, False)
-    try:
-        out.write(json.dumps(manifest, sort_keys=True).encode("utf-8"))
-    finally:
-        out.close()
-    ok = fs.rename(tmp, final)
-    if not ok:
-        fs.delete(tmp, True)
-    return bool(ok)
+    return protocol.put_if_absent(
+        spark,
+        f"{path}/{_MANIFEST_DIR}",
+        f"{n:020d}.json",
+        json.dumps(manifest, sort_keys=True).encode("utf-8"),
+    )
 
 
 def write_versioned(
@@ -112,6 +188,7 @@ def write_versioned(
     path: str,
     mode: str = "overwrite",
     max_retries: int = 10,
+    protocol: CommitProtocol | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -155,7 +232,7 @@ def write_versioned(
             "mode": mode,
             "rows": rows,
         }
-        if _publish_manifest(spark, path, manifest):
+        if _publish_manifest(spark, path, manifest, protocol):
             return n
         # Lost the race: drop the orphaned staging data and retry
         # against the new latest snapshot.

@@ -160,3 +160,159 @@ def test_versioned_commits_match_snapshot_model(
         for r in V.read_version(spark, t, as_of_ts_ms=last_ts).collect()
     )
     assert got == model[-1]
+
+
+# ---------------------------------------------------------------------
+# Pluggable commit protocol (VERDICT r3 directive 5): the put-if-absent
+# primitive behind manifest publication, with an object-store-shaped
+# conditional-put implementation.
+# ---------------------------------------------------------------------
+
+
+def test_conditional_put_protocol_basic(spark, tmp_path):
+    """ConditionalPutCommitProtocol (exclusive-create fallback) gives
+    the same single-winner semantics as the rename protocol."""
+    t = str(tmp_path / "cp")
+    proto = V.ConditionalPutCommitProtocol()
+    m = {"version": 7, "data_dir": "x", "ts_ms": 1, "mode": "o", "rows": 0}
+    assert V._publish_manifest(spark, t, m, proto) is True
+    m2 = dict(m, data_dir="y")
+    assert V._publish_manifest(spark, t, m2, proto) is False
+    assert V.list_versions(spark, t)[0]["data_dir"] == "x"
+
+
+def test_conditional_put_custom_store_adapter(spark, tmp_path):
+    """A user-supplied put_fn (the DynamoDB/S3-conditional-put adapter
+    boundary) drives the commit decision; the FS below never sees a
+    manifest the store rejected. Emulated with an in-memory store that
+    also mirrors accepted payloads to disk so reads still work."""
+    import threading as th
+
+    t = str(tmp_path / "store")
+    lock = th.Lock()
+    store: dict[str, bytes] = {}
+
+    def put_fn(key: str, payload: bytes) -> bool:
+        with lock:  # the store's conditional write is atomic
+            if key in store:
+                return False
+            store[key] = payload
+        import os
+
+        os.makedirs(os.path.dirname(key), exist_ok=True)
+        with open(key, "wb") as f:
+            f.write(payload)
+        return True
+
+    proto = V.ConditionalPutCommitProtocol(put_fn)
+    df = spark.createDataFrame([(1,)], "id long")
+    assert V.write_versioned(spark, df, t, protocol=proto) == 0
+    assert V.write_versioned(spark, df, t, protocol=proto) == 1
+    assert len(store) == 2
+    assert [m["version"] for m in V.list_versions(spark, t)] == [0, 1]
+
+
+@pytest.mark.parametrize("proto_name", ["rename", "cput"])
+def test_commit_protocol_contention(spark, tmp_path, proto_name):
+    """N writers racing the SAME version number through either
+    protocol: exactly one winner, losers observe False and retry to
+    distinct later versions — no manifest ever overwritten."""
+    t = str(tmp_path / f"cont_{proto_name}")
+    proto = (
+        V.RenameCommitProtocol()
+        if proto_name == "rename"
+        else V.ConditionalPutCommitProtocol()
+    )
+    import threading as th
+
+    wins = []
+
+    def commit(i):
+        m = {"version": 3, "data_dir": f"d{i}", "ts_ms": i, "mode": "o",
+             "rows": 0}
+        if V._publish_manifest(spark, t, m, proto):
+            wins.append(i)
+
+    threads = [th.Thread(target=commit, args=(i,)) for i in range(6)]
+    for x in threads:
+        x.start()
+    for x in threads:
+        x.join()
+    assert len(wins) == 1
+    published = V.list_versions(spark, t)
+    assert len(published) == 1
+    assert published[0]["data_dir"] == f"d{wins[0]}"
+
+
+# ---------------------------------------------------------------------
+# Racing-writers hypothesis test (VERDICT r3 directive 8): genuinely
+# concurrent writers; the published history must be linearizable — a
+# contiguous version chain where each version is explained by exactly
+# one writer applied to its predecessor snapshot.
+# ---------------------------------------------------------------------
+
+_writers = st.lists(
+    st.sampled_from(["overwrite", "append"]),
+    min_size=2,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(modes=_writers)
+def test_racing_writers_linearize(spark, tmp_path_factory, modes):
+    t = str(tmp_path_factory.mktemp("vrace") / "tbl")
+    V.write_versioned(
+        spark, spark.createDataFrame([(0,)], "id long"), t, mode="overwrite"
+    )
+    errs = []
+
+    def write(i, mode):
+        try:
+            df = spark.createDataFrame([((i + 1) * 1000,)], "id long")
+            V.write_versioned(spark, df, t, mode=mode)
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=write, args=(i, m))
+        for i, m in enumerate(modes)
+    ]
+    for x in threads:
+        x.start()
+    for x in threads:
+        x.join()
+    assert not errs
+    manifests = V.list_versions(spark, t)
+    # Contiguous chain: base + one commit per writer, ts monotonic.
+    assert [m["version"] for m in manifests] == list(
+        range(len(modes) + 1)
+    )
+    ts = [m["ts_ms"] for m in manifests]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)
+    snaps = [
+        sorted(r.id for r in V.read_version(spark, t, version=v).collect())
+        for v in range(len(modes) + 1)
+    ]
+    assert snaps[0] == [0]
+    # Each version is exactly one writer's payload applied to its
+    # predecessor (append = prev + payload, overwrite = payload), and
+    # every writer explains exactly one version.
+    unexplained = {(i, m) for i, m in enumerate(modes)}
+    for v in range(1, len(snaps)):
+        matches = [
+            (i, m)
+            for (i, m) in unexplained
+            if (
+                m == "append"
+                and snaps[v] == sorted(snaps[v - 1] + [(i + 1) * 1000])
+            )
+            or (m == "overwrite" and snaps[v] == [(i + 1) * 1000])
+        ]
+        assert matches, f"version {v} ({snaps[v]}) explained by no writer"
+        unexplained.discard(matches[0])
+    assert not unexplained
