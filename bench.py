@@ -63,6 +63,13 @@ HEADLINE = [
     "ann_pq_topk",
     "pagerank_sales",
     "events_tumbling",
+    # Curation family (shuffle-heavy; benched so regressions are
+    # visible round-over-round, not just correctness-checked):
+    "decontamination",
+    "segment_dedup",
+    "semantic_dedup",
+    # Mapside signature algebra under its own oracle-mirroring variant:
+    "dedup_minhash_mapside_md5",
 ]
 
 WARMUP_RUNS = 2
@@ -121,6 +128,15 @@ def _run_one(name: str, sf_dir: str) -> None:
     print(json.dumps({"name": name, "runs": runs}))
 
 
+def _codec_mode() -> str:
+    """Which media codec the multimodal operators ran with — recorded
+    in the artifact so the PIL-present/PIL-absent test skip is
+    auditable per round (VERDICT r3 directive 7)."""
+    from deftunes_spark.ext.multimodal import codec_available
+
+    return "pillow" if codec_available() else "deterministic-fake"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -169,6 +185,7 @@ def main() -> None:
         "runs": all_runs,
         "isolation": "per-query subprocess, min of %d (2 warm-ups)"
         % TIMED_RUNS,
+        "image_codec": _codec_mode(),
     }
     if errors:
         out["errors"] = errors

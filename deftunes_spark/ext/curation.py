@@ -104,6 +104,7 @@ def segment_dedup(
     seg_tokens: int = 8,
     max_doc_freq: int = 2,
     method: str = "broadcast",
+    literal_max: int = 256,
 ) -> DataFrame:
     """Remove boilerplate SEGMENTS that repeat across many documents
     (CCNet-style line-level dedup; newline-free corpora segment into
@@ -116,10 +117,15 @@ def segment_dedup(
 
     ``method="broadcast"`` (default): one explode → groupBy(segment
     md5) for document frequencies (map-side combine), then ONLY the
-    hot segments (tiny by Zipf — boilerplate is the head of the
-    distribution) come back to the driver and are evaluated as an
-    array-membership filter per row. The document payload is never
-    exchanged — the single shuffle carries (hash, count) pairs.
+    hot segments come back to the driver and filter every row WITHOUT
+    shuffling the document payload — the single shuffle carries
+    (hash, count) pairs. Two physical shapes, auto-selected by hot-set
+    size: at most ``literal_max`` hot hashes inline as a literal-array
+    filter (codegen-friendly); above that, an Arrow-batched pandas UDF
+    with an O(1) hash-set membership test — ``array_contains`` on a
+    big literal is a LINEAR scan per segment (O(segments × hot), and a
+    17k-element literal also blows the plan out of codegen; measured
+    10× on the sf0.1 corpus), while the set UDF stays O(segments).
 
     ``method="shuffle"``: no driver materialization — posexplode,
     left-anti join against the hot-hash set, groupBy-reassemble in
@@ -155,22 +161,64 @@ def segment_dedup(
 
     if method == "broadcast":
         hot = [r["_h"] for r in hot_df.collect()]
-        hot_lit = (
-            F.array(*[F.lit(h) for h in hot])
-            if hot
-            else F.array().cast("array<string>")
-        )
-        kept = F.filter(
-            F.col("_segs"),
-            lambda s: ~F.array_contains(hot_lit, seg_hash(s)),
+        if len(hot) <= literal_max:
+            hot_lit = (
+                F.array(*[F.lit(h) for h in hot])
+                if hot
+                else F.array().cast("array<string>")
+            )
+            kept = F.filter(
+                F.col("_segs"),
+                lambda s: ~F.array_contains(hot_lit, seg_hash(s)),
+            )
+            return with_segs.select(
+                F.col(id_col),
+                F.array_join(kept, " ").alias("cleaned_text"),
+                F.size("_segs").cast("bigint").alias("n_segments"),
+                (F.size("_segs") - F.size(kept))
+                .cast("bigint")
+                .alias("n_dropped"),
+            )
+        # Large hot set: frozenset membership in an Arrow-batched UDF.
+        # Hashes still computed JVM-side (same md5(lower(trim))) so the
+        # Python side does set lookups only; payload never shuffles.
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        hotset = frozenset(hot)
+
+        def _drop_hot(segs, hashes):
+            cleaned, dropped = [], []
+            for sg, hs in zip(segs, hashes):
+                kept_segs = [
+                    s for s, h in zip(sg, hs) if h not in hotset
+                ]
+                cleaned.append(" ".join(kept_segs))
+                dropped.append(len(sg) - len(kept_segs))
+            return pd.DataFrame(
+                {"cleaned_text": cleaned, "n_dropped": dropped}
+            )
+
+        _drop_hot.__annotations__ = {
+            "segs": pd.Series,
+            "hashes": pd.Series,
+            "return": pd.DataFrame,
+        }
+        fudf = pandas_udf(
+            _drop_hot, "cleaned_text string, n_dropped bigint"
         )
         return with_segs.select(
             F.col(id_col),
-            F.array_join(kept, " ").alias("cleaned_text"),
+            fudf(
+                F.col("_segs"),
+                F.transform(F.col("_segs"), seg_hash),
+            ).alias("_r"),
             F.size("_segs").cast("bigint").alias("n_segments"),
-            (F.size("_segs") - F.size(kept))
-            .cast("bigint")
-            .alias("n_dropped"),
+        ).select(
+            id_col,
+            F.col("_r.cleaned_text").alias("cleaned_text"),
+            "n_segments",
+            F.col("_r.n_dropped").alias("n_dropped"),
         )
     if method == "shuffle":
         exploded = with_segs.select(

@@ -136,3 +136,16 @@ def test_real_codec_decode_resize_features(spark):
         img = Image.open(_io.BytesIO(bytes(r.payload_resized)))
         assert img.size == (4, 4)
         assert (r.out_width, r.out_height) == (4, 4)
+
+
+def test_codec_mode_recorded_in_artifacts():
+    """The bench artifact must carry which codec the multimodal ops ran
+    with, so exactly-one of the PIL-present/PIL-absent test pair
+    skipping is auditable per round (VERDICT r3 directive 7)."""
+    import importlib.util
+
+    import bench
+
+    mode = bench._codec_mode()
+    pil_present = importlib.util.find_spec("PIL") is not None
+    assert mode == ("pillow" if pil_present else "deterministic-fake")

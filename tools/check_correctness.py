@@ -95,9 +95,13 @@ def main() -> int:
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
             print(f"ok   {name}: {len(srows)} rows match")
+    from deftunes_spark.ext.multimodal import codec_available
+
+    codec = "pillow" if codec_available() else "deterministic-fake"
     print(
         f"\n{len(failures)} failures out of "
-        f"{len([q for q in qs if not only or q in only])} checked"
+        f"{len([q for q in qs if not only or q in only])} checked "
+        f"(image_codec={codec})"
     )
     return 1 if failures else 0
 
