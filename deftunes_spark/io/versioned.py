@@ -137,25 +137,44 @@ def _p(jvm, s: str):
     return jvm.org.apache.hadoop.fs.Path(s)
 
 
+# Above this many manifests, list_versions reads them as ONE
+# distributed job instead of one driver round-trip per file.
+_BATCH_READ_MIN = 64
+
+
 def list_versions(spark: SparkSession, path: str) -> list[dict]:
-    """Published versions, ascending: [{version, ts_ms, mode, rows}]."""
+    """Published versions, ascending: [{version, ts_ms, mode, rows}].
+
+    Small histories (the common case under ``expire_versions``
+    retention) read sequentially on the driver; past
+    ``_BATCH_READ_MIN`` manifests the read switches to a single
+    ``wholeTextFiles`` job — O(1) driver round-trips instead of
+    O(versions)."""
     jvm, fs = _fs(spark, path)
     mdir = _p(jvm, f"{path}/{_MANIFEST_DIR}")
     if not fs.exists(mdir):
         return []
+    names = [
+        st.getPath() for st in fs.listStatus(mdir)
+        if st.getPath().getName().endswith(".json")
+        and not st.getPath().getName().startswith(".")
+    ]
     out = []
-    for st in fs.listStatus(mdir):
-        name = st.getPath().getName()
-        if not name.endswith(".json") or name.startswith("."):
-            continue
-        stream = fs.open(st.getPath())
-        try:
-            raw = bytes(
-                stream.readAllBytes()
-            )  # Hadoop 3 DataInputStream
-        finally:
-            stream.close()
-        out.append(json.loads(raw.decode("utf-8")))
+    if len(names) > _BATCH_READ_MIN:
+        texts = spark.sparkContext.wholeTextFiles(
+            f"{path}/{_MANIFEST_DIR}/*.json"
+        ).values().collect()
+        out = [json.loads(t) for t in texts]
+    else:
+        for p in names:
+            stream = fs.open(p)
+            try:
+                raw = bytes(
+                    stream.readAllBytes()
+                )  # Hadoop 3 DataInputStream
+            finally:
+                stream.close()
+            out.append(json.loads(raw.decode("utf-8")))
     return sorted(out, key=lambda m: m["version"])
 
 

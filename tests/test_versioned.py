@@ -316,3 +316,21 @@ def test_racing_writers_linearize(spark, tmp_path_factory, modes):
         assert matches, f"version {v} ({snaps[v]}) explained by no writer"
         unexplained.discard(matches[0])
     assert not unexplained
+
+
+def test_list_versions_batch_read(spark, tmp_path):
+    """Histories past _BATCH_READ_MIN manifests read via one
+    distributed wholeTextFiles job — same result as the sequential
+    path (staged .tmp manifests excluded either way)."""
+    t = str(tmp_path / "many")
+    n = V._BATCH_READ_MIN + 6
+    for v in range(n):
+        assert V._publish_manifest(
+            spark,
+            t,
+            {"version": v, "data_dir": f"d{v}", "ts_ms": v, "mode": "o",
+             "rows": v},
+        )
+    got = V.list_versions(spark, t)
+    assert [m["version"] for m in got] == list(range(n))
+    assert [m["rows"] for m in got] == list(range(n))
