@@ -1102,6 +1102,50 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VSINK_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1
+"""
+
+
+@query("events_stream_versioned_sink", _VSINK_ORACLE)
+def q_events_stream_versioned_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once streaming sink into a versioned table: the events
+    backlog streams in MULTIPLE microbatches (maxFilesPerTrigger), each
+    committing one table version whose manifest carries the batch id
+    (streaming/sinks.py — the Iceberg/Delta streaming-commit pattern on
+    the plain-parquet versioned table). The aggregated final snapshot
+    must equal the source aggregated directly — any dropped or
+    double-committed batch shifts counts/sums and fails the value
+    hash. Replay idempotence itself is pytest-asserted
+    (tests/test_streaming.py)."""
+    import tempfile as _tf
+
+    from deftunes_spark.streaming.sinks import stream_to_versioned_table
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    src = _tf.mkdtemp(prefix="deftunes_vsink_src_")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    table = _tf.mkdtemp(prefix="deftunes_vsink_tbl_") + "/t"
+
+    snapshot = stream_to_versioned_table(
+        spark,
+        src,
+        "event_type string, value double",
+        table,
+        max_files_per_trigger=2,
+    )
+    return snapshot.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
+
+
 @query(
     "events_stateful_sessions",
     ORACLES["events_sessionize"],

@@ -208,6 +208,7 @@ def write_versioned(
     mode: str = "overwrite",
     max_retries: int = 10,
     protocol: CommitProtocol | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -251,6 +252,16 @@ def write_versioned(
             "mode": mode,
             "rows": rows,
         }
+        if extra:
+            # Caller metadata rides the manifest (e.g. the streaming
+            # sink's batch id for exactly-once replay detection) but
+            # can never shadow the core commit fields.
+            clash = set(extra) & set(manifest)
+            if clash:
+                raise ValueError(
+                    f"extra manifest keys clash with core fields: {clash}"
+                )
+            manifest.update(extra)
         if _publish_manifest(spark, path, manifest, protocol):
             return n
         # Lost the race: drop the orphaned staging data and retry

@@ -319,3 +319,82 @@ def test_watermark_drops_late_data(spark, tmp_path):
         ).collect()
     }
     assert batch[base - dt.timedelta(hours=1)] == 1  # batch counts it
+
+
+# ---------------------------------------------------------------------
+# Exactly-once streaming sink into versioned tables (streaming/sinks.py)
+# ---------------------------------------------------------------------
+
+
+def test_versioned_sink_multi_batch_and_replay(spark, tmp_path):
+    """The backlog splits into multiple microbatches, each committing
+    one table version tagged with its batch id; replaying an
+    already-committed batch (the foreachBatch at-least-once anomaly)
+    is a no-op."""
+    from pyspark.sql import functions as F
+
+    from deftunes_spark.io import versioned as V
+    from deftunes_spark.streaming.sinks import (
+        stream_to_versioned_table,
+        versioned_batch_writer,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "tbl")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).alias("k")
+    )
+    df.repartition(4).write.mode("overwrite").parquet(src)
+
+    snap = stream_to_versioned_table(
+        spark,
+        src,
+        "id long, k long",
+        table,
+        max_files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert snap.count() == 100
+    versions = V.list_versions(spark, table)
+    assert len(versions) >= 2  # backlog really split into microbatches
+    batch_ids = [m["stream_batch_id"] for m in versions]
+    assert sorted(batch_ids) == batch_ids
+    assert len(set(batch_ids)) == len(batch_ids)
+
+    # Replay: re-invoking the writer with an ALREADY-COMMITTED batch id
+    # must change nothing.
+    writer = versioned_batch_writer(table)
+    writer(spark.range(5).select(F.col("id"), F.col("id").alias("k")),
+           batch_ids[-1])
+    after = V.list_versions(spark, table)
+    assert [m["version"] for m in after] == [
+        m["version"] for m in versions
+    ]
+    assert V.read_version(spark, table).count() == 100
+
+    # A genuinely NEW batch id still appends.
+    writer(spark.range(7).select(F.col("id"), F.col("id").alias("k")),
+           max(batch_ids) + 1)
+    assert V.read_version(spark, table).count() == 107
+
+
+def test_versioned_sink_restart_consumes_nothing_new(spark, tmp_path):
+    """A second availableNow run over the same checkpoint sees no new
+    files and commits no new versions — the batch face of 'restart is
+    safe'."""
+    from pyspark.sql import functions as F
+
+    from deftunes_spark.io import versioned as V
+    from deftunes_spark.streaming.sinks import stream_to_versioned_table
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(10).select(F.col("id")).write.mode("overwrite").parquet(src)
+
+    for _ in range(2):
+        snap = stream_to_versioned_table(
+            spark, src, "id long", table, checkpoint_dir=ckpt
+        )
+        assert snap.count() == 10
+    assert len(V.list_versions(spark, table)) == 1
