@@ -159,3 +159,20 @@ def test_mapside_minhash_signatures_have_zero_exchange(spark):
     plan = _plan(sig)
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode either
+
+
+def test_segment_dedup_payload_never_shuffles(spark):
+    """segment_dedup's broadcast path: the returned plan (the payload
+    pass — hot-set already collected) must contain NO Exchange: the
+    document payload rides the scan, filtered per row. Both physical
+    shapes (small literal array, large frozenset UDF) hold this."""
+    from deftunes_spark.ext.curation import segment_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for lit_max in (256, 0):  # literal-array shape, then UDF shape
+        out = segment_dedup(
+            docs, "doc_id", "text", seg_tokens=3, max_doc_freq=2,
+            literal_max=lit_max,
+        )
+        plan = _plan(out)
+        assert "Exchange" not in plan, f"literal_max={lit_max}"

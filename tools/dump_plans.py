@@ -20,7 +20,12 @@ SHOW = [
     "asof_join_click_view",
     "dedup_exact",
     "dedup_minhash_fast",
+    "dedup_minhash_mapside_md5",
     "corpus_curation",
+    # segment_dedup is deliberately absent: at sf0.01 its hot set fits
+    # the literal-array shape, whose plan dump is one enormous literal
+    # — both physical shapes are plan-asserted in tests/test_plans.py
+    # (zero payload Exchange) instead.
 ]
 
 
