@@ -118,8 +118,13 @@ class ConditionalPutCommitProtocol(CommitProtocol):
         fs.mkdirs(_p(jvm, mdir))
         try:
             out = fs.create(_p(jvm, key), False)  # exclusive create
-        except Exception:  # FileAlreadyExistsException → lost the race
-            return False
+        except Exception as exc:
+            # Only a lost race (FileAlreadyExistsException) maps to
+            # False; genuine IO/permission failures must surface, not
+            # be retried as version bumps.
+            if "exists" in str(exc).lower():
+                return False
+            raise
         try:
             out.write(payload)
         finally:
