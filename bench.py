@@ -70,6 +70,8 @@ HEADLINE = [
     "semantic_dedup",
     # Mapside signature algebra under its own oracle-mirroring variant:
     "dedup_minhash_mapside_md5",
+    # Production incremental shape: batch vs persisted signature store:
+    "dedup_incremental",
 ]
 
 WARMUP_RUNS = 2

@@ -257,6 +257,99 @@ def q_dedup_minhash_mapside_md5(
     )
 
 
+def _minhash_incremental_oracle(
+    n: int = 2, num_hashes: int = 32, bands: int = 8, threshold: float = 0.3
+) -> str:
+    """DuckDB mirror of ``incremental_minhash_dedup`` (md5 mapside
+    signatures, raw band keys) with the corpus split old/new on
+    ``doc_id % 3``: pairs pair a NEW doc against anything, old-vs-old
+    never — the predicate ``(b old AND id_a != id_b) OR (b new AND
+    id_a < id_b)`` verbatim."""
+    rows = num_hashes // bands
+    sig_lambdas = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{s}|' || s))) AS mh_{s}"
+        for s in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, is_new, {b} AS band, {key} AS band_key "
+        "FROM sigs".format(
+            b=b,
+            key="||','||".join(
+                f"mh_{b * rows + r}" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.mh_{s} = sb.mh_{s} THEN 1 ELSE 0 END"
+        for s in range(num_hashes)
+    )
+    return f"""
+    WITH toklist AS (
+        SELECT doc_id, doc_id % 3 = 0 AS is_new,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), shlist AS (
+        SELECT doc_id, is_new,
+               list_transform(
+                   range(1, greatest(len(toks) - {n - 1}, 1) + 1),
+                   i -> array_to_string(toks[i:i+{n - 1}], ' ')
+               ) AS sh
+        FROM toklist
+    ), sigs AS (
+        SELECT doc_id, is_new, {sig_lambdas} FROM shlist
+    ), bands AS (
+        {band_selects}
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.is_new
+         AND ((NOT b.is_new AND a.doc_id != b.doc_id)
+              OR (b.is_new AND a.doc_id < b.doc_id))
+    ), est AS (
+        SELECT id_a, id_b, ({matches}) / {float(num_hashes)} AS est_jaccard
+        FROM pairs
+        JOIN sigs sa ON sa.doc_id = id_a
+        JOIN sigs sb ON sb.doc_id = id_b
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           est_jaccard
+    FROM est WHERE est_jaccard >= {threshold}
+    """
+
+
+@query("dedup_incremental", _minhash_incremental_oracle())
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a persisted signature store: the
+    corpus splits old/new on doc_id % 3; run 1 ingests the old docs'
+    signatures into a versioned store (its pairs discarded — they were
+    'that day's' output), run 2 dedups the new batch against the
+    store, emitting every new-vs-old and new-vs-new pair once and NO
+    old-vs-old pair. md5 + raw band keys so DuckDB mirrors the whole
+    chain; the xxhash64 production path and the lifetime-union
+    property are pytest-asserted (tests/test_dedup.py)."""
+    import tempfile as _tf
+
+    docs = _t_cpu(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    store = _tf.mkdtemp(prefix="deftunes_incdedup_") + "/store"
+    kw = dict(
+        n=2, num_hashes=32, bands=8, threshold=0.3,
+        hash_fn="md5", hash_band_key=False,
+    )
+    D.incremental_minhash_dedup(
+        spark, old, store, "doc_id", "text", **kw
+    )
+    pairs, _v = D.incremental_minhash_dedup(
+        spark, new, store, "doc_id", "text", **kw
+    )
+    return pairs
+
+
 @query("dedup_minhash_fast")
 def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash path: xxhash64 minwise hashes + hashed band

@@ -1,4 +1,5 @@
 import pytest
+from pyspark.sql import functions as F
 
 from deftunes_spark.ext import dedup as D
 
@@ -199,3 +200,66 @@ def test_mapside_simhash_equals_shuffle_simhash(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Generate" not in plan
+
+
+def test_incremental_minhash_lifetime_union(spark, tmp_path):
+    """Incremental runs over successive batches emit, in lifetime
+    union, exactly the full-corpus LSH pair set — no old-vs-old
+    recompute, no lost cross-batch pair. Also: the signature store
+    versions grow one append per run."""
+    from deftunes_spark.ext.dedup import (
+        incremental_minhash_dedup,
+        minhash_dedup_pairs,
+    )
+    from deftunes_spark.io.versioned import list_versions, read_version
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different text about spark and parquet files"),
+        (4, "the quick brown fox jumps over the lazy dog today"),
+        (5, "totally unrelated content concerning minhash signatures"),
+        (6, "completely different text about spark and parquet files"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    kw = dict(n=2, num_hashes=32, bands=8, threshold=0.3)
+
+    full = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", **kw
+        ).collect()
+    }
+
+    store = str(tmp_path / "sigstore")
+    got = set()
+    versions = []
+    for batch_ids in ((1, 2, 3), (4, 5, 6)):
+        batch = docs.filter(F.col("doc_id").isin(*batch_ids))
+        pairs, v = incremental_minhash_dedup(
+            spark, batch, store, "doc_id", "text", **kw
+        )
+        got |= {
+            tuple(sorted((r.id_a, r.id_b))) for r in pairs.collect()
+        }
+        versions.append(v)
+    assert got == full and full  # non-trivial and exactly equal
+    assert versions == [0, 1]
+    assert read_version(spark, store).count() == len(texts)
+    assert len(list_versions(spark, store)) == 2
+
+
+def test_incremental_minhash_dry_run_commits_nothing(spark, tmp_path):
+    from deftunes_spark.ext.dedup import incremental_minhash_dedup
+    from deftunes_spark.io.versioned import list_versions
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "sigstore")
+    pairs, v = incremental_minhash_dedup(
+        spark, docs, store, "doc_id", "text", commit=False
+    )
+    assert v is None
+    assert pairs.count() == 1
+    assert list_versions(spark, store) == []
