@@ -239,3 +239,68 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.mixture_sample(
         docs, "source", _MIX_WEIGHTS, "doc_id"
     ).select("doc_id", "source")
+
+
+# =====================================================================
+# Exact substring dedup (sliding k-gram repeats)
+# =====================================================================
+
+_SS_K = 6  # production k ≈ 50 tokens; fixture docs are ~60 tokens
+_SS_MIN = 2
+
+_SUBSTRING_ORACLE = f"""
+WITH toklist AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       t -> t != '') AS toks
+    FROM documents WHERE text IS NOT NULL
+), grams AS (
+    SELECT doc_id, i AS s,
+           md5(array_to_string(toks[i:i+{_SS_K - 1}], ' ')) AS g
+    FROM toklist,
+         UNNEST(range(1, greatest(len(toks) - {_SS_K - 1}, 0) + 1)) t(i)
+), freq AS (
+    SELECT g, COUNT(*) AS c FROM grams GROUP BY 1
+), rep AS (
+    SELECT grams.doc_id, grams.s
+    FROM grams JOIN freq USING (g) WHERE freq.c >= {_SS_MIN}
+), pos AS (
+    SELECT doc_id, j, toks[j] AS tok
+    FROM toklist, UNNEST(range(1, len(toks) + 1)) t(j)
+), kept AS (
+    SELECT p.doc_id, p.j, p.tok
+    FROM pos p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM rep r
+        WHERE r.doc_id = p.doc_id
+          AND p.j BETWEEN r.s AND r.s + {_SS_K - 1}
+    )
+), agg AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS cleaned_text,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY 1
+)
+SELECT t.doc_id,
+       COALESCE(agg.cleaned_text, '') AS cleaned_text,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
+FROM toklist t LEFT JOIN agg USING (doc_id)
+"""
+
+
+@query("dedup_substring", _SUBSTRING_ORACLE)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding k-gram exact substring dedup (Lee et al. 2022 shape):
+    any 6-token substring occurring ≥2 times anywhere in the corpus —
+    any document, any alignment, within-doc repeats included — is
+    excised everywhere, overlapping hits merged into intervals per
+    document. Catches the boundary-straddling repeats fixed-window
+    segment_dedup misses. md5 grams so DuckDB mirrors gram hashing,
+    repeat detection, coverage, and reassembly exactly."""
+    docs = _t_cpu(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return C.substring_dedup(
+        docs, "doc_id", "text", k=_SS_K, min_repeat=_SS_MIN,
+        hash_fn="md5",
+    )

@@ -383,3 +383,110 @@ def mixture_sample(
     if thresh is None:
         return df.filter(F.lit(False))
     return df.filter(_hash_bucket(id_col, salt) < thresh.otherwise(F.lit(0)))
+
+
+# ---------------------------------------------------------------------
+# Exact substring dedup (sliding k-gram repeats, arbitrary alignment)
+# ---------------------------------------------------------------------
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_repeat: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Excise every token run covered by a k-token substring that
+    occurs at least ``min_repeat`` times ANYWHERE in the corpus (any
+    document, any alignment, including within one document).
+
+    This is the sliding-window complement of ``segment_dedup``: fixed
+    segments miss a repeated passage that straddles a window boundary
+    or starts at a different offset in each document (the observation
+    behind suffix-array substring dedup in Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", 2022). A k-gram at
+    EVERY position catches repeats at any alignment; overlapping hits
+    merge into intervals per document, and covered tokens are dropped
+    (the drop-all boilerplate policy, matching ``segment_dedup``;
+    keep-one-survivor selection is the cluster layer's job).
+
+    Plan shape: one k-gram frequency aggregation (shuffle carries
+    (gram hash, count) with map-side combine), one semi-join of gram
+    positions against the repeated set, one groupBy(doc) collecting
+    repeated start positions — the payload text itself never shuffles;
+    interval merging and excision are per-row array folds on the
+    original rows. Returns (id, cleaned_text, n_tokens, n_removed).
+    """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash fn {hash_fn!r}")
+    h = "xxhash64" if hash_fn == "xxhash64" else "md5"
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    gram_expr = (
+        f"IF(size(_toks) >= {k}, "
+        f"transform(sequence(1, size(_toks) - {k - 1}), "
+        f"i -> {h}(array_join(slice(_toks, i, {k}), ' '))), "
+        f"array())"
+    )
+    with_grams = base.select(
+        F.col(id_col), "_toks", F.expr(gram_expr).alias("_grams")
+    )
+    hits = with_grams.select(
+        F.col(id_col), F.posexplode("_grams").alias("_p0", "_g")
+    )
+    freq = hits.groupBy("_g").agg(F.count(F.lit(1)).alias("_cnt"))
+    rep_starts = (
+        hits.join(
+            freq.filter(F.col("_cnt") >= min_repeat).select("_g"),
+            "_g",
+            "left_semi",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.col("_p0") + 1)
+            ).alias("_starts")
+        )
+    )
+    merged = (
+        "aggregate(_starts, "
+        "cast(array() as array<struct<lo:int,hi:int>>), "
+        "(acc, s) -> IF(size(acc) > 0 "
+        "AND s <= element_at(acc, -1).hi + 1, "
+        "concat(slice(acc, 1, size(acc) - 1), "
+        "array(named_struct('lo', element_at(acc, -1).lo, "
+        f"'hi', greatest(element_at(acc, -1).hi, s + {k - 1})))), "
+        f"concat(acc, array(named_struct('lo', s, 'hi', s + {k - 1})))))"
+    )
+    kept = (
+        "filter(_toks, (x, i) -> "
+        "NOT exists(_iv, v -> v.lo <= i + 1 AND i + 1 <= v.hi))"
+    )
+    return (
+        with_grams.join(rep_starts, id_col, "left")
+        .select(
+            F.col(id_col),
+            "_toks",
+            F.expr(merged).alias("_iv"),
+        )
+        .select(
+            F.col(id_col),
+            "_toks",
+            F.coalesce(
+                F.col("_iv"),
+                F.expr("cast(array() as array<struct<lo:int,hi:int>>)"),
+            ).alias("_iv"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(F.expr(kept), " ").alias("cleaned_text"),
+            F.size("_toks").cast("bigint").alias("n_tokens"),
+            (F.size("_toks") - F.size(F.expr(kept)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )

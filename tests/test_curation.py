@@ -327,3 +327,80 @@ def test_mixture_sample_deterministic_subset(spark, rows):
         C.mixture_sample(df.repartition(7), "domain", weights, "doc_id")
     )
     assert repart == got
+
+
+# ---------------------------------------------------------------------
+# Exact substring dedup (sliding k-gram repeats)
+# ---------------------------------------------------------------------
+
+
+def test_substring_dedup_any_alignment_and_within_doc(spark):
+    """The repeated passage sits at DIFFERENT offsets in each doc (the
+    case fixed-window segment dedup misses) and also repeats within a
+    single doc; every covered token goes, overlaps merge."""
+    from deftunes_spark.ext.curation import substring_dedup
+
+    shared = "one two three four five six"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail-a unique-a"),
+            (2, f"lead-b {shared} tail-b"),
+            # within-doc repeat, overlapping coverage:
+            (3, f"{shared} {shared} solo-c"),
+            (4, "entirely separate words nothing repeats here ever"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in substring_dedup(docs, k=6, min_repeat=2).collect()
+    }
+    assert out[1].cleaned_text == "tail-a unique-a"
+    assert out[2].cleaned_text == "lead-b tail-b"
+    assert out[3].cleaned_text == "solo-c"
+    assert out[3].n_removed == 12
+    assert out[4].cleaned_text.startswith("entirely separate")
+    assert out[4].n_removed == 0
+
+
+def test_substring_dedup_hash_paths_agree(spark):
+    """xxhash64 (production) and md5 (oracle) paths excise identically
+    — the hash only names the gram."""
+    from deftunes_spark.ext.curation import substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"common run of tokens number {'x ' * (i % 3)}shared "
+                f"common run of tokens number end{i}")
+            for i in range(1, 8)
+        ],
+        "doc_id long, text string",
+    )
+    a = {
+        r.doc_id: (r.cleaned_text, r.n_removed)
+        for r in substring_dedup(docs, k=5, hash_fn="xxhash64").collect()
+    }
+    b = {
+        r.doc_id: (r.cleaned_text, r.n_removed)
+        for r in substring_dedup(docs, k=5, hash_fn="md5").collect()
+    }
+    assert a == b
+    assert any(v[1] > 0 for v in a.values())
+
+
+def test_substring_dedup_short_docs_pass_through(spark):
+    """Docs shorter than k tokens contribute no grams and survive
+    unchanged (even if identical to each other — exact_dedup's job)."""
+    from deftunes_spark.ext.curation import substring_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in substring_dedup(docs, k=6).collect()
+    }
+    assert out[1].cleaned_text == "tiny doc"
+    assert out[2].n_removed == 0
+    assert out[3].cleaned_text == "" and out[3].n_tokens == 0
