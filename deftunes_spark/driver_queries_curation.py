@@ -304,3 +304,58 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", k=_SS_K, min_repeat=_SS_MIN,
         hash_fn="md5",
     )
+
+
+# =====================================================================
+# Model-based classification (bag-of-words class profiles)
+# =====================================================================
+
+_CLASSIFY_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, lang,
+           unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> t != '')) AS token
+    FROM documents WHERE text IS NOT NULL
+), tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+), prof AS (
+    SELECT lang AS label, token, COUNT(*) AS cf FROM tok GROUP BY 1, 2
+), scores AS (
+    SELECT tf.doc_id, prof.label, SUM(tf.tf * prof.cf) AS score
+    FROM tf JOIN prof USING (token) GROUP BY 1, 2
+), pred AS (
+    SELECT doc_id, label AS pred_label,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, label) AS rn
+    FROM scores
+), truth AS (
+    SELECT doc_id, lang AS true_label
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT t.true_label, p.pred_label, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred p JOIN truth t USING (doc_id)
+WHERE p.rn = 1
+GROUP BY 1, 2
+"""
+
+
+@query("domain_classifier_confusion", _CLASSIFY_ORACLE)
+def q_domain_classifier_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Model-based curation stage (the GPT-3-quality-classifier /
+    CCNet-fasttext slot) as a deterministic integer-weight
+    class-profile classifier: train per-(lang, token) corpus
+    frequencies in one aggregation, predict each doc by BIGINT sparse
+    dot product with deterministic tie-break, emit the confusion
+    matrix. Integer weights make train + inference exactly
+    reproducible, so the ENTIRE classifier is value-hash-checked
+    against DuckDB — unavailable to float LR/fasttext (ext/classify.py
+    docstring)."""
+    from deftunes_spark.ext.classify import classifier_confusion
+
+    docs = _t_cpu(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return classifier_confusion(docs, "lang", "doc_id", "text")
