@@ -359,3 +359,50 @@ def q_domain_classifier_confusion(
         F.col("text").isNotNull()
     )
     return classifier_confusion(docs, "lang", "doc_id", "text")
+
+
+# =====================================================================
+# Temperature-flattened mixture sampling
+# =====================================================================
+
+_TEMP_TAU = 0.5
+
+
+def _mixture_temperature_oracle() -> str:
+    return f"""
+    WITH counts AS (
+        SELECT source, COUNT(*)::DOUBLE AS n
+        FROM documents GROUP BY 1
+    ), w AS (
+        SELECT source, n, pow(n, {_TEMP_TAU!r}::DOUBLE) AS wt
+        FROM counts
+    ), s AS (
+        SELECT MIN(n / wt) AS scale FROM w WHERE wt > 0
+    ), r AS (
+        SELECT w.source, least(1.0, wt * scale / n) AS rate
+        FROM w CROSS JOIN s
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE rate >= 1.0
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+          < lpad(to_hex(CAST(floor(rate * {_BUCKETS}.0) AS BIGINT)),
+                 6, '0')
+    """
+
+
+@query("mixture_temperature_sample", _mixture_temperature_oracle())
+def q_mixture_temperature_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature sampling (τ=0.5): per-source target weight ∝
+    share^τ — tail sources keep a larger fraction than head sources
+    (the mBERT/XLM-R multilingual flattening rule). Weights stay
+    UNNORMALIZED (count^τ; the rate algebra is scale-invariant), so
+    there is no float-accumulation order anywhere and the oracle
+    replays the identical per-domain arithmetic + md5-bucket
+    predicate."""
+    docs = _t(spark, sf_dir, "documents")
+    return C.mixture_sample_temperature(
+        docs, "source", _TEMP_TAU, "doc_id"
+    ).select("doc_id", "source")

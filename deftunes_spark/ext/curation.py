@@ -350,6 +350,36 @@ def mixture_rates(
     }
 
 
+def _domain_counts(
+    df: DataFrame, domain_col: str
+) -> dict[str, int]:
+    return {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def _sample_with_rates(
+    df: DataFrame,
+    domain_col: str,
+    rates: Mapping[str, float],
+    id_col: str,
+    salt: str,
+) -> DataFrame:
+    thresh = None
+    for d, rate in rates.items():
+        t = F.lit(int(rate * _BUCKETS))
+        cond = F.col(domain_col) == d
+        thresh = (
+            F.when(cond, t) if thresh is None else thresh.when(cond, t)
+        )
+    if thresh is None:
+        return df.filter(F.lit(False))
+    return df.filter(_hash_bucket(id_col, salt) < thresh.otherwise(F.lit(0)))
+
+
 def mixture_sample(
     df: DataFrame,
     domain_col: str,
@@ -366,23 +396,34 @@ def mixture_sample(
     the only full-data pass is the count aggregate (map-side combined)
     plus the filter scan itself.
     """
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(domain_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    counts = _domain_counts(df, domain_col)
     rates = mixture_rates(counts, target_weights)
-    thresh = None
-    for d, rate in rates.items():
-        t = F.lit(int(rate * _BUCKETS))
-        cond = F.col(domain_col) == d
-        thresh = (
-            F.when(cond, t) if thresh is None else thresh.when(cond, t)
-        )
-    if thresh is None:
-        return df.filter(F.lit(False))
-    return df.filter(_hash_bucket(id_col, salt) < thresh.otherwise(F.lit(0)))
+    return _sample_with_rates(df, domain_col, rates, id_col, salt)
+
+
+def mixture_sample_temperature(
+    df: DataFrame,
+    domain_col: str,
+    tau: float,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling: target weight per
+    domain ∝ p_domain^τ — the multilingual/multi-domain sampling rule
+    (τ<1 upweights tail domains relative to their natural share;
+    mBERT/XLM-R style). τ=1 keeps everything (natural mixture is
+    already the target); τ=0 equalizes all domains.
+
+    Implementation note: ``mixture_rates`` is scale-invariant in the
+    weights, so the weights are the UNNORMALIZED ``count^τ`` — no
+    normalization sum means no float-accumulation-order dependence,
+    keeping the selection bit-reproducible (and exactly mirrorable in
+    the SQL oracle: per-domain ``pow`` + an order-independent min).
+    """
+    counts = _domain_counts(df, domain_col)
+    weights = {d: float(n) ** tau for d, n in counts.items() if n}
+    rates = mixture_rates(counts, weights)
+    return _sample_with_rates(df, domain_col, rates, id_col, salt)
 
 
 # ---------------------------------------------------------------------

@@ -404,3 +404,52 @@ def test_substring_dedup_short_docs_pass_through(spark):
     assert out[1].cleaned_text == "tiny doc"
     assert out[2].n_removed == 0
     assert out[3].cleaned_text == "" and out[3].n_tokens == 0
+
+
+def test_mixture_temperature_flattens_toward_uniform(spark):
+    """τ=0 equalizes domain counts (up to bucket granularity); τ=1 is
+    the identity (natural mixture == target); 0<τ<1 sits between:
+    tail domains keep a HIGHER fraction than head domains."""
+    from deftunes_spark.ext.curation import mixture_sample_temperature
+
+    rows = [(i, "head") for i in range(400)] + [
+        (10_000 + i, "tail") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    tau1 = mixture_sample_temperature(df, "source", 1.0, "doc_id")
+    assert tau1.count() == 500  # identity: every row kept
+
+    tau0 = {
+        r.source: r.n
+        for r in mixture_sample_temperature(df, "source", 0.0, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # Equal targets: head downsamples toward the tail's 100 rows.
+    assert tau0["tail"] == 100
+    assert abs(tau0["head"] - 100) <= 20  # md5-bucket granularity
+
+    tau_half = {
+        r.source: r.n
+        for r in mixture_sample_temperature(df, "source", 0.5, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    keep_head = tau_half["head"] / 400
+    keep_tail = tau_half["tail"] / 100
+    assert keep_tail == 1.0 and keep_head < 1.0  # tail favored
+    # τ=0.5 target ratio head:tail = sqrt(400):sqrt(100) = 2:1.
+    assert abs(tau_half["head"] / tau_half["tail"] - 2.0) < 0.3
+
+
+def test_mixture_temperature_deterministic_rerun(spark):
+    from deftunes_spark.ext.curation import mixture_sample_temperature
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = {r.doc_id for r in mixture_sample_temperature(df, "source", 0.3, "doc_id").collect()}
+    b = {r.doc_id for r in mixture_sample_temperature(df.repartition(7), "source", 0.3, "doc_id").collect()}
+    assert a == b and a
