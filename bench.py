@@ -72,6 +72,8 @@ HEADLINE = [
     "dedup_minhash_mapside_md5",
     # Production incremental shape: batch vs persisted signature store:
     "dedup_incremental",
+    # Sliding k-gram substring excision (heavy gram-table shape):
+    "dedup_substring",
 ]
 
 WARMUP_RUNS = 2
