@@ -145,14 +145,17 @@ def segment_dedup(
             F.slice(F.col("_toks"), i * seg_tokens + 1, seg_tokens), " "
         ),
     )
-    with_segs = df.select(
-        F.col(id_col), toks.alias("_toks")
-    ).select(F.col(id_col), seg_array.alias("_segs"))
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    with_segs = base.select(F.col(id_col), seg_array.alias("_segs"))
 
     seg_hash = lambda c: F.md5(F.lower(F.trim(c)))  # noqa: E731
+    # Explode the segment expression DIRECTLY off the tokenize select —
+    # going through the ``with_segs`` projection defeats
+    # project-collapse around Generate (same pathology as
+    # ``substring_dedup``; measured ~3× on the frequency pass).
     seg_freq = (
-        with_segs.select(
-            F.explode("_segs").alias("_seg"), F.col(id_col)
+        base.select(
+            F.col(id_col), F.explode(seg_array).alias("_seg")
         )
         .groupBy(seg_hash(F.col("_seg")).alias("_h"))
         .agg(F.count_distinct(id_col).alias("doc_freq"))
