@@ -792,7 +792,8 @@ _PQ_M, _PQ_KSUB, _PQ_DSUB = 4, 16, _EMB_DIM // 4
 _PQ_CODEBOOKS = S.pq_codebooks_random(_EMB_DIM, _PQ_M, _PQ_KSUB, seed=23)
 
 
-def _pq_oracle(k: int = 10, refine: int = 4) -> str:
+def _pq_code_exprs() -> list[str]:
+    """One DuckDB expression per subspace: nearest-codeword index."""
     codes = []
     for j in range(_PQ_M):
         lo, hi = j * _PQ_DSUB + 1, (j + 1) * _PQ_DSUB
@@ -805,6 +806,11 @@ def _pq_oracle(k: int = 10, refine: int = 4) -> str:
             f"CAST(list_position([{d_exprs}], list_min([{d_exprs}])) - 1"
             f" AS INT)"
         )
+    return codes
+
+
+def _pq_lut_terms() -> list[str]:
+    """Per-subspace ADC lookup-table terms for the fixed query."""
     q = _np.asarray(_ANN_QUERY)
     lut_terms = []
     for j in range(_PQ_M):
@@ -813,6 +819,12 @@ def _pq_oracle(k: int = 10, refine: int = 4) -> str:
             for c in _PQ_CODEBOOKS[j]
         ]
         lut_terms.append(f"({_sql_vec(lut)})[code[{j + 1}] + 1]")
+    return lut_terms
+
+
+def _pq_oracle(k: int = 10, refine: int = 4) -> str:
+    codes = _pq_code_exprs()
+    lut_terms = _pq_lut_terms()
     return f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -845,6 +857,77 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip a candidate/rank boundary between the engines."""
     emb = _t_cpu(spark, sf_dir, "embeddings")
     enc = S.pq_encode(emb, _PQ_CODEBOOKS)
+    scored = S.pq_adc_scores(enc, _PQ_CODEBOOKS, _ANN_QUERY)
+    cands = (
+        scored.withColumn("pq_score", F.round("pq_score", 6))
+        .orderBy(F.col("pq_score").desc(), F.col("vec_id"))
+        .limit(40)
+    )
+    reranked = S.cosine_to_query(cands, _ANN_QUERY).select(
+        "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+    return reranked.orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    ).limit(10)
+
+
+def _ivfpq_oracle(k: int = 10, refine: int = 4) -> str:
+    d_exprs = ", ".join(
+        f"list_dot_product(v, v) - 2.0 * list_dot_product(v, "
+        f"{_sql_vec(c)}) + {float(_np.dot(c, c))!r}"
+        for c in _IVF_CENTROIDS
+    )
+    codes = _pq_code_exprs()
+    lut_terms = _pq_lut_terms()
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), d AS (
+        SELECT vec_id, v, [{d_exprs}] AS dl FROM e
+    ), a AS (
+        SELECT vec_id, v,
+               CAST(list_position(dl, list_min(dl)) - 1 AS INT)
+                   AS ivf_list
+        FROM d
+    ), p AS (
+        SELECT vec_id, v FROM a
+        WHERE ivf_list IN ({", ".join(map(str, _IVF_PROBE))})
+    ), enc AS (
+        SELECT vec_id, v, [{", ".join(codes)}] AS code FROM p
+    ), scored AS (
+        SELECT vec_id, v,
+               round({" + ".join(lut_terms)}, 6) AS pq_score
+        FROM enc
+    ), cand AS (
+        SELECT vec_id, v FROM scored
+        ORDER BY pq_score DESC, vec_id LIMIT {refine * k}
+    ), r AS (
+        SELECT vec_id, round({_SQL_COSINE}, 6) AS cosine_sim FROM cand
+    )
+    SELECT vec_id, cosine_sim FROM r
+    ORDER BY cosine_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@query("ann_ivfpq_topk", _ivfpq_oracle())
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: IVF-PQ — the composition production vector indexes (FAISS
+    IVFPQ, Jégou et al. 2011) actually ship. IVF coarse assignment
+    prunes the search to the probed inverted lists (at scale: the code
+    table is stored partitioned by ivf_list, so the probe is a
+    partition-pruned scan that never touches the other 5/8ths of the
+    corpus); inside the lists, the m-byte PQ code column is ADC-scored
+    (per-query lookup table, embedding column untouched); the
+    refine×k ADC survivors get an exact-cosine rerank. Fixed literal
+    centroids + codebooks + query make every step value-checked
+    against the DuckDB oracle. Rounds before each ordering so sub-ulp
+    float drift can't flip a candidate/rank boundary between engines."""
+    emb = _t_cpu(spark, sf_dir, "embeddings")
+    assigned = S.ivf_assign(emb, _IVF_CENTROIDS)
+    probed = assigned.filter(F.col("ivf_list").isin(_IVF_PROBE)).drop(
+        "ivf_list"
+    )
+    enc = S.pq_encode(probed, _PQ_CODEBOOKS)
     scored = S.pq_adc_scores(enc, _PQ_CODEBOOKS, _ANN_QUERY)
     cands = (
         scored.withColumn("pq_score", F.round("pq_score", 6))

@@ -270,3 +270,25 @@ def test_pq_precomputed_code_column(vectors):
         enc, books, rows[3][1], k=5, refine=4, code_col="pq_code"
     )
     assert len(out.collect()) == 5
+
+
+def test_ivfpq_composition_recall(vectors):
+    """IVF-PQ: coarse quantizer prunes to probed lists, trained PQ
+    codes ADC-rank inside them, exact rerank — recall must survive
+    BOTH approximations stacked (the FAISS IVFPQ shape)."""
+    df, rows = vectors
+    q = rows[23][1]
+    assigned, centroids = S.ivf_index(df, n_lists=6, max_iter=8)
+    books = S.pq_train(df, dim=16, m=4, k_sub=8, seed=5)
+    C = np.asarray(centroids)
+    d = ((np.asarray(q)[None, :] - C) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d)[:3]]
+    import pyspark.sql.functions as F
+
+    cands = assigned.filter(F.col("ivf_list").isin(probe)).drop("ivf_list")
+    exact = set(_exact_topk(rows, q, 10))
+    approx = {
+        r.vec_id
+        for r in S.pq_topk(cands, books, q, k=10, refine=4).collect()
+    }
+    assert len(exact & approx) >= 7
