@@ -13,5 +13,6 @@ import deftunes_spark.driver_queries_analytics  # noqa: E402,F401
 import deftunes_spark.driver_queries_curation  # noqa: E402,F401
 import deftunes_spark.driver_queries_training  # noqa: E402,F401
 import deftunes_spark.driver_queries_semistruct  # noqa: E402,F401
+import deftunes_spark.driver_queries_sqlsurface  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES"]
