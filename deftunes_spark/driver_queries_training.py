@@ -267,3 +267,119 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "merge_rank int, left string, right string, pair_freq bigint",
     )
+
+
+# =====================================================================
+# Deterministic training-export shuffle (ext.sampling.shuffle_shards)
+# =====================================================================
+
+_SHUFFLE_ORACLE = """
+WITH k AS (
+    SELECT doc_id,
+           md5('shuffle-v1|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+), s AS (
+    SELECT doc_id, shuffle_key,
+           CAST(('0x' || substr(shuffle_key, 1, 4))::INT % 8 AS INT)
+               AS shard
+    FROM k
+)
+SELECT doc_id, shuffle_key, shard,
+       CAST(row_number() OVER (
+            PARTITION BY shard ORDER BY shuffle_key, doc_id
+       ) AS BIGINT) AS shard_pos
+FROM s
+"""
+
+
+@query("training_shuffle", _SHUFFLE_ORACLE)
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export: every doc's
+    (shard, position) is a pure function of (seed, doc_id), so a
+    corpus rebuild reproduces the exact epoch order while staying
+    uncorrelated with ingestion order. The oracle replays key, shard,
+    and within-shard rank verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    from deftunes_spark.ext.sampling import shuffle_shards
+
+    return shuffle_shards(docs, "doc_id", n_shards=8).select(
+        "doc_id", "shuffle_key", "shard", "shard_pos"
+    )
+
+
+# =====================================================================
+# Gopher document-quality rules (ext.text.gopher_quality_flags)
+# =====================================================================
+
+_GOPHER_STOP_SQL = "['the','be','to','of','and','that','have','with','a']"
+
+_GOPHER_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, text,
+           list_filter(
+               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               x -> x <> '') AS toks
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS word_count,
+           CASE WHEN len(toks) > 0 THEN
+               CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS mean_wl,
+           CASE WHEN len(toks) > 0 THEN
+               CAST(len(list_filter(toks,
+                        x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                   / len(toks)
+           ELSE 0.0 END AS alpha_ratio,
+           CASE WHEN len(toks) > 0 THEN
+               CAST(length(regexp_replace(text, '[^#]', '', 'g'))
+                    + len(regexp_extract_all(text, '\\.\\.\\.|…'))
+                    AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS symbol_ratio,
+           CAST(len(list_intersect(list_distinct(toks),
+                                   {_GOPHER_STOP_SQL})) AS INT)
+               AS stopword_hits
+    FROM t
+)
+SELECT doc_id, word_count,
+       round(mean_wl, 4) AS mean_word_len,
+       round(alpha_ratio, 4) AS alpha_word_ratio,
+       round(symbol_ratio, 4) AS symbol_ratio,
+       stopword_hits,
+       word_count >= 50 AND word_count <= 100000 AS pass_word_count,
+       mean_wl >= 3.0 AND mean_wl <= 10.0 AS pass_mean_word_len,
+       symbol_ratio < 0.1 AS pass_symbol_ratio,
+       alpha_ratio >= 0.8 AS pass_alpha_words,
+       stopword_hits >= 2 AS pass_stopwords,
+       (word_count >= 50 AND word_count <= 100000
+        AND mean_wl >= 3.0 AND mean_wl <= 10.0
+        AND symbol_ratio < 0.1 AND alpha_ratio >= 0.8
+        AND stopword_hits >= 2) AS gopher_keep
+FROM m
+"""
+
+
+@query("gopher_rules", _GOPHER_ORACLE)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher/MassiveText document-quality rule set as a
+    single codegen pass (ext.text.gopher_quality_flags), with per-rule
+    audit booleans. Word-count and stopword rules genuinely vary on
+    the synthetic corpus; the rest pin the expression algebra."""
+    docs = _t(spark, sf_dir, "documents")
+    from deftunes_spark.ext.text import gopher_quality_flags
+
+    return gopher_quality_flags(docs).select(
+        "doc_id",
+        "word_count",
+        "mean_word_len",
+        "alpha_word_ratio",
+        "symbol_ratio",
+        "stopword_hits",
+        "pass_word_count",
+        "pass_mean_word_len",
+        "pass_symbol_ratio",
+        "pass_alpha_words",
+        "pass_stopwords",
+        "gopher_keep",
+    )

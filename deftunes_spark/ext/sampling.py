@@ -70,3 +70,47 @@ def stratified_sample(
         expr = F.when(cond, t) if expr is None else expr.when(cond, t)
     thresh = expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
     return df.filter(_hash_bucket(id_col, salt) < thresh)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 8,
+    seed: str = "shuffle-v1",
+    with_position: bool = True,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    export.
+
+    Training runs must see documents in an order uncorrelated with
+    ingestion order (source/time locality biases SGD), yet a corpus
+    rebuild must reproduce the SAME order. Both come from ordering by
+    a content hash: ``shuffle_key = md5(seed || id)``, ``shard`` from
+    the key's hex prefix, position = rank of the key within its shard.
+
+    Scale shape: the key and shard are narrow codegen expressions; at
+    100 TB the export is ``repartition(n_shards, shard)`` +
+    ``sortWithinPartitions(shuffle_key)`` writing one shard per task —
+    no global sort ever happens. The per-shard ``row_number`` window
+    here materializes that same order as a checkable column (its
+    partition-by-shard sort is exactly the export's within-shard
+    sort). Re-running with the same seed reproduces positions
+    bit-for-bit; changing the seed is a fresh epoch-level reshuffle.
+    """
+    key = F.md5(
+        F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("int") % n_shards
+    )
+    out = df.withColumn("shuffle_key", key).withColumn("shard", shard)
+    if with_position:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shard").orderBy(
+            "shuffle_key", F.col(id_col)
+        )
+        out = out.withColumn(
+            "shard_pos", F.row_number().over(w).cast("bigint")
+        )
+    return out

@@ -106,3 +106,34 @@ def test_stratified_fractions(ids):
     assert by_grp.get("g0") == 1667  # 100% kept
     assert by_grp.get("g2") is None  # 0% kept
     assert 200 < by_grp.get("g1", 0) < 500
+
+
+def test_shuffle_shards_deterministic_and_balanced(ids):
+    from deftunes_spark.ext.sampling import shuffle_shards
+
+    a = {
+        (r.id): (r.shard, r.shard_pos)
+        for r in shuffle_shards(ids, "id", n_shards=4).collect()
+    }
+    b = {
+        (r.id): (r.shard, r.shard_pos)
+        for r in shuffle_shards(
+            ids.repartition(13), "id", n_shards=4
+        ).collect()
+    }
+    assert a == b  # partitioning-invariant
+    counts = {}
+    for s, _ in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == {0, 1, 2, 3}
+    assert max(counts.values()) < 2 * min(counts.values())
+    # Positions are a dense 1..n_s ranking inside each shard.
+    for s in counts:
+        ps = sorted(p for sh, p in a.values() if sh == s)
+        assert ps == list(range(1, counts[s] + 1))
+    # A different seed is a genuinely different permutation.
+    c = {
+        (r.id): (r.shard, r.shard_pos)
+        for r in shuffle_shards(ids, "id", n_shards=4, seed="ep2").collect()
+    }
+    assert c != a

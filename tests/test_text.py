@@ -167,3 +167,24 @@ def test_bigram_lm_scores_match_python_reference(spark):
     # Docs 1 and 2 share most bigrams; the shared-structure docs score
     # better (higher avg logp) than the folded short doc 4's worst case.
     assert got[1][1] > -10 and got[2][1] > -10
+
+
+def test_gopher_rules_planted(spark):
+    from deftunes_spark.ext.text import gopher_quality_flags
+
+    good = "the quick brown fox jumps over a lazy dog with style " * 6
+    rows = [
+        (1, good),                       # passes everything
+        (2, "short text only"),          # fails word count
+        (3, good + " ###### " * 30),     # symbol ratio blown
+        (4, ("aa " * 60) + "the a"),     # no 3..10 violation, passes
+        (5, " ".join(["supercalifragilisticexpialidocious"] * 60)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert out[1].gopher_keep
+    assert not out[2].pass_word_count and not out[2].gopher_keep
+    assert not out[3].pass_symbol_ratio
+    assert out[4].pass_stopwords
+    # 34-char words: mean word length rule fires.
+    assert not out[5].pass_mean_word_len and not out[5].pass_stopwords
