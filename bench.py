@@ -61,6 +61,7 @@ HEADLINE = [
     "embedding_topk",
     "ann_lsh_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "pagerank_sales",
     "events_tumbling",
     # Curation family (shuffle-heavy; benched so regressions are
@@ -70,8 +71,10 @@ HEADLINE = [
     "semantic_dedup",
     # Mapside signature algebra under its own oracle-mirroring variant:
     "dedup_minhash_mapside_md5",
-    # Production incremental shape: batch vs persisted signature store:
+    # Incremental shape: batch vs persisted signature store — md5
+    # oracle twin AND the xxhash64 production path users run:
     "dedup_incremental",
+    "dedup_incremental_fast",
     # Sliding k-gram substring excision (heavy gram-table shape):
     "dedup_substring",
 ]
@@ -190,6 +193,11 @@ def main() -> None:
         "isolation": "per-query subprocess, min of %d (2 warm-ups)"
         % TIMED_RUNS,
         "image_codec": _codec_mode(),
+        # Host-noise audit: this box is a VM subject to CPU steal;
+        # per-run arrays above plus the 1/5/15-min load averages let a
+        # reader distinguish plan regressions from a noisy host (r4:
+        # identical plans measured 1-5x apart run-to-run under load).
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
     }
     if errors:
         out["errors"] = errors

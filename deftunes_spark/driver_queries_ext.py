@@ -350,6 +350,38 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+@query("dedup_incremental_fast")
+def q_dedup_incremental_fast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production twin of ``dedup_incremental``: identical two-run
+    store shape (ingest old docs' signatures, dedup the new batch
+    against the versioned store) but on the xxhash64 + hashed-band-key
+    fast path users actually run — benched so the 100 TB plan's cost
+    is tracked, while the md5 twin above carries the value-hash
+    oracle. Rows-only check; signature/band algebra parity with the
+    oracle path is pytest-asserted (tests/test_dedup.py)."""
+    import tempfile as _tf
+
+    docs = _t_cpu(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    store = _tf.mkdtemp(prefix="deftunes_incfast_") + "/store"
+    kw = dict(
+        n=2, num_hashes=32, bands=8, threshold=0.3,
+        hash_fn="xxhash64", hash_band_key=True,
+    )
+    D.incremental_minhash_dedup(
+        spark, old, store, "doc_id", "text", **kw
+    )
+    pairs, _v = D.incremental_minhash_dedup(
+        spark, new, store, "doc_id", "text", **kw
+    )
+    return pairs
+
+
 @query("dedup_minhash_fast")
 def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash path: xxhash64 minwise hashes + hashed band
@@ -1668,3 +1700,131 @@ def q_text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text_nfc").cast("bigint").alias("chars_nfc"),
         F.md5("text_nfc").alias("nfc_md5"),
     )
+
+
+_STREAM_LEFT_JOIN_ORACLE = """
+WITH v AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'view'
+), c AS (
+    SELECT user_id, ts FROM events WHERE event_type = 'click'
+), j AS (
+    SELECT v.user_id, v.ts AS v_ts, c.ts AS c_ts
+    FROM v LEFT JOIN c
+      ON v.user_id = c.user_id
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP)
+         <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+)
+SELECT user_id,
+       CAST(COUNT(c_ts) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) - COUNT(c_ts) AS BIGINT) AS n_unmatched
+FROM j GROUP BY 1
+"""
+
+
+@query("events_stream_left_join", _STREAM_LEFT_JOIN_ORACLE)
+def q_events_stream_left_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the outer-join
+    streaming semantics the inner-join query can't exercise: a view
+    with no click inside its 30-minute window must STILL emit (null-
+    padded), which Spark can only do once the watermark proves no
+    matching click can ever arrive. State for the left side is held
+    until (click watermark − 30 min) passes the view's timestamp,
+    then evicted with a null emission.
+
+    Determinism at end-of-stream: an availableNow run terminates when
+    the source drains, which would strand the final window's
+    unmatched views in state (their null emission needs a LATER
+    watermark). A far-future sentinel row appended to the source (and
+    filtered out of the result) advances both watermarks past every
+    real event, so the no-data finalization batch flushes every
+    pending null — making the streamed result equal the batch LEFT
+    JOIN the oracle runs."""
+    import tempfile as _tf
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sentinel = spark.createDataFrame(
+        [(-1, "view", max_ts), (-1, "click", max_ts)],
+        "user_id bigint, event_type string, ts timestamp",
+    ).withColumn("ts", F.col("ts") + F.expr("interval 12 hours"))
+    src = _tf.mkdtemp(prefix="deftunes_sslj_src_")
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(src)
+
+    def _join(stream):
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        return views.join(
+            clicks,
+            F.expr(
+                "v_user = c_user AND c_ts >= v_ts "
+                "AND c_ts <= v_ts + interval 30 minutes"
+            ),
+            "left_outer",
+        )
+
+    pairs = run_stream_once(
+        spark,
+        src,
+        "user_id bigint, event_type string, ts timestamp",
+        _join,
+        output_mode="append",
+        query_name="deftunes_stream_left_join",
+    )
+    return (
+        pairs.filter(F.col("v_user") >= 0)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.col("c_ts")).cast("bigint").alias("n_pairs"),
+            (F.count(F.lit(1)) - F.count(F.col("c_ts")))
+            .cast("bigint")
+            .alias("n_unmatched"),
+        )
+    )
+
+
+_ENTROPY_ORACLE = """
+WITH ch AS (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+    FROM documents
+), c AS (
+    SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS n_ch
+    FROM ch GROUP BY 1, 2
+), a AS (
+    SELECT doc_id, CAST(SUM(n_ch) AS BIGINT) AS n_chars_e,
+           -SUM(n_ch * ln(n_ch)) AS s
+    FROM c GROUP BY 1
+)
+SELECT doc_id, n_chars_e,
+       round(CASE WHEN n_chars_e > 0
+                  THEN ln(n_chars_e) + s / n_chars_e
+                  ELSE 0.0 END, 6) AS char_entropy
+FROM a
+"""
+
+
+@query("text_char_entropy", _ENTROPY_ORACLE)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution entropy
+    (ext.text.char_entropy): the cheap randomness/boilerplate quality
+    signal. Linear in corpus size; the shuffle carries only
+    alphabet-bounded (doc, char, count) triples."""
+    return X.char_entropy(_t_cpu(spark, sf_dir, "documents"))

@@ -10,7 +10,7 @@ rows whose key happens to be NULL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deftunes_spark.driver_queries import _t, _t_cpu, query
@@ -203,4 +203,45 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("quality_score").cast("decimal(18,6)"))
         .cast("double")
         .alias("quality_sum"),
+    )
+
+
+# =====================================================================
+# RANGE-frame time window: trailing 7-day sales per customer
+# =====================================================================
+
+_TRAILING_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_7d
+FROM orders
+"""
+
+
+@query("trailing_7d_sales", _TRAILING_ORACLE)
+def q_trailing_7d_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window over event time (the frame family
+    ``moving_average``'s ROWS frame doesn't cover): per customer, the
+    trailing-7-day revenue at each order. The frame is value-based, so
+    same-timestamp peers all join the frame — identical peer semantics
+    in both engines. One Exchange on o_custkey + one sort; the frame
+    sum itself is a running in-memory pass per partition. Sums go
+    through DECIMAL(18,4) so frame-internal addition order can't
+    wiggle a double."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d"),
     )

@@ -383,3 +383,22 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pass_stopwords",
         "gopher_keep",
     )
+
+
+@query("unigram_vocab")
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer vocabulary (Kudo 2018) trained on the
+    corpus: one distributed (word, freq) pass, vocabulary-bounded EM +
+    pruning driver-local (ext.tokenizer.unigram_train — same split as
+    bpe_train). Scores are EM-derived floats with no SQL mirror, so
+    this is a rows-only entry; exactness is pinned by the
+    deterministic-training and segmentation-coverage pytest suite
+    (tests/test_tokenizer.py)."""
+    from deftunes_spark.ext.tokenizer import unigram_train
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = unigram_train(docs, vocab_size=80, seed_size=400)
+    return spark.createDataFrame(
+        [(p, float(round(s, 6))) for p, s in vocab],
+        "piece string, log_prob double",
+    )

@@ -510,3 +510,54 @@ def gopher_quality_flags(
             & (stop_hits >= min_stopword_hits),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Shannon entropy of each document's character distribution
+    (nats) — the classic cheap randomness/boilerplate signal:
+    near-zero for repeated-character junk, abnormally high for
+    base64/hex blobs; prose sits in a stable band.
+
+    Shape: explode to (id, char), count per pair (map-side combined —
+    the pre-shuffle stream collapses to ≤ |alphabet| rows per doc per
+    partition), then one per-doc fold of -Σ p·ln p. Work is linear in
+    corpus size; the shuffle carries only (id, char, count) triples,
+    ≤ alphabet-size per doc — orders of magnitude smaller than the
+    text. Returns (id_col, n_chars_e, char_entropy)."""
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(col), ""), lambda ch: ch != "")
+        ).alias("ch"),
+    )
+    counts = chars.groupBy(id_col, "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("n_ch")
+    )
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("n_ch").cast("bigint").alias("n_chars_e"),
+            (
+                -F.sum(
+                    F.col("n_ch") * F.log(F.col("n_ch"))
+                )
+            ).alias("_sum_nlogn"),
+        )
+        .select(
+            id_col,
+            "n_chars_e",
+            # H = ln n - (Σ n_c ln n_c)/n  (algebraically identical to
+            # -Σ p ln p; this form needs only one pass over counts).
+            F.round(
+                F.when(
+                    F.col("n_chars_e") > 0,
+                    F.log(F.col("n_chars_e").cast("double"))
+                    + F.col("_sum_nlogn")
+                    / F.col("n_chars_e").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("char_entropy"),
+        )
+    )

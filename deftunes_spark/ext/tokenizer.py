@@ -295,3 +295,179 @@ def bpe_segment_udf(merges: list[tuple[str, str, int]]):
     # which pandas_udf cannot resolve — attach real objects instead.
     _segment.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return pandas_udf(_segment, "array<string>")
+
+
+# =====================================================================
+# Unigram language-model tokenizer (Kudo 2018 — SentencePiece's
+# second trainer family, complementing the BPE trainer above)
+# =====================================================================
+
+
+def _viterbi_segment(
+    word: str, scores: dict[str, float], max_len: int
+) -> list[str] | None:
+    """Best segmentation of ``word`` into scored pieces (max log-prob
+    sum); None when the word cannot be covered. Single characters not
+    in the vocabulary are unreachable by construction — the trainer
+    always retains all single characters, so training never strands a
+    word."""
+    n = len(word)
+    best = [float("-inf")] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            piece = word[j:i]
+            s = scores.get(piece)
+            if s is None or best[j] == float("-inf"):
+                continue
+            cand = best[j] + s
+            if cand > best[i]:
+                best[i] = cand
+                back[i] = j
+    if best[n] == float("-inf"):
+        return None
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 200,
+    seed_size: int = 2000,
+    max_piece_len: int = 8,
+    n_em_rounds: int = 2,
+    prune_frac: float = 0.2,
+    min_freq: int = 1,
+    local_vocab_max: int = 5_000_000,
+) -> list[tuple[str, float]]:
+    """Train a unigram-LM subword vocabulary (Kudo 2018) from the
+    corpus; returns [(piece, log_prob)] sorted by piece.
+
+    Spark shape — identical to ``bpe_train``'s split: the CORPUS sees
+    exactly one distributed pass (the (word, freq) aggregation of
+    ``word_vocab``); everything after runs on the vocabulary, which is
+    driver-sized in practice, so seeding + EM + pruning are in-memory
+    (``local_vocab_max`` guards the collect). At 100 TB the cost is
+    the one tokenize+groupBy — the same envelope as BPE training.
+
+    Algorithm (the standard formulation, deterministically tie-broken
+    so the result is a pure function of the corpus):
+
+    1. Seed: every substring of every word up to ``max_piece_len``,
+       scored by total occurrence frequency; keep the ``seed_size``
+       most frequent multi-char pieces plus ALL single characters
+       (coverage guarantee).
+    2. EM round: E — Viterbi-segment each distinct word under current
+       piece log-probs, accumulating freq-weighted piece counts
+       (hard-EM, the common practical simplification); M — piece
+       log-prob = log(count / total), unused pieces floored to the
+       smallest count.
+    3. Prune: drop the ``prune_frac`` lowest-scoring prunable pieces
+       (never single chars) per round until ``vocab_size`` remains,
+       re-running EM after each prune so scores track the shrinking
+       vocabulary.
+    """
+    import math
+    from collections import Counter
+
+    vocab_df = word_vocab(df, text_col, min_freq)
+    rows = vocab_df.limit(local_vocab_max + 1).collect()
+    if len(rows) > local_vocab_max:
+        raise ValueError(
+            "unigram_train: vocabulary exceeds local_vocab_max; raise "
+            "the bound or pre-filter with min_freq"
+        )
+    word_freqs = sorted((r["word"], int(r["freq"])) for r in rows)
+
+    # --- seed -------------------------------------------------------
+    sub_freq: Counter = Counter()
+    for w, f in word_freqs:
+        n = len(w)
+        for i in range(n):
+            for l in range(1, min(max_piece_len, n - i) + 1):
+                sub_freq[w[i : i + l]] += f
+    singles = {p for p in sub_freq if len(p) == 1}
+    multis = sorted(
+        (p for p in sub_freq if len(p) > 1),
+        key=lambda p: (-sub_freq[p], p),
+    )[:seed_size]
+    pieces = singles | set(multis)
+
+    def em(pieces: set[str]) -> dict[str, float]:
+        # Init scores from raw substring frequency, then hard-EM.
+        total0 = sum(sub_freq[p] for p in pieces)
+        scores = {
+            p: math.log(sub_freq[p] / total0) for p in pieces
+        }
+        for _ in range(n_em_rounds):
+            counts: Counter = Counter()
+            for w, f in word_freqs:
+                seg = _viterbi_segment(w, scores, max_piece_len)
+                if seg is None:
+                    continue
+                for p in seg:
+                    counts[p] += f
+            total = sum(counts.values())
+            if total == 0:
+                return scores
+            floor = 0.5  # unused pieces: below any used count
+            scores = {
+                p: math.log(max(counts.get(p, 0), floor) / total)
+                for p in pieces
+            }
+        return scores
+
+    scores = em(pieces)
+    while len(pieces) > vocab_size:
+        prunable = sorted(
+            (p for p in pieces if len(p) > 1),
+            key=lambda p: (scores[p], p),
+        )
+        if not prunable:
+            break
+        n_drop = max(1, int(len(pieces) * prune_frac))
+        n_drop = min(n_drop, len(pieces) - vocab_size, len(prunable))
+        pieces -= set(prunable[:n_drop])
+        scores = em(pieces)
+    return sorted((p, scores[p]) for p in pieces)
+
+
+def unigram_segment_udf(
+    vocab: list[tuple[str, float]], max_piece_len: int = 8
+):
+    """Arrow-batched Viterbi segmentation with a trained unigram
+    vocabulary — same justification as ``bpe_segment_udf``:
+    data-dependent DP per token is the genuinely-not-a-column-
+    expression case. Unknown characters surface as single-char
+    fallback pieces so coverage is total."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    scores = dict(vocab)
+    unk = min(scores.values(), default=0.0) - 10.0
+
+    def seg_word(word: str) -> list[str]:
+        aug = dict(scores)
+        for ch in word:
+            if ch not in aug:
+                aug[ch] = unk
+        return _viterbi_segment(word, aug, max_piece_len) or list(word)
+
+    def _segment(texts):
+        out = []
+        for t in texts:
+            units: list[str] = []
+            for w in (t or "").lower().split():
+                units.extend(seg_word(w))
+            out.append(units)
+        return pd.Series(out)
+
+    _segment.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_segment, "array<string>")

@@ -176,3 +176,37 @@ def test_segment_dedup_payload_never_shuffles(spark):
         )
         plan = _plan(out)
         assert "Exchange" not in plan, f"literal_max={lit_max}"
+
+
+def test_gopher_rules_is_scan_speed_no_exchange(spark, queries):
+    """The published quality-rule pass must stay a pure projection:
+    one scan, zero shuffles, no UDF."""
+    plan = _plan(queries["gopher_rules"](spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_char_entropy_partial_aggregates(spark, queries):
+    """Both aggs of the entropy pipeline map-side combine, so the
+    shuffle carries alphabet-bounded partial counts, not characters."""
+    fmt = _formatted(queries["text_char_entropy"](spark, SF))
+    assert fmt.count("HashAggregate") >= 4  # partial+final × two aggs
+    assert "partial_count" in fmt or "Partial" in fmt
+
+
+def test_training_shuffle_single_exchange(spark, queries):
+    """Export sharding = one hash Exchange on shard + in-partition
+    sort; the key/shard derivations stay codegen projections."""
+    plan = _plan(queries["training_shuffle"](spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivfpq_prunes_before_pq_and_takeordered(spark, queries):
+    """IVF filter applies before ADC scoring; both top-k boundaries
+    compile to TakeOrderedAndProject, never a global Sort."""
+    plan = _plan(queries["ann_ivfpq_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # No key shuffle anywhere — the only Exchange is _t_cpu's
+    # round-robin input spread for compute parallelism.
+    assert "hashpartitioning" not in plan.lower()

@@ -188,3 +188,21 @@ def test_gopher_rules_planted(spark):
     assert out[4].pass_stopwords
     # 34-char words: mean word length rule fires.
     assert not out[5].pass_mean_word_len and not out[5].pass_stopwords
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from deftunes_spark.ext.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, "aab")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert out[1].char_entropy == 0.0  # degenerate distribution
+    assert abs(out[2].char_entropy - math.log(2)) < 1e-6
+    assert abs(out[3].char_entropy - math.log(4)) < 1e-6  # uniform max
+    h = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert abs(out[4].char_entropy - h) < 1e-6
+    assert out[3].n_chars_e == 4

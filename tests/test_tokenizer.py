@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+from pyspark.sql import functions as F
+
 from deftunes_spark.ext.tokenizer import (
     EOW,
     bpe_segment_udf,
@@ -134,3 +136,48 @@ def test_word_vocab_min_freq(spark):
     df = spark.createDataFrame([("a a a b b c",)], "text string")
     v = {r.word: r.freq for r in word_vocab(df, min_freq=2).collect()}
     assert v == {"a": 3, "b": 2}
+
+
+def test_unigram_train_deterministic_and_covers(spark):
+    from deftunes_spark.ext.tokenizer import (
+        unigram_segment_udf,
+        unigram_train,
+    )
+
+    rows = [(i, "the hugging bug hugged the jug " * 3) for i in range(4)]
+    rows += [(9, "bugs jugged the hug")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    v1 = unigram_train(df, vocab_size=20, seed_size=50, max_piece_len=4)
+    v2 = unigram_train(
+        df.repartition(7), vocab_size=20, seed_size=50, max_piece_len=4
+    )
+    assert v1 == v2  # pure function of the corpus
+    pieces = {p for p, _ in v1}
+    # Coverage guarantee: every corpus character survives as a piece.
+    chars = set("".join(w for _, t in rows for w in t.split()))
+    assert chars <= pieces
+    # Frequent substrings should have been learned as multi-char pieces.
+    assert any(len(p) > 1 for p in pieces)
+    # Segmentation reconstructs every word exactly.
+    seg = unigram_segment_udf(v1, max_piece_len=4)
+    out = df.select("text", seg(F.col("text")).alias("units")).collect()
+    for r in out:
+        assert "".join(r.units) == r.text.replace(" ", "")
+
+
+def test_unigram_segment_handles_unknown_chars(spark):
+    from deftunes_spark.ext.tokenizer import (
+        unigram_segment_udf,
+        unigram_train,
+    )
+
+    df = spark.createDataFrame([(1, "aa ab ba")], ["doc_id", "text"])
+    v = unigram_train(df, vocab_size=10, seed_size=10, max_piece_len=2)
+    seg = unigram_segment_udf(v, max_piece_len=2)
+    out = (
+        spark.createDataFrame([(1, "aa zq ab")], ["doc_id", "text"])
+        .select(seg(F.col("text")).alias("u"))
+        .collect()[0]
+        .u
+    )
+    assert "".join(out) == "aazqab"  # unknown chars fall back per-char
