@@ -621,3 +621,65 @@ def q_pagerank_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.round("rank", 10).alias("pagerank"),
     )
+
+
+# =====================================================================
+# Triangle counting — supplier co-purchase graph
+# =====================================================================
+
+_TRIANGLE_ORACLE = """
+WITH su AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), e AS (
+    SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+    FROM su x JOIN su y
+      ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+), t AS (
+    SELECT ab.u AS a, ab.v AS b, bc.v AS c
+    FROM e ab
+    JOIN e bc ON ab.v = bc.u
+    JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+), n AS (
+    SELECT a AS node FROM t
+    UNION ALL SELECT b FROM t
+    UNION ALL SELECT c FROM t
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM n GROUP BY 1
+"""
+
+
+@query("graph_triangles", _TRIANGLE_ORACLE)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the supplier co-purchase graph
+    (suppliers joined when they share an order) — the third graph
+    operator beside PageRank and connected components, and the local
+    clustering signal near-dup cliques show up as. Uses id
+    orientation for the SQL mirror; the degree-ordered orientation
+    (the power-law-safe plan, ext.graph.connected_triangles) is
+    parity-asserted in tests/test_graph.py."""
+    from deftunes_spark.ext.graph import connected_triangles
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .select(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    out = connected_triangles(edges, orient="id")
+    return out.select(
+        F.col("node").cast("bigint").alias("node"), "n_triangles"
+    )

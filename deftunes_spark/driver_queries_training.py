@@ -402,3 +402,30 @@ def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(p, float(round(s, 6))) for p, s in vocab],
         "piece string, log_prob double",
     )
+
+
+_RESERVOIR_ORACLE = """
+SELECT doc_id, lang, sample_rank FROM (
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('reservoir-v1|' || lang || '|'
+                            || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS sample_rank
+    FROM documents
+) WHERE sample_rank <= 5
+"""
+
+
+@query("reservoir_per_group", _RESERVOIR_ORACLE)
+def q_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-every-group sampling (ext.sampling.reservoir_per_group):
+    exactly 5 docs per language, selected by content-hash rank —
+    deterministic across re-runs and engines, one group-partitioned
+    window, no global sort."""
+    from deftunes_spark.ext.sampling import reservoir_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return reservoir_per_group(docs, "lang", "doc_id", k=5).select(
+        "doc_id", "lang", "sample_rank"
+    )

@@ -110,3 +110,67 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = cut_lineage(ranks, reliable)
     return ranks
+
+
+def connected_triangles(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    orient: str = "degree",
+) -> DataFrame:
+    """Per-node triangle counts — the local clustering signal (spam
+    rings in link graphs, tight duplicate cliques in near-dup graphs).
+
+    Classic two-join enumeration over ORIENTED edges: undirected input
+    is first canonicalized so each edge appears once pointing "up" the
+    ordering, making every triangle (a<b<c) materialize exactly once
+    as wedge (a→b, b→c) closed by (a→c).
+
+    ``orient="degree"`` orders nodes by (degree, id) — the standard
+    trick that bounds the wedge join's fan-out by the graph's
+    degeneracy instead of its max degree: a celebrity node with 10M
+    neighbors generates wedges only from the few HIGHER-degree nodes,
+    not 10M² pairs. This is the difference between hours and minutes
+    on a power-law graph at scale. ``orient="id"`` keeps plain id
+    ordering (deterministic, and exactly mirrorable in short SQL —
+    the oracle's choice).
+
+    Returns (node, n_triangles), nodes in ≥1 triangle.
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if orient == "degree":
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        ranked = und.join(deg.withColumnRenamed("u", "_n"), F.col("u") == F.col("_n")) \
+            .select("u", "v", F.col("deg").alias("deg_u")) \
+            .join(
+                deg.withColumnRenamed("u", "_n").withColumnRenamed("deg", "deg_v"),
+                F.col("v") == F.col("_n"),
+            ) \
+            .select("u", "v", "deg_u", "deg_v")
+        oriented = ranked.filter(
+            (F.col("deg_u") < F.col("deg_v"))
+            | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+        ).select("u", "v").distinct()
+    elif orient == "id":
+        oriented = und.filter(F.col("u") < F.col("v")).distinct()
+    else:
+        raise ValueError(f"unknown orient {orient!r}")
+    ab = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])  # closing edge
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return per_node

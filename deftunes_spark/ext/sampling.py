@@ -114,3 +114,37 @@ def shuffle_shards(
             "shard_pos", F.row_number().over(w).cast("bigint")
         )
     return out
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "reservoir-v1",
+) -> DataFrame:
+    """Deterministic fixed-size uniform sample PER GROUP — the
+    "cap every language/source at k docs" primitive of corpus
+    mixing, as a distributed one-pass: rank rows inside each group by
+    a content hash and keep the k smallest. Equivalent in distribution
+    to a per-group reservoir, but re-runnable (same rows every run,
+    any partitioning) and engine-replayable. The window partitions by
+    group — never global; with heavily skewed groups the same
+    selection works as groupBy(group).agg(min_by(struct, k)) to
+    map-side combine. Adds ``sample_rank`` (1..k)."""
+    key = F.md5(
+        F.concat(
+            F.lit(seed + "|"),
+            F.col(group_col).cast("string"),
+            F.lit("|"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .withColumn("sample_rank", F.col("sample_rank").cast("bigint"))
+    )

@@ -117,3 +117,28 @@ def test_components_reliable_checkpoint(spark, tmp_path):
     assert got == {
         1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20
     }
+
+
+def test_triangle_orientations_agree(spark):
+    """Degree-ordered orientation (the power-law-safe plan) counts the
+    same triangles as id orientation, on a graph with hubs."""
+    from deftunes_spark.ext.graph import connected_triangles
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),          # triangle
+        (3, 4), (4, 5), (3, 5),          # triangle sharing node 3
+        (5, 6), (6, 7),                  # path, no triangle
+        (1, 4),                          # closes (1,3,4)
+        (2, 1),                          # duplicate reversed edge
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {
+        r.node: r.n_triangles
+        for r in connected_triangles(df, orient="id").collect()
+    }
+    b = {
+        r.node: r.n_triangles
+        for r in connected_triangles(df, orient="degree").collect()
+    }
+    assert a == b
+    assert a == {1: 2, 2: 1, 3: 3, 4: 2, 5: 1}
