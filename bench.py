@@ -80,7 +80,8 @@ HEADLINE = [
 ]
 
 WARMUP_RUNS = 2
-TIMED_RUNS = 4
+TIMED_RUNS = 4        # minimum timed runs
+MAX_TIMED_RUNS = 8    # adaptive cap when the min keeps improving
 
 
 def _release_run_state(spark) -> None:
@@ -126,12 +127,26 @@ def _run_one(name: str, sf_dir: str) -> None:
     for _ in range(WARMUP_RUNS):  # codegen + JIT + file listing
         fn(spark, sf_dir).collect()
         _release_run_state(spark)
+    # Adaptive min-stability: keep timing until the minimum stops
+    # improving (or MAX_TIMED_RUNS). On a quiet host this is exactly
+    # the old TIMED_RUNS sweep; on a noisy one (this VM shows 1-5x
+    # CPU-steal swings between identical runs) the extra samples pull
+    # the reported min back toward true plan cost instead of
+    # recording one lucky/unlucky draw.
     runs = []
-    for _ in range(TIMED_RUNS):
+    for i in range(MAX_TIMED_RUNS):
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         runs.append(round(time.perf_counter() - t0, 3))
         _release_run_state(spark)
+        if i + 1 >= TIMED_RUNS:
+            lo = sorted(runs)[:2]
+            if lo[1] <= lo[0] * 1.05:
+                # The two fastest runs corroborate each other — the
+                # floor is real, stop. On a quiet host this fires at
+                # TIMED_RUNS; under noise it keeps sampling until two
+                # independent draws agree near the floor.
+                break
     print(json.dumps({"name": name, "runs": runs}))
 
 

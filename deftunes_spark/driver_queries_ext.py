@@ -1828,3 +1828,79 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal. Linear in corpus size; the shuffle carries only
     alphabet-bounded (doc, char, count) triples."""
     return X.char_entropy(_t_cpu(spark, sf_dir, "documents"))
+
+
+_WINDOWED_ROLLUP_ORACLE = """
+WITH w15 AS (
+    SELECT event_type,
+           to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900)
+               AS w15_start,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       to_timestamp(floor(epoch(w15_start) / 3600) * 3600)
+           AS hour_start,
+       CAST(MAX(n) AS BIGINT) AS max_15m,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM w15 GROUP BY 1, 2
+"""
+
+
+@query("events_windowed_rollup", _WINDOWED_ROLLUP_ORACLE)
+def q_events_windowed_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHAINED stateful streaming operators (Spark 3.4+): a 15-minute
+    tumbling count per event type feeding an hourly rollup (max +
+    window count of the 15-min buckets) inside ONE streaming query —
+    two watermark-tracked state stores, the second keyed on
+    ``window_time`` of the first's window. This is the pre-aggregation
+    cascade a 100 TB metrics pipeline runs: the second store sees
+    4 rows/hour/type instead of raw events. End-of-stream finalization
+    uses the same far-future-sentinel trick as the left-outer join
+    (both levels emit only when the watermark passes their window
+    end), making the availableNow run equal the batch twin oracle."""
+    import tempfile as _tf
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sentinel = spark.createDataFrame(
+        [("___sentinel", max_ts)], "event_type string, ts timestamp"
+    ).withColumn("ts", F.col("ts") + F.expr("interval 12 hours"))
+    src = _tf.mkdtemp(prefix="deftunes_chain_src_")
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(src)
+
+    def _chain(stream):
+        w15 = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.window("ts", "15 minutes").alias("w"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        return (
+            w15.groupBy(
+                F.window(F.window_time("w"), "1 hour").alias("h"),
+                "event_type",
+            )
+            .agg(
+                F.max("n").cast("bigint").alias("max_15m"),
+                F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            )
+        )
+
+    out = run_stream_once(
+        spark,
+        src,
+        "event_type string, ts timestamp",
+        _chain,
+        output_mode="append",
+        query_name="deftunes_windowed_rollup",
+    )
+    return out.filter(F.col("event_type") != "___sentinel").select(
+        "event_type",
+        F.col("h.start").alias("hour_start"),
+        "max_15m",
+        "n_windows",
+    )
