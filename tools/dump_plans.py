@@ -22,6 +22,11 @@ SHOW = [
     "dedup_minhash_fast",
     "dedup_minhash_mapside_md5",
     "corpus_curation",
+    "ann_ivfpq_topk",
+    "training_shuffle",
+    "gopher_rules",
+    "text_char_entropy",
+    "trailing_7d_sales",
     # segment_dedup is deliberately absent: at sf0.01 its hot set fits
     # the literal-array shape, whose plan dump is one enormous literal
     # — both physical shapes are plan-asserted in tests/test_plans.py
