@@ -1904,3 +1904,45 @@ def q_events_windowed_rollup(
         "max_15m",
         "n_windows",
     )
+
+
+@query(
+    "multimodal_frame_features",
+    """
+    WITH d AS (
+        SELECT doc_id, octet_length(encode(text)) AS bs FROM documents
+    ), f AS (
+        SELECT doc_id, bs,
+               unnest(range(0, bs * 10 + 1, 1000)) AS frame_ts_ms
+        FROM d
+    )
+    SELECT doc_id, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
+           CAST(bs AS BIGINT) AS byte_size,
+           round(((bs * 31 + frame_ts_ms) % 1000) / 1000.0, 6)
+               AS frame_energy
+    FROM f
+    """,
+)
+def q_multimodal_frame_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio/video path end-to-end: opaque payload + typed metadata →
+    duration filled by the (stubbed) decode stage → JVM-side frame
+    fan-out (sequence+explode, one row per frame timestamp) →
+    Arrow-batched per-frame feature mapInPandas. The oracle replays
+    the whole plumbing (frame counts, timestamps, sizes, the
+    deterministic stand-in energy); the real codec drops into
+    ext.multimodal.extract_frame_features' decode slot."""
+    docs = M.text_as_fake_payload(_t_cpu(spark, sf_dir, "documents"))
+    media = M.attach_media_columns(docs, "payload", modality="audio")
+    # "Decode" fills duration: stub = 10 ms per payload byte.
+    decoded = media.withColumn(
+        "media_meta",
+        F.col("media_meta").withField(
+            "duration_ms", F.col("media_meta.byte_size") * 10
+        ),
+    )
+    frames = M.frame_sample_plan(
+        decoded, every_ms=1000, carry_cols=("payload",)
+    )
+    return M.extract_frame_features(frames)

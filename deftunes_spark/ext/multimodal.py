@@ -184,12 +184,19 @@ def frame_sample_plan(
     every_ms: int = 1000,
     id_col: str = "doc_id",
     duration_col: str = "media_meta.duration_ms",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Frame-sampling *plan*: one row per (doc, frame timestamp) via
-    ``sequence`` + ``explode`` — pure JVM. The actual frame decode
-    would be a ``mapInPandas`` join against this plan (stubbed codec).
-    Documents with NULL duration produce no frames (explode drops the
-    NULL array)."""
+    ``sequence`` + ``explode`` — pure JVM. The actual frame decode is
+    a ``mapInPandas`` over this plan (stubbed codec). Documents with
+    NULL duration produce no frames (explode drops the NULL array).
+
+    ``carry_cols`` ride through the Generate (e.g. the payload the
+    decode stage needs) — shuffle-free, at the cost of replicating the
+    carried bytes per frame row. That is the right trade for decode
+    (every frame touches the payload anyway and the fan-out feeds
+    straight into mapInPandas); carry nothing when the plan is joined
+    to a pre-bucketed payload table instead."""
     dur = F.col(duration_col).cast("long")
     seq = F.when(
         dur >= 0,
@@ -197,7 +204,11 @@ def frame_sample_plan(
             F.lit(0).cast("long"), dur, F.lit(every_ms).cast("long")
         ),
     )
-    return df.select(F.col(id_col), F.explode(seq).alias("frame_ts_ms"))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.explode(seq).alias("frame_ts_ms"),
+    )
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -259,3 +270,51 @@ def resize_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("byte_size", T.LongType(), False),
+        T.StructField("frame_energy", T.DoubleType(), False),
+    ]
+)
+
+
+def extract_frame_features(
+    frames: DataFrame,
+    id_col: str = "doc_id",
+    ts_col: str = "frame_ts_ms",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-frame feature extraction over a frame-sampling plan
+    (``frame_sample_plan``): Arrow-batched ``mapInPandas``, one input
+    row per (doc, frame timestamp), payload bytes alongside — the
+    audio/video face of the multimodal plumbing. The CODEC step is the
+    stub boundary: a real implementation would decode the payload
+    segment at ``frame_ts_ms`` (PyAV/librosa); here the energy is a
+    deterministic arithmetic stand-in so the full pipeline — frame
+    fan-out, Arrow batching, per-frame vector out — runs and is
+    value-checkable end-to-end. Partition-parallel, zero shuffle
+    beyond the frame-plan join."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bs = pdf[payload_col].map(len).astype("int64")
+            ts = pdf[ts_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "frame_ts_ms": ts,
+                    "byte_size": bs,
+                    # stub "decode": bounded deterministic energy
+                    "frame_energy": (
+                        ((bs * 31 + ts) % 1000) / 1000.0
+                    ).round(6),
+                }
+            )
+
+    return frames.select(id_col, ts_col, payload_col).mapInPandas(
+        run, FRAME_FEATURES_SCHEMA
+    )
