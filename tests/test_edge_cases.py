@@ -126,3 +126,52 @@ def test_salted_sum_empty_and_single(spark):
     one = spark.createDataFrame([("a", 2.5)], ["k", "v"])
     [row] = salted_sum(one, ["k"], "v").collect()
     assert row.v_sum == 2.5
+
+
+def test_round4_ops_empty_and_degenerate(spark):
+    """Every round-4 operator must survive empty input and degenerate
+    rows (empty text, singleton groups) without div-zero or crashes."""
+    from deftunes_spark.ext.graph import connected_triangles
+    from deftunes_spark.ext.sampling import (
+        reservoir_per_group,
+        shuffle_shards,
+    )
+    from deftunes_spark.ext.text import char_entropy, gopher_quality_flags
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    assert gopher_quality_flags(empty_docs).count() == 0
+    assert char_entropy(empty_docs).count() == 0
+    assert shuffle_shards(empty_docs, "doc_id").count() == 0
+    assert (
+        reservoir_per_group(
+            spark.createDataFrame([], "doc_id bigint, lang string"),
+            "lang", "doc_id", k=3,
+        ).count() == 0
+    )
+    assert connected_triangles(
+        spark.createDataFrame([], "src bigint, dst bigint")
+    ).count() == 0
+
+    weird = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "x")], ["doc_id", "text"]
+    )
+    g = {r.doc_id: r for r in gopher_quality_flags(weird).collect()}
+    assert g[1].word_count == 0 and not g[1].gopher_keep
+    assert g[2].word_count == 0 and g[2].mean_word_len == 0.0
+    assert g[3].word_count == 1
+    e = {r.doc_id: r for r in char_entropy(weird).collect()}
+    # Blank/whitespace-only rows drop out of the exploded counts for
+    # doc 1 (zero chars); doc 3 is a single char -> entropy 0.
+    assert e[3].char_entropy == 0.0
+    # Self-loop-only and two-node graphs have no triangles.
+    tiny = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1)], ["src", "dst"]
+    )
+    assert connected_triangles(tiny).count() == 0
+
+
+def test_unigram_train_empty_corpus(spark):
+    from deftunes_spark.ext.tokenizer import unigram_train
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert unigram_train(empty, vocab_size=10, seed_size=10) == []
