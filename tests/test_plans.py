@@ -210,3 +210,27 @@ def test_ivfpq_prunes_before_pq_and_takeordered(spark, queries):
     # No key shuffle anywhere — the only Exchange is _t_cpu's
     # round-robin input spread for compute parallelism.
     assert "hashpartitioning" not in plan.lower()
+
+
+def test_partition_pruning_on_partitioned_table(spark, tmp_path):
+    """Directory-level partition pruning: a date-partitioned write
+    read back with a partition predicate must scan ONLY the matching
+    partition directories (PartitionFilters at the scan, not a
+    post-scan Filter over all files)."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "pt")
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("string").alias("day"),
+    )
+    df.write.partitionBy("day").mode("overwrite").parquet(path)
+    q = spark.read.parquet(path).filter(F.col("day") == "3")
+    fmt_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    fmt = q._jdf.queryExecution().explainString(fmt_mode)
+    line = next(ln for ln in fmt.splitlines() if "PartitionFilters" in ln)
+    assert "day" in line  # predicate reached the partition pruner
+    # And the scan enumerates one partition's files only.
+    assert q.rdd.getNumPartitions() <= 4
+    assert q.count() == len([i for i in range(1000) if i % 7 == 3])
