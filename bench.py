@@ -205,8 +205,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs": all_runs,
-        "isolation": "per-query subprocess, min of %d (2 warm-ups)"
-        % TIMED_RUNS,
+        "isolation": "per-query subprocess, min of adaptive %d-%d runs"
+        " (2 warm-ups; stops when the two fastest agree within 5%%)"
+        % (TIMED_RUNS, MAX_TIMED_RUNS),
         "image_codec": _codec_mode(),
         # Host-noise audit: this box is a VM subject to CPU steal;
         # per-run arrays above plus the 1/5/15-min load averages let a

@@ -1833,14 +1833,13 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOWED_ROLLUP_ORACLE = """
 WITH w15 AS (
     SELECT event_type,
-           to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900)
+           time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
                AS w15_start,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY 1, 2
 )
 SELECT event_type,
-       to_timestamp(floor(epoch(w15_start) / 3600) * 3600)
-           AS hour_start,
+       time_bucket(INTERVAL '1 hour', w15_start) AS hour_start,
        CAST(MAX(n) AS BIGINT) AS max_15m,
        CAST(COUNT(*) AS BIGINT) AS n_windows
 FROM w15 GROUP BY 1, 2

@@ -280,7 +280,7 @@ WITH k AS (
     FROM documents
 ), s AS (
     SELECT doc_id, shuffle_key,
-           CAST(('0x' || substr(shuffle_key, 1, 4))::INT % 8 AS INT)
+           CAST(('0x' || substr(shuffle_key, 1, 8))::BIGINT % 8 AS INT)
                AS shard
     FROM k
 )

@@ -97,12 +97,17 @@ def shuffle_shards(
     sort). Re-running with the same seed reproduces positions
     bit-for-bit; changing the seed is a fresh epoch-level reshuffle.
     """
+    if not (1 <= n_shards <= 1 << 31):
+        raise ValueError("n_shards must be in [1, 2^31]")
     key = F.md5(
         F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))
     )
+    # 8 hex chars = 2^32 bucket resolution, so shard counts up to the
+    # hundreds of thousands a ~1 GB/shard 100 TB export needs stay
+    # uniform (a 4-char prefix would cap usable shards at 65536).
     shard = (
-        F.conv(F.substring(key, 1, 4), 16, 10).cast("int") % n_shards
-    )
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
     out = df.withColumn("shuffle_key", key).withColumn("shard", shard)
     if with_position:
         from pyspark.sql import Window

@@ -501,13 +501,11 @@ def gopher_quality_flags(
         .withColumn("pass_stopwords", stop_hits >= min_stopword_hits)
         .withColumn(
             "gopher_keep",
-            (wc >= min_words)
-            & (wc <= max_words)
-            & (mean_wl >= min_mean_word_len)
-            & (mean_wl <= max_mean_word_len)
-            & (symbol_ratio < max_symbol_ratio)
-            & (alpha_ratio >= min_alpha_word_ratio)
-            & (stop_hits >= min_stopword_hits),
+            F.col("pass_word_count")
+            & F.col("pass_mean_word_len")
+            & F.col("pass_symbol_ratio")
+            & F.col("pass_alpha_words")
+            & F.col("pass_stopwords"),
         )
     )
 

@@ -440,25 +440,33 @@ def unigram_train(
 
 
 def unigram_segment_udf(
-    vocab: list[tuple[str, float]], max_piece_len: int = 8
+    vocab: list[tuple[str, float]], max_piece_len: int | None = None
 ):
     """Arrow-batched Viterbi segmentation with a trained unigram
     vocabulary — same justification as ``bpe_segment_udf``:
     data-dependent DP per token is the genuinely-not-a-column-
     expression case. Unknown characters surface as single-char
-    fallback pieces so coverage is total."""
+    fallback pieces so coverage is total. The DP span bound defaults
+    to the vocabulary's own longest piece — passing a smaller value
+    would silently make longer pieces unreachable."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     scores = dict(vocab)
+    if max_piece_len is None:
+        max_piece_len = max((len(p) for p in scores), default=1)
     unk = min(scores.values(), default=0.0) - 10.0
 
     def seg_word(word: str) -> list[str]:
-        aug = dict(scores)
-        for ch in word:
-            if ch not in aug:
-                aug[ch] = unk
-        return _viterbi_segment(word, aug, max_piece_len) or list(word)
+        if any(ch not in scores for ch in word):
+            # Rare path: augment only for words with unknown chars —
+            # the common case reuses the shared dict with no copy.
+            aug = dict(scores)
+            for ch in word:
+                if ch not in aug:
+                    aug[ch] = unk
+            return _viterbi_segment(word, aug, max_piece_len) or list(word)
+        return _viterbi_segment(word, scores, max_piece_len) or list(word)
 
     def _segment(texts):
         out = []
