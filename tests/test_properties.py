@@ -166,3 +166,69 @@ def test_asof_join_matches_pandas(spark, lefts, rights):
     else:
         want = {int(i): (None, None) for i, _, _ in lrows}
     assert got == want
+
+
+@SLOW
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1, max_size=40, unique=True,
+    ),
+    n_shards=st.integers(min_value=1, max_value=9),
+)
+def test_shuffle_shard_membership_is_pointwise(spark, ids, n_shards):
+    """A row's (shuffle_key, shard) is a pure function of its id —
+    adding or removing OTHER rows never moves it (the property that
+    makes incremental corpus rebuilds order-stable)."""
+    from deftunes_spark.ext.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    full = {
+        r.doc_id: (r.shuffle_key, r.shard)
+        for r in shuffle_shards(df, "doc_id", n_shards=n_shards).collect()
+    }
+    half_ids = ids[: max(1, len(ids) // 2)]
+    half = {
+        r.doc_id: (r.shuffle_key, r.shard)
+        for r in shuffle_shards(
+            spark.createDataFrame([(i,) for i in half_ids], ["doc_id"]),
+            "doc_id", n_shards=n_shards,
+        ).collect()
+    }
+    for i in half_ids:
+        assert half[i] == full[i]
+    assert all(0 <= s < n_shards for _, s in full.values())
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.sampled_from(["en", "de", "fr"]),
+        ),
+        min_size=1, max_size=40, unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+def test_reservoir_per_group_size_and_membership(spark, rows, k):
+    from deftunes_spark.ext.sampling import reservoir_per_group
+
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = reservoir_per_group(df, "lang", "doc_id", k=k).collect()
+    by_group = defaultdict(set)
+    for r in out:
+        by_group[r.lang].add(r.doc_id)
+    sizes = defaultdict(int)
+    for _i, g in rows:
+        sizes[g] += 1
+    for g, n in sizes.items():
+        assert len(by_group[g]) == min(k, n)
+    all_ids = {i for i, _ in rows}
+    assert all(i in all_ids for ids_ in by_group.values() for i in ids_)
+    # Ranks are dense 1..|sample| per group.
+    ranks = defaultdict(list)
+    for r in out:
+        ranks[r.lang].append(r.sample_rank)
+    for g, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
