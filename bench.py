@@ -154,9 +154,9 @@ def _codec_mode() -> str:
     """Which media codec the multimodal operators ran with — recorded
     in the artifact so the PIL-present/PIL-absent test skip is
     auditable per round (VERDICT r3 directive 7)."""
-    from deftunes_spark.ext.multimodal import codec_available
+    from deftunes_spark.ext.multimodal import codec_mode
 
-    return "pillow" if codec_available() else "deterministic-fake"
+    return codec_mode()
 
 
 def main() -> None:

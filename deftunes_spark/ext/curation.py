@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deftunes_spark.ext.dedup import shingles
+from deftunes_spark.ext.lineage import cut_lineage
 from deftunes_spark.ext.sampling import _BUCKETS, _hash_bucket
 
 
@@ -193,8 +194,15 @@ def segment_dedup(
         def _drop_hot(segs, hashes):
             cleaned, dropped = [], []
             for sg, hs in zip(segs, hashes):
+                # NULL text → NULL segment/hash entries. The literal-
+                # array shape's filter predicate evaluates to NULL on
+                # them → element dropped and counted in n_dropped
+                # (size(_segs) - size(kept)); mirror that exactly so
+                # the two physical shapes agree row-for-row.
                 kept_segs = [
-                    s for s, h in zip(sg, hs) if h not in hotset
+                    s
+                    for s, h in zip(sg, hs)
+                    if s is not None and h is not None and h not in hotset
                 ]
                 cleaned.append(" ".join(kept_segs))
                 dropped.append(len(sg) - len(kept_segs))
@@ -441,6 +449,7 @@ def substring_dedup(
     k: int = 10,
     min_repeat: int = 2,
     hash_fn: str = "xxhash64",
+    reliable: bool = False,
 ) -> DataFrame:
     """Excise every token run covered by a k-token substring that
     occurs at least ``min_repeat`` times ANYWHERE in the corpus (any
@@ -485,10 +494,13 @@ def substring_dedup(
     # the passenger column defeats project-collapse around Generate
     # and made this checkpoint ~20× slower (measured 7 s → 0.4 s at
     # sf0.1).
-    hits = base.select(
-        F.col(id_col),
-        F.posexplode(F.expr(gram_expr)).alias("_p0", "_g"),
-    ).localCheckpoint()
+    hits = cut_lineage(
+        base.select(
+            F.col(id_col),
+            F.posexplode(F.expr(gram_expr)).alias("_p0", "_g"),
+        ),
+        reliable,
+    )
     freq = hits.groupBy("_g").agg(F.count(F.lit(1)).alias("_cnt"))
     rep_starts = (
         hits.join(

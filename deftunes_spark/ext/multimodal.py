@@ -37,6 +37,13 @@ def codec_available() -> bool:
     """True when a real image codec (Pillow) is importable."""
     return _PILImage is not None
 
+
+def codec_mode() -> str:
+    """The codec the multimodal operators run with, as recorded in the
+    bench/correctness artifacts — single-sourced here so the two
+    artifacts can never disagree on the mode string."""
+    return "pillow" if codec_available() else "deterministic-fake"
+
 MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("modality", T.StringType(), False),

@@ -191,24 +191,22 @@ def bpe_train(
         raise ValueError(f"unknown strategy {strategy!r}")
     vocab = word_vocab(df, text_col, min_freq)
     if strategy == "auto":
-        # Probe-collect up to the threshold + 1 rows: one corpus pass
-        # decides the mode AND (when local wins) already delivers the
-        # vocabulary — no separate count() job.
-        probe = vocab.limit(local_vocab_max + 1).collect()
+        # Bounded count decides the mode WITHOUT driver
+        # materialization: limit(N+1).count() never moves more than a
+        # scalar to the driver, so choosing "distributed" for an
+        # over-threshold vocabulary can't OOM the very driver the
+        # threshold protects (a probe-collect of N+1 Rows would).
+        n_probe = vocab.limit(local_vocab_max + 1).count()
         strategy = (
-            "local" if len(probe) <= local_vocab_max else "distributed"
+            "local" if n_probe <= local_vocab_max else "distributed"
         )
         import logging
 
         logging.getLogger(__name__).info(
             "bpe_train: %s distinct words -> %s merge loop",
-            len(probe) if strategy == "local" else f">{local_vocab_max}",
+            n_probe if strategy == "local" else f">{local_vocab_max}",
             strategy,
         )
-        if strategy == "local":
-            return _bpe_merge_loop_local(
-                [(r["word"], int(r["freq"])) for r in probe], num_merges
-            )
     if strategy == "local":
         word_freqs = [
             (r["word"], int(r["freq"])) for r in vocab.collect()
@@ -378,12 +376,15 @@ def unigram_train(
     from collections import Counter
 
     vocab_df = word_vocab(df, text_col, min_freq)
-    rows = vocab_df.limit(local_vocab_max + 1).collect()
-    if len(rows) > local_vocab_max:
+    # Bounded count BEFORE the collect, so an over-threshold
+    # vocabulary raises without first materializing N+1 rows on the
+    # driver (same probe discipline as bpe_train's auto mode).
+    if vocab_df.limit(local_vocab_max + 1).count() > local_vocab_max:
         raise ValueError(
             "unigram_train: vocabulary exceeds local_vocab_max; raise "
             "the bound or pre-filter with min_freq"
         )
+    rows = vocab_df.collect()
     word_freqs = sorted((r["word"], int(r["freq"])) for r in rows)
 
     # --- seed -------------------------------------------------------

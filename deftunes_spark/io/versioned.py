@@ -127,8 +127,24 @@ class ConditionalPutCommitProtocol(CommitProtocol):
             raise
         try:
             out.write(payload)
-        finally:
             out.close()
+        except Exception:
+            # The create succeeded but the payload didn't land whole:
+            # a partial manifest at the canonical name would brick
+            # every subsequent read AND this writer's own retry (its
+            # next create sees 'exists' → misread as a lost race).
+            # Delete the partial before surfacing — upholding the
+            # class contract that on failure nothing is visible at
+            # ``key``. (A hard process kill inside this window can
+            # still strand a partial file — exactly why a REAL object
+            # store must supply put_fn, whose conditional PUT is
+            # all-or-nothing server-side.)
+            try:
+                out.close()
+            except Exception:
+                pass
+            fs.delete(_p(jvm, key), False)
+            raise
         return True
 
 
@@ -230,6 +246,16 @@ def write_versioned(
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
+    if extra:
+        # Validate BEFORE any data write: the clash is loop-invariant,
+        # and failing after out_df has been counted + written would
+        # orphan a _v{n} dir no manifest references (and expire can
+        # never reclaim).
+        clash = set(extra) & {"version", "data_dir", "ts_ms", "mode", "rows"}
+        if clash:
+            raise ValueError(
+                f"extra manifest keys clash with core fields: {clash}"
+            )
     jvm, fs = _fs(spark, path)
     for _ in range(max_retries):
         versions = list_versions(spark, path)
@@ -259,13 +285,8 @@ def write_versioned(
         }
         if extra:
             # Caller metadata rides the manifest (e.g. the streaming
-            # sink's batch id for exactly-once replay detection) but
-            # can never shadow the core commit fields.
-            clash = set(extra) & set(manifest)
-            if clash:
-                raise ValueError(
-                    f"extra manifest keys clash with core fields: {clash}"
-                )
+            # sink's (stream_id, batch_id) for exactly-once replay
+            # detection); clash-validated up front.
             manifest.update(extra)
         if _publish_manifest(spark, path, manifest, protocol):
             return n

@@ -22,6 +22,8 @@ plus ``expire_versions`` are the standing maintenance pair.
 
 from __future__ import annotations
 
+import hashlib
+import os
 import tempfile
 from collections.abc import Callable
 
@@ -35,26 +37,48 @@ from deftunes_spark.io.versioned import (
 )
 
 
+def stream_id_for_checkpoint(checkpoint_dir: str) -> str:
+    """Stable identity of one stream's progress: the checkpoint is
+    what makes batch ids meaningful, so its (absolute) path hashes to
+    the stream id that scopes replay detection. A restart on the same
+    checkpoint keeps the id; a fresh checkpoint is a NEW stream whose
+    batch numbering starts over."""
+    return hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode("utf-8")
+    ).hexdigest()[:16]
+
+
 def versioned_batch_writer(
-    path: str, protocol: CommitProtocol | None = None
+    path: str,
+    protocol: CommitProtocol | None = None,
+    stream_id: str = "adhoc",
 ) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` function committing each microbatch as one
     versioned-table append, idempotent under batch replay.
 
-    Skip rule: if ANY published manifest already carries this
-    ``stream_batch_id``, the batch was fully committed before the
-    failure — do nothing. (The converse crash, commit-then-replay, is
-    the only at-least-once anomaly ``foreachBatch`` has; partial
-    writes cannot be visible because a version only exists once its
-    manifest publishes.)
+    Skip rule: if a published manifest already carries this
+    ``(stream_id, stream_batch_id)`` pair, the batch was fully
+    committed before the failure — do nothing. (The converse crash,
+    commit-then-replay, is the only at-least-once anomaly
+    ``foreachBatch`` has; partial writes cannot be visible because a
+    version only exists once its manifest publishes.)
+
+    ``stream_id`` scopes the skip to ONE stream's batch numbering —
+    Spark batch ids are only unique per checkpoint, so two streams
+    (or one stream restarted on a fresh checkpoint) writing the same
+    table must not skip each other's ids. This is the same composite
+    key Iceberg/Delta streaming sinks commit ((queryId, epochId));
+    ``stream_to_versioned_table`` derives it from the checkpoint via
+    ``stream_id_for_checkpoint``.
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         committed = {
-            m.get("stream_batch_id") for m in list_versions(spark, path)
+            (m.get("stream_id"), m.get("stream_batch_id"))
+            for m in list_versions(spark, path)
         }
-        if batch_id in committed:
+        if (stream_id, batch_id) in committed:
             return
         write_versioned(
             spark,
@@ -62,7 +86,7 @@ def versioned_batch_writer(
             path,
             mode="append",
             protocol=protocol,
-            extra={"stream_batch_id": batch_id},
+            extra={"stream_id": stream_id, "stream_batch_id": batch_id},
         )
 
     return _write
@@ -98,7 +122,11 @@ def stream_to_versioned_table(
         stream = transform(stream)
     q = (
         stream.writeStream.foreachBatch(
-            versioned_batch_writer(table_path, protocol)
+            versioned_batch_writer(
+                table_path,
+                protocol,
+                stream_id=stream_id_for_checkpoint(checkpoint_dir),
+            )
         )
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)

@@ -453,3 +453,27 @@ def test_mixture_temperature_deterministic_rerun(spark):
     a = {r.doc_id for r in mixture_sample_temperature(df, "source", 0.3, "doc_id").collect()}
     b = {r.doc_id for r in mixture_sample_temperature(df.repartition(7), "source", 0.3, "doc_id").collect()}
     assert a == b and a
+
+
+def test_segment_dedup_null_text_both_shapes_agree(spark):
+    """A NULL-text row must neither crash the large-hot-set UDF shape
+    nor diverge from the literal-array shape (regression: ' '.join on
+    a NULL segment raised TypeError once the hot set crossed
+    literal_max)."""
+    from deftunes_spark.ext.curation import segment_dedup
+
+    rows = [(i, "alpha beta gamma delta " * 3) for i in range(6)]
+    rows += [(97, None), (98, "unique text here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {}
+    for lit_max in (256, 0):  # literal-array shape, then UDF shape
+        got = {
+            r.doc_id: (r.cleaned_text, r.n_segments, r.n_dropped)
+            for r in segment_dedup(
+                df, "doc_id", "text", seg_tokens=4, max_doc_freq=2,
+                literal_max=lit_max,
+            ).collect()
+        }
+        out[lit_max] = got
+    assert out[256] == out[0]
+    assert 97 in out[0]  # null row survives end-to-end

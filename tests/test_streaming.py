@@ -361,9 +361,12 @@ def test_versioned_sink_multi_batch_and_replay(spark, tmp_path):
     assert sorted(batch_ids) == batch_ids
     assert len(set(batch_ids)) == len(batch_ids)
 
-    # Replay: re-invoking the writer with an ALREADY-COMMITTED batch id
-    # must change nothing.
-    writer = versioned_batch_writer(table)
+    # Replay: re-invoking THIS stream's writer with an
+    # ALREADY-COMMITTED batch id must change nothing.
+    from deftunes_spark.streaming.sinks import stream_id_for_checkpoint
+
+    sid = stream_id_for_checkpoint(str(tmp_path / "ckpt"))
+    writer = versioned_batch_writer(table, stream_id=sid)
     writer(spark.range(5).select(F.col("id"), F.col("id").alias("k")),
            batch_ids[-1])
     after = V.list_versions(spark, table)
@@ -398,3 +401,37 @@ def test_versioned_sink_restart_consumes_nothing_new(spark, tmp_path):
         )
         assert snap.count() == 10
     assert len(V.list_versions(spark, table)) == 1
+
+
+def test_versioned_sink_fresh_checkpoint_is_new_stream(spark, tmp_path):
+    """Batch ids are only unique per checkpoint: a SECOND stream with
+    a fresh checkpoint writing the same table must not be skipped by
+    the first stream's batch 0 — replay detection keys on
+    (stream_id, batch_id), not the bare batch id."""
+    from pyspark.sql import functions as F
+
+    from deftunes_spark.io import versioned as V
+    from deftunes_spark.streaming.sinks import stream_to_versioned_table
+
+    src1 = str(tmp_path / "s1")
+    src2 = str(tmp_path / "s2")
+    table = str(tmp_path / "tbl")
+    spark.range(10).select(F.col("id")).write.parquet(src1)
+    spark.range(10, 15).select(F.col("id")).write.parquet(src2)
+
+    stream_to_versioned_table(
+        spark, src1, "id long", table,
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    # Different source, different checkpoint, SAME table: its batch 0
+    # must append, not silently no-op against stream 1's batch 0.
+    snap = stream_to_versioned_table(
+        spark, src2, "id long", table,
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    assert snap.count() == 15
+    ids = {
+        (m.get("stream_id"), m.get("stream_batch_id"))
+        for m in V.list_versions(spark, table)
+    }
+    assert len({s for s, _ in ids}) == 2  # two distinct streams recorded

@@ -95,9 +95,9 @@ def main() -> int:
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
             print(f"ok   {name}: {len(srows)} rows match")
-    from deftunes_spark.ext.multimodal import codec_available
+    from deftunes_spark.ext.multimodal import codec_mode
 
-    codec = "pillow" if codec_available() else "deterministic-fake"
+    codec = codec_mode()
     print(
         f"\n{len(failures)} failures out of "
         f"{len([q for q in qs if not only or q in only])} checked "
