@@ -92,7 +92,11 @@ def _chunk_text_udtf():
     """Build the UDTF class lazily (pyspark import surface)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="frag_idx int, frag string, frag_len int")
+    # useArrow: batches rows through Arrow instead of pickled
+    # row-at-a-time eval (BatchEvalPython → ArrowEvalPythonUDTF) —
+    # same 10-100× boundary-cost rule as pandas UDFs; plan-linted.
+    @udtf(returnType="frag_idx int, frag string, frag_len int",
+          useArrow=True)
     class ChunkText:
         def eval(self, text: str):  # noqa: D401 - UDTF contract
             if not text:
