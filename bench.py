@@ -77,6 +77,11 @@ HEADLINE = [
     "dedup_incremental_fast",
     # Sliding k-gram substring excision (heavy gram-table shape):
     "dedup_substring",
+    # Scan-speed noise canary (pure codegen projection — plan cost is
+    # constant, so round-over-round movement here measures HOST noise)
+    # and the alphabet-bounded entropy shuffle:
+    "gopher_rules",
+    "text_char_entropy",
 ]
 
 WARMUP_RUNS = 2
