@@ -683,3 +683,85 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").cast("bigint").alias("node"), "n_triangles"
     )
+
+
+# =====================================================================
+# Robust statistics (median / MAD / robust-z outliers)
+# =====================================================================
+
+_ROBUST_ORACLE = """
+WITH m AS (
+    SELECT c_mktsegment, quantile_cont(c_acctbal, 0.5) AS med
+    FROM customer GROUP BY 1
+), d AS (
+    SELECT c.c_mktsegment, c.c_acctbal, m.med,
+           abs(c.c_acctbal - m.med) AS absdev
+    FROM customer c JOIN m USING (c_mktsegment)
+), md AS (
+    SELECT c_mktsegment, any_value(med) AS med,
+           quantile_cont(absdev, 0.5) AS mad
+    FROM d GROUP BY 1
+)
+SELECT d.c_mktsegment,
+       round(any_value(md.med), 4) AS median,
+       round(any_value(md.mad), 4) AS mad,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(CASE WHEN d.absdev > 3.0 * 1.4826 * md.mad
+                       THEN 1 END) AS BIGINT) AS n_outliers
+FROM d JOIN md USING (c_mktsegment) GROUP BY 1
+"""
+
+
+@query("robust_stats", _ROBUST_ORACLE)
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment robust center/spread (exact median, MAD) and
+    robust-z outlier counts (ext.profile.robust_group_stats) — the
+    outlier-resistant profile a curation pipeline trusts over
+    mean/stddev. Two percentile aggs + two broadcast joins of
+    #groups-sized scalar tables; the wide table never shuffles."""
+    from deftunes_spark.ext.profile import robust_group_stats
+
+    return robust_group_stats(
+        _t(spark, sf_dir, "customer"), "c_mktsegment", "c_acctbal"
+    )
+
+
+# =====================================================================
+# Entity resolution: blocked fuzzy name matching
+# =====================================================================
+
+_FUZZY_ORACLE = """
+WITH k AS (
+    SELECT s_suppkey, s_name,
+           CAST(length(s_name) AS VARCHAR) || '|' || substr(s_name, 1, 16)
+               AS blk
+    FROM supplier
+)
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       a.s_name AS name_a, b.s_name AS name_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS distance
+FROM k a JOIN k b
+  ON a.blk = b.blk AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
+@query("fuzzy_name_pairs", _FUZZY_ORACLE)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: near-identical supplier names via BLOCKED
+    levenshtein (ext.dedup.blocked_fuzzy_pairs). The block key
+    (length + 16-char prefix) bounds the quadratic comparison to
+    bucket-local pairs — the edit-distance analog of the MinHash band
+    join; multi-pass complementary blocking is the documented recall
+    path."""
+    from deftunes_spark.ext.dedup import blocked_fuzzy_pairs
+
+    sup = _t(spark, sf_dir, "supplier")
+    out = blocked_fuzzy_pairs(sup, "s_suppkey", "s_name")
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "name_a",
+        "name_b",
+        F.col("distance").cast("int").alias("distance"),
+    )

@@ -801,3 +801,55 @@ def incremental_minhash_dedup(
             spark, new_sig, store_path, mode="append"
         )
     return out, version
+
+
+def blocked_fuzzy_pairs(
+    df,
+    id_col: str,
+    name_col: str,
+    block_expr=None,
+    max_distance: int = 1,
+):
+    """Entity resolution: near-identical name pairs via BLOCKED edit
+    distance — the classic record-linkage shape. An all-pairs
+    levenshtein is O(n²) and impossible at scale; blocking buckets
+    candidates by a cheap key (default: string length + prefix) so
+    the quadratic comparison runs only inside buckets, exactly like
+    the MinHash band join bounds the Jaccard comparison.
+
+    Recall boundary (standard for blocking): a pair differing inside
+    the blocking prefix lands in different buckets and is missed —
+    production linkage runs MULTIPLE passes with complementary keys
+    (prefix, suffix, phonetic) and unions the pairs; this operator is
+    one such pass, composable by union.
+
+    Returns (id_a, id_b, name_a, name_b, distance), id_a < id_b.
+    """
+    from pyspark.sql import functions as F
+
+    if block_expr is None:
+        c = F.col(name_col)
+        block_expr = F.concat_ws(
+            "|", F.length(c).cast("string"), F.substring(c, 1, 16)
+        )
+    keyed = df.select(
+        F.col(id_col), F.col(name_col), block_expr.alias("_blk")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{name_col}").alias("name_a"),
+            F.col(f"b.{name_col}").alias("name_b"),
+            F.levenshtein(
+                F.col(f"a.{name_col}"), F.col(f"b.{name_col}")
+            ).alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )

@@ -72,3 +72,55 @@ def profile_columns(
         for c in cols
     ]
     return df.sparkSession.createDataFrame(rows, PROFILE_SCHEMA)
+
+
+def robust_group_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Per-group robust statistics: exact median, MAD (median absolute
+    deviation), and the count of robust-z outliers
+    (|x − median| > z_cut · 1.4826 · MAD — the normal-consistent MAD
+    scaling). Median/MAD are the outlier-resistant center/spread a
+    curation pipeline trusts when means are poisoned by the very
+    outliers it hunts.
+
+    Shape: two grouped exact-percentile aggregations plus two
+    broadcast joins of the per-group scalars — the group-stat tables
+    are #groups-sized (kilobytes at any corpus scale), so the wide
+    table is scanned twice and never shuffled beyond the two
+    map-side-combined aggs. Returns
+    (group, median, mad, n, n_outliers)."""
+    g, v = F.col(group_col), F.col(value_col)
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    dev = df.join(F.broadcast(med), group_col).select(
+        g.alias(group_col),
+        v.alias(value_col),
+        F.col("_med"),
+        F.abs(v - F.col("_med")).alias("_absdev"),
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.first("_med").alias("_med2"),
+        F.expr("percentile(_absdev, 0.5)").alias("_mad"),
+    )
+    scored = dev.join(F.broadcast(mad.drop("_med2")), group_col)
+    return (
+        scored.groupBy(group_col)
+        .agg(
+            F.round(F.first("_med"), 4).alias("median"),
+            F.round(F.first("_mad"), 4).alias("mad"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count(
+                F.when(
+                    F.col("_absdev") > z_cut * 1.4826 * F.col("_mad"),
+                    F.lit(1),
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

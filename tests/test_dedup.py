@@ -263,3 +263,35 @@ def test_incremental_minhash_dry_run_commits_nothing(spark, tmp_path):
     assert v is None
     assert pairs.count() == 1
     assert list_versions(spark, store) == []
+
+
+def test_blocked_fuzzy_pairs_planted(spark):
+    from deftunes_spark.ext.dedup import blocked_fuzzy_pairs
+
+    rows = [
+        (1, "acme corp"),
+        (2, "acme corp."),   # distance 1 — same block (len differs!)
+        (3, "acme clrp"),    # distance 1 from 1, same length/prefix
+        (4, "globex inc"),
+        (5, "very different name"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    import pyspark.sql.functions as F
+
+    blk = F.concat_ws(
+        "|",
+        F.length(F.col("name")).cast("string"),
+        F.substring(F.col("name"), 1, 6),
+    )
+    out = {
+        (r.id_a, r.id_b): r.distance
+        for r in blocked_fuzzy_pairs(
+            df, "id", "name", block_expr=blk, max_distance=2
+        ).collect()
+    }
+    # (1,3) share length+prefix block and are 1 edit apart.
+    assert out[(1, 3)] == 1
+    # (1,2) differ in LENGTH → different block → missed by THIS pass
+    # (the documented blocking recall boundary).
+    assert (1, 2) not in out
+    assert all(k != (4, 5) for k in out)
