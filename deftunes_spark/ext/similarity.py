@@ -23,8 +23,16 @@ from pyspark.sql import functions as F
 def _sql_vec(vec: list[float]) -> str:
     """SQL text of a double-array literal. ``repr`` round-trips the
     exact IEEE value; the ``D`` suffix pins the literal type to DOUBLE
-    (a bare ``0.5`` would parse as DECIMAL)."""
-    return "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
+    (a bare ``0.5`` would parse as DECIMAL). Non-finite components
+    would render as ``nanD``/``infD`` — unparseable deep inside
+    Catalyst — so fail fast here with the actual cause."""
+    vals = [float(x) for x in vec]
+    if any(x != x or x in (float("inf"), float("-inf")) for x in vals):
+        raise ValueError(
+            "query/centroid vector contains NaN or infinity — "
+            "sanitize embeddings before building literal expressions"
+        )
+    return "array(" + ",".join(f"{x!r}D" for x in vals) + ")"
 
 
 def _vec_lit(vec: list[float]) -> Column:
@@ -546,10 +554,17 @@ def cosine_neardup_pairs(
     lower it to raise recall). Never a cross join.
     """
     if planes is None:
-        probe = df.select(vec_col).first()
-        if probe is None:  # empty corpus → zero pairs, not a crash
+        probe = (
+            df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        )
+        if probe is None:  # empty/all-null corpus → zero pairs
+            # Mirror the non-empty branch's schema exactly (the id
+            # type follows the input), so a downstream union/append
+            # can't hit a type mismatch only on empty input.
+            id_type = df.schema[id_col].dataType.simpleString()
             return df.sparkSession.createDataFrame(
-                [], "id_a long, id_b long, cosine_sim double"
+                [],
+                f"id_a {id_type}, id_b {id_type}, cosine_sim double",
             )
         planes = random_hyperplanes(len(probe[0]), n_bits, seed)
     bucketed = with_lsh_bucket(df, planes, vec_col).select(

@@ -12,6 +12,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from deftunes_spark.ext.lineage import cut_lineage
+
 # Marker stopwords per language (public linguistic common-word lists).
 # Word-boundary regex alternation; scoring = marker hits per token.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -63,7 +65,10 @@ def with_quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     n = F.length(c).cast("double")
     alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("double")
     digit = F.length(F.regexp_replace(c, "[^0-9]", "")).cast("double")
-    space = F.length(F.regexp_replace(c, "[^ ]", "")).cast("double")
+    # Count the full \s class, matching the \s+ tokenizers use — an
+    # ASCII-space-only count scores newline/tab-separated text as a
+    # whitespace-free blob.
+    space = F.length(F.regexp_replace(c, "[^\\s]", "")).cast("double")
     nz = F.when(n > 0, n)
     return (
         df.withColumn("n_chars_m", n.cast("bigint"))
@@ -187,6 +192,7 @@ def bigram_lm_scores(
     id_col: str = "doc_id",
     col: str = "text",
     k_smooth: float = 0.5,
+    reliable: bool = False,
 ) -> DataFrame:
     """Model-based quality scoring with a corpus-trained bigram LM:
     score every document by its average bigram log-probability (and
@@ -231,9 +237,12 @@ def bigram_lm_scores(
     # observed-bigram vocabulary — orders of magnitude under the text,
     # while recomputing it would cost a full tokenize+aggregate pass
     # per branch.
-    c2 = big.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c2")
-    ).localCheckpoint()
+    c2 = cut_lineage(
+        big.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c2")
+        ),
+        reliable,
+    )
     # Context counts derive from the bigram table: C(w1) = Σ_w2 C2 —
     # no second pass over the text.
     c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
@@ -272,6 +281,16 @@ def pack_sequences(
     partition — at 100 TB use enough shards that a shard fits an
     executor; packing quality is unaffected because bins never span
     shards). Bin id = floor(tokens_before_doc / context)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # pmod on a non-numeric id silently casts to NULL, collapsing
+        # every row into one window partition — fail loudly instead;
+        # string ids can shard via ext.sampling's md5-bucket helpers.
+        raise TypeError(
+            f"pack_sequences needs an integral id column for pmod "
+            f"sharding; {id_col} is {id_type} — derive a numeric key "
+            f"or use an md5-bucket shard (ext.sampling)"
+        )
     with_tok = with_token_count(df, col).select(
         id_col, "token_count"
     )

@@ -234,6 +234,15 @@ def read_jdbc_table(
     if password is not None:
         reader = reader.option("password", password)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach the JDBC source as the literal
+            # "None" and surface as an opaque JVM
+            # NumberFormatException at load() — validate here instead.
+            raise ValueError(
+                "read_jdbc_table: partition_column requires both "
+                "lower_bound and upper_bound (the partition range "
+                "endpoints for the parallel range queries)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))

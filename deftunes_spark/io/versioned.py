@@ -63,11 +63,32 @@ class CommitProtocol:
 
 
 class RenameCommitProtocol(CommitProtocol):
-    """Stage to a temp name, then ``FileSystem.rename`` to the final
-    name — atomic and fails-if-destination-exists on HDFS and local
-    FS (the contract Iceberg's HadoopTableOperations commit uses).
-    The payload is never observable half-written: readers see the
-    whole manifest or no manifest."""
+    """Claim the version with an atomic exclusive create of a LOCK
+    file, then stage the payload to a temp name and rename it to the
+    final name. The payload is never observable half-written: readers
+    see the whole manifest or no manifest (lock/temp names are hidden
+    from ``list_versions``).
+
+    Why the lock: a bare exists-check + rename is check-then-act —
+    Hadoop's LocalFileSystem rename follows POSIX semantics and
+    OVERWRITES an existing destination, so two racing writers could
+    both "win" the same version on ``file://`` paths (HDFS rename
+    does fail on an existing destination, but the protocol must hold
+    on both). ``FileSystem.createNewFile`` is atomic on local FS
+    (O_EXCL) and HDFS (create with overwrite=false), giving a true
+    single-winner claim.
+
+    Crash boundary: a writer dying between claim and rename strands
+    the lock; writers finding a lock older than ``stale_lock_ms``
+    with no published manifest reclaim it (delete + re-claim). Two
+    writers reclaiming the SAME stale lock within the same instant is
+    the residual race window — post-crash only, microseconds wide;
+    a real multi-writer deployment on an object store should use
+    ``ConditionalPutCommitProtocol`` with a server-side conditional
+    put, which has no such window."""
+
+    def __init__(self, stale_lock_ms: int = 60_000) -> None:
+        self._stale_ms = stale_lock_ms
 
     def put_if_absent(
         self, spark: SparkSession, mdir: str, name: str, payload: bytes
@@ -77,16 +98,39 @@ class RenameCommitProtocol(CommitProtocol):
         final = _p(jvm, f"{mdir}/{name}")
         if fs.exists(final):
             return False
-        tmp = _p(jvm, f"{mdir}/.tmp-{uuid.uuid4().hex}.json")
-        out = fs.create(tmp, False)
+        lock = _p(jvm, f"{mdir}/.lock-{name}")
+        if not fs.createNewFile(lock):
+            # Claim failed. Either a live writer is mid-commit (its
+            # manifest appears momentarily — we lost) or a crashed
+            # writer stranded the lock: no manifest AND an old lock →
+            # reclaim once.
+            try:
+                age = _now_ms(spark) - fs.getFileStatus(
+                    lock
+                ).getModificationTime()
+            except Exception:
+                return False  # lock vanished — owner just finished
+            if fs.exists(final) or age < self._stale_ms:
+                return False
+            fs.delete(lock, False)
+            if not fs.createNewFile(lock):
+                return False
         try:
-            out.write(payload)
+            if fs.exists(final):
+                # Manifest landed between our exists-check and claim.
+                return False
+            tmp = _p(jvm, f"{mdir}/.tmp-{uuid.uuid4().hex}.json")
+            out = fs.create(tmp, False)
+            try:
+                out.write(payload)
+            finally:
+                out.close()
+            ok = fs.rename(tmp, final)
+            if not ok:
+                fs.delete(tmp, True)
+            return bool(ok)
         finally:
-            out.close()
-        ok = fs.rename(tmp, final)
-        if not ok:
-            fs.delete(tmp, True)
-        return bool(ok)
+            fs.delete(lock, False)
 
 
 class ConditionalPutCommitProtocol(CommitProtocol):
@@ -240,9 +284,12 @@ def write_versioned(
     clobbering the other (the lost-update anomaly a bare
     ``parquet append`` has).
 
-    The data directory is written ONCE per attempt set for overwrite
-    (its content doesn't depend on the base version); append rewrites
-    on retry because its content does.
+    The data directory is written ONCE for overwrite (its content
+    doesn't depend on the base version, so retries re-publish the same
+    directory under the next version number); append rewrites per
+    attempt because its content derives from the latest snapshot. Row
+    counts come from the WRITTEN parquet (footer metadata count), not
+    a separate pre-write count job — one pass over the input, not two.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -257,6 +304,8 @@ def write_versioned(
                 f"extra manifest keys clash with core fields: {clash}"
             )
     jvm, fs = _fs(spark, path)
+    ow_dir: str | None = None  # overwrite data, written once, reused
+    ow_rows: int | None = None
     for _ in range(max_retries):
         versions = list_versions(spark, path)
         base = versions[-1]["version"] if versions else None
@@ -268,14 +317,23 @@ def write_versioned(
         # version with an earlier ts_ms — which would make as_of_ts_ms
         # time travel ambiguous. Iceberg likewise stamps at commit.
         ts_ms = max(prev_ts + 1, _now_ms(spark))
-        data_dir = f"{path}/{_DATA_PREFIX}{n}-{uuid.uuid4().hex[:8]}"
-        out_df = df
-        if mode == "append" and base is not None:
-            out_df = read_version(spark, path, version=base).unionByName(
-                df, allowMissingColumns=True
-            )
-        rows = out_df.count()
-        out_df.write.mode("overwrite").parquet(data_dir)
+        if mode == "overwrite" and ow_dir is not None:
+            # Content is base-independent: reuse the already-durable
+            # directory, only the manifest (version number) changes.
+            data_dir, rows = ow_dir, ow_rows
+        else:
+            data_dir = f"{path}/{_DATA_PREFIX}{n}-{uuid.uuid4().hex[:8]}"
+            out_df = df
+            if mode == "append" and base is not None:
+                out_df = read_version(
+                    spark, path, version=base
+                ).unionByName(df, allowMissingColumns=True)
+            out_df.write.mode("overwrite").parquet(data_dir)
+            # Count from the written files: parquet footer row counts,
+            # not a second full pass over the (possibly joined) input.
+            rows = spark.read.parquet(data_dir).count()
+            if mode == "overwrite":
+                ow_dir, ow_rows = data_dir, rows
         manifest = {
             "version": n,
             "data_dir": data_dir,
@@ -290,9 +348,13 @@ def write_versioned(
             manifest.update(extra)
         if _publish_manifest(spark, path, manifest, protocol):
             return n
-        # Lost the race: drop the orphaned staging data and retry
-        # against the new latest snapshot.
-        fs.delete(_p(jvm, data_dir), True)
+        # Lost the race: retry against the new latest snapshot.
+        # Append data derives from the stale base — drop it; the
+        # overwrite dir stays, to be re-published as the next version.
+        if mode != "overwrite":
+            fs.delete(_p(jvm, data_dir), True)
+    if ow_dir is not None:
+        fs.delete(_p(jvm, ow_dir), True)  # giving up — no orphan
     raise RuntimeError(
         f"write_versioned: lost the commit race {max_retries} times "
         f"on {path}"

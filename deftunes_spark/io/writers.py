@@ -74,6 +74,19 @@ def write_table_append_or_create(
         mode = "overwrite" if overwrite_partitions else "append"
         # insertInto matches by position — realign to the table's
         # column order (partition column lands last in the catalog).
+        # Columns the table doesn't know are an ERROR, not a silent
+        # drop: the reference's Iceberg append() fails on schema
+        # mismatch too, and write_table_append_evolve exists for the
+        # new-upstream-field case — losing a field month after month
+        # with no signal is the worst outcome.
+        tcols = {c.lower() for c in spark.table(table).columns}
+        extra = {c for c in df.columns if c.lower() not in tcols}
+        if extra:
+            raise ValueError(
+                f"write_table_append_or_create: df has columns "
+                f"{sorted(extra)} not in table {table}; use "
+                f"write_table_append_evolve to add them"
+            )
         aligned = df.select(*spark.table(table).columns)
         if overwrite_partitions:
             # Pin dynamic mode AROUND the write instead of trusting the
@@ -207,10 +220,24 @@ def upsert_table(
     # ``{table}``. Restore it BEFORE the existence check — otherwise
     # this run would "create" the table from updates alone and a later
     # cleanup would drop the orphaned original (silent full data loss).
+    def _repoint(t: str) -> None:
+        # ALTER TABLE RENAME moves a managed table's ROOT directory
+        # but leaves per-partition locations at the old path (observed
+        # on the in-memory catalog): reads then return empty, and a
+        # later DROP of the OTHER table would delete data through the
+        # stale pointers. Re-discovering partitions from the moved
+        # root repoints them — must run after EVERY rename of a
+        # partitioned table, before anything else touches either name.
+        if any(
+            c.isPartition for c in spark.catalog.listColumns(t)
+        ):
+            spark.catalog.recoverPartitions(t)
+
     if not spark.catalog.tableExists(table) and spark.catalog.tableExists(
         old
     ):
         spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+        _repoint(table)
     if not spark.catalog.tableExists(table):
         updates.write.mode("overwrite").format("parquet").saveAsTable(table)
         return
@@ -224,12 +251,39 @@ def upsert_table(
     # ``__staging`` is an abandoned half-write.
     for residue in (staging, old):
         spark.sql(f"DROP TABLE IF EXISTS {residue}")
-    merged.write.mode("overwrite").format("parquet").saveAsTable(staging)
+    # The staging table must reproduce the original's PHYSICAL SPEC —
+    # partitioning and bucketing. A bare saveAsTable would swap in an
+    # unpartitioned, unbucketed table: the next dynamic partition
+    # overwrite would then truncate the WHOLE table (nothing to scope
+    # to), and bucketed tables would silently lose their
+    # shuffle-free-join guarantee.
+    part_cols = [
+        c.name for c in spark.catalog.listColumns(table) if c.isPartition
+    ]
+    desc = {
+        r["col_name"]: (r["data_type"] or "")
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    }
+    n_buckets = int(desc.get("Num Buckets", "0") or 0)
+    bucket_cols = [
+        c.strip(" `")
+        for c in desc.get("Bucket Columns", "").strip("[]").split(",")
+        if c.strip(" `")
+    ]
+    writer = merged.write.mode("overwrite").format("parquet")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    if n_buckets and bucket_cols:
+        writer = writer.bucketBy(n_buckets, *bucket_cols)
+    writer.saveAsTable(staging)
     spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+    _repoint(old)
     try:
         spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
     except Exception:
         # Roll the original back into place before propagating.
         spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+        _repoint(table)
         raise
+    _repoint(table)
     spark.sql(f"DROP TABLE {old}")

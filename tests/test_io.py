@@ -249,3 +249,63 @@ def _partition_rows(spark, path):
         for r in df.groupBy("start_date").count()
         .withColumnRenamed("count", "n").collect()
     }
+
+
+def test_upsert_preserves_partition_spec(spark, tmp_path):
+    """upsert_table's staging swap must keep the table PARTITIONED —
+    a bare staging write would swap in an unpartitioned table, after
+    which dynamic partition overwrite truncates everything
+    (regression)."""
+    import pyspark.sql.functions as F
+
+    from deftunes_spark.io.writers import (
+        upsert_table,
+        write_table_append_or_create,
+    )
+
+    table = "upsert_part_spec_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01"), (2, "b", "2024-01"), (3, "c", "2024-02")],
+        ["id", "v", "ingest_on"],
+    )
+    write_table_append_or_create(spark, df, table)
+    upd = spark.createDataFrame(
+        [(2, "B", "2024-01"), (4, "d", "2024-02")],
+        ["id", "v", "ingest_on"],
+    )
+    upsert_table(spark, upd, table, ["id"])
+    parts = [
+        c.name for c in spark.catalog.listColumns(table) if c.isPartition
+    ]
+    assert parts == ["ingest_on"]  # spec survived the swap
+    got = {r.id: r.v for r in spark.table(table).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # Dynamic partition overwrite of ONE month after the upsert must
+    # leave the other month intact.
+    feb = spark.createDataFrame(
+        [(9, "z", "2024-02")], ["id", "v", "ingest_on"]
+    )
+    write_table_append_or_create(
+        spark, feb, table, overwrite_partitions=True
+    )
+    left = {r.id for r in spark.table(table).collect()}
+    assert left == {1, 2, 9}
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_append_rejects_unknown_columns(spark):
+    from deftunes_spark.io.writers import write_table_append_or_create
+
+    table = "append_strict_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    df = spark.createDataFrame([(1, "a", "m1")], ["id", "v", "ingest_on"])
+    write_table_append_or_create(spark, df, table)
+    wider = spark.createDataFrame(
+        [(2, "b", "x", "m1")], ["id", "v", "new_col", "ingest_on"]
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="append_evolve"):
+        write_table_append_or_create(spark, wider, table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

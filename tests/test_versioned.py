@@ -334,3 +334,57 @@ def test_list_versions_batch_read(spark, tmp_path):
     got = V.list_versions(spark, t)
     assert [m["version"] for m in got] == list(range(n))
     assert [m["rows"] for m in got] == list(range(n))
+
+
+def test_stale_lock_reclaim(spark, tmp_path):
+    """A writer that died between lock claim and manifest rename must
+    not block the table forever: the next writer reclaims a lock older
+    than stale_lock_ms and commits normally."""
+    from deftunes_spark.io import versioned as V
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(3).toDF("id")
+    assert V.write_versioned(spark, df, path) == 0
+
+    # Simulate the crash: strand a lock for the NEXT version with an
+    # old mtime and no manifest.
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_manifests/.lock-" +
+                                      f"{1:020d}.json")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    assert fs.createNewFile(p)
+    now = int(jvm.System.currentTimeMillis())
+    fs.setTimes(p, now - 600_000, -1)
+
+    v = V.write_versioned(
+        spark, spark.range(2).toDF("id"), path, mode="append",
+        protocol=V.RenameCommitProtocol(stale_lock_ms=60_000),
+    )
+    assert v == 1
+    assert V.read_version(spark, path).count() == 5
+    # The reclaimed lock is gone after the successful publish.
+    assert not fs.exists(p)
+
+
+def test_fresh_lock_blocks_then_raises(spark, tmp_path):
+    """A RECENT lock (a live writer mid-commit) is honored: the second
+    writer treats the version as taken and, with the base never
+    advancing, exhausts its retries with a clear error instead of
+    double-committing."""
+    import pytest as _pt
+
+    from deftunes_spark.io import versioned as V
+
+    path = str(tmp_path / "tbl")
+    V.write_versioned(spark, spark.range(1).toDF("id"), path)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/_manifests/.lock-{1:020d}.json"
+    )
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    assert fs.createNewFile(p)  # fresh lock, held "right now"
+    with _pt.raises(RuntimeError, match="commit race"):
+        V.write_versioned(
+            spark, spark.range(1).toDF("id"), path, max_retries=2
+        )
+    fs.delete(p, False)
