@@ -732,9 +732,8 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUZZY_ORACLE = """
 WITH k AS (
-    SELECT s_suppkey, s_name,
-           CAST(length(s_name) AS VARCHAR) || '|' || substr(s_name, 1, 16)
-               AS blk
+    SELECT s_suppkey, s_name, substr(s_name, 1, 16) AS blk,
+           length(s_name) AS len
     FROM supplier
 )
 SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
@@ -742,6 +741,7 @@ SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
        CAST(levenshtein(a.s_name, b.s_name) AS INT) AS distance
 FROM k a JOIN k b
   ON a.blk = b.blk AND a.s_suppkey < b.s_suppkey
+ AND abs(a.len - b.len) <= 1
 WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
@@ -749,11 +749,11 @@ WHERE levenshtein(a.s_name, b.s_name) <= 1
 @query("fuzzy_name_pairs", _FUZZY_ORACLE)
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage: near-identical supplier names via BLOCKED
-    levenshtein (ext.dedup.blocked_fuzzy_pairs). The block key
-    (length + 16-char prefix) bounds the quadratic comparison to
-    bucket-local pairs — the edit-distance analog of the MinHash band
-    join; multi-pass complementary blocking is the documented recall
-    path."""
+    levenshtein (ext.dedup.blocked_fuzzy_pairs). The 16-char-prefix
+    block bounds the quadratic comparison to bucket-local pairs (the
+    edit-distance analog of the MinHash band join) and a length BAND
+    in the join keeps insert/delete edits matchable; multi-pass
+    complementary blocking is the documented recall path."""
     from deftunes_spark.ext.dedup import blocked_fuzzy_pairs
 
     sup = _t(spark, sf_dir, "supplier")

@@ -353,6 +353,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets.
 
@@ -380,7 +381,7 @@ def ngram_jaccard_pairs(
         )
     # The shingle set feeds four plan branches (sizes + both join
     # sides); materialize once so split+explode+distinct runs once.
-    sh = sh.localCheckpoint()
+    sh = cut_lineage(sh, reliable)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -554,7 +555,10 @@ def simhash64(
 
 
 def simhash_near_pairs(
-    sim_df: DataFrame, id_col: str, max_hamming: int = 3
+    sim_df: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    reliable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by Hamming distance ≤ ``max_hamming``.
 
@@ -577,7 +581,7 @@ def simhash_near_pairs(
     # Both sides of the chunk self-join read sim_df; materialize so the
     # upstream fingerprint pipeline (token explode + 64 bit votes)
     # executes once, not once per branch.
-    sim_df = sim_df.localCheckpoint()
+    sim_df = cut_lineage(sim_df, reliable)
     n_chunks = max_hamming + 1
     # Spread 64 bits as evenly as possible: first (64 % n) chunks get
     # one extra bit.
@@ -726,11 +730,14 @@ def incremental_minhash_dedup(
 
     - New-batch signatures compute with the shuffle-free mapside path
       (``minhash_signatures_mapside``) straight off the batch scan.
-    - The store is a VERSIONED table (``io/versioned.py``): each run
-      reads the latest snapshot and, with ``commit=True``, appends the
-      batch's signatures as a new version — optimistic-concurrency
-      safe against a concurrent ingest, time-travelable ("which store
-      state did Tuesday's run dedup against?" is a version number).
+    - The store is a VERSIONED table (``io/versioned.py``). With
+      ``commit=True`` the batch's signatures are appended FIRST and
+      pairs are computed against the snapshot that commit produced —
+      so when two ingests race, the later-committed run's snapshot
+      provably contains the earlier run's docs and emits every
+      cross-batch pair (optimistic-concurrency safe, and
+      time-travelable: "which store state did Tuesday's run dedup
+      against?" is its returned version number).
     - Candidates: batch bands equi-join (store ∪ batch) bands with the
       predicate ``(b not new) OR (id_a < id_b)`` — every new-vs-old
       pair once, every new-vs-new pair once, and NEVER an old-vs-old
@@ -757,14 +764,41 @@ def incremental_minhash_dedup(
         ),
         reliable,
     )
-    have_store = bool(list_versions(spark, store_path))
-    if have_store:
-        store_sig = read_version(spark, store_path)
-        all_sig = store_sig.withColumn(
-            "_is_new", F.lit(False)
-        ).unionByName(new_sig.withColumn("_is_new", F.lit(True)))
+    version: int | None = None
+    if commit:
+        # COMMIT FIRST, then dedup against the snapshot OUR commit
+        # produced. This is what makes the lifetime-union invariant
+        # hold under CONCURRENT ingests: if runs A and B race from the
+        # same base, write_versioned serializes them (vA < vB), and
+        # B's snapshot at vB contains A's signatures — so the
+        # cross-batch pair (a∈A, b∈B) is emitted by exactly the run
+        # whose commit landed later. Computing pairs against the
+        # PRE-commit snapshot (the old flow) lost such pairs forever:
+        # neither racer saw the other, and both docs were "old" to
+        # every later run.
+        version = write_versioned(
+            spark, new_sig, store_path, mode="append"
+        )
+        snapshot = read_version(spark, store_path, version=version)
+        flags = new_sig.select(F.col(id_col)).distinct().withColumn(
+            "_nf", F.lit(True)
+        )
+        all_sig = (
+            snapshot.join(flags, id_col, "left")
+            .withColumn("_is_new", F.coalesce(F.col("_nf"), F.lit(False)))
+            .drop("_nf")
+        )
     else:
-        all_sig = new_sig.withColumn("_is_new", F.lit(True))
+        # Dry-run: batch vs the current latest snapshot, nothing
+        # written (racing dry-runs make no durability claims).
+        have_store = bool(list_versions(spark, store_path))
+        if have_store:
+            store_sig = read_version(spark, store_path)
+            all_sig = store_sig.withColumn(
+                "_is_new", F.lit(False)
+            ).unionByName(new_sig.withColumn("_is_new", F.lit(True)))
+        else:
+            all_sig = new_sig.withColumn("_is_new", F.lit(True))
 
     banded = _banded_keys(
         all_sig, id_col, num_hashes, bands, hash_band_key,
@@ -794,12 +828,6 @@ def incremental_minhash_dedup(
         all_sig.drop("_is_new"), pairs, id_col, num_hashes
     )
     out = est.filter(F.col("est_jaccard") >= threshold)
-
-    version: int | None = None
-    if commit:
-        version = write_versioned(
-            spark, new_sig, store_path, mode="append"
-        )
     return out, version
 
 
@@ -821,26 +849,35 @@ def blocked_fuzzy_pairs(
     the blocking prefix lands in different buckets and is missed —
     production linkage runs MULTIPLE passes with complementary keys
     (prefix, suffix, phonetic) and unions the pairs; this operator is
-    one such pass, composable by union.
+    one such pass, composable by union. Length is NOT part of the
+    default block key — an insertion/deletion edit changes the length,
+    so length-exact blocking would silently exclude the entire
+    insert/delete class; instead a length BAND (|len_a − len_b| ≤
+    max_distance, implied by the edit-distance bound) rides the join
+    predicate.
 
     Returns (id_a, id_b, name_a, name_b, distance), id_a < id_b.
     """
     from pyspark.sql import functions as F
 
     if block_expr is None:
-        c = F.col(name_col)
-        block_expr = F.concat_ws(
-            "|", F.length(c).cast("string"), F.substring(c, 1, 16)
-        )
+        block_expr = F.substring(F.col(name_col), 1, 16)
     keyed = df.select(
-        F.col(id_col), F.col(name_col), block_expr.alias("_blk")
+        F.col(id_col),
+        F.col(name_col),
+        block_expr.alias("_blk"),
+        F.length(name_col).alias("_len"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
             b,
             (F.col("a._blk") == F.col("b._blk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.abs(F.col("a._len") - F.col("b._len"))
+                <= max_distance
+            ),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

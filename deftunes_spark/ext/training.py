@@ -58,8 +58,12 @@ def chunk_documents(
     """
     if chunk_tokens < 1 or stride < 1:
         raise ValueError("chunk_tokens and stride must be >= 1")
+    # NULL text folds to the empty-token case (coalesce BEFORE split:
+    # size(NULL) is -1 under legacy sizeOfNull, which would otherwise
+    # leak a -1 token count and NULL chunk_text into the output).
     toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
     )
     n = F.size(toks)
     # ceil(max(n - chunk, 0) / stride) + 1 windows cover all tokens.
@@ -119,6 +123,16 @@ def negative_pairs(
     """
     if k < 1 or n_buckets < 1:
         raise ValueError("k and n_buckets must be >= 1")
+    id_type = docs.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # `%` on a string id casts to double -> NULL buckets -> the
+        # join matches nothing and the op silently returns ZERO
+        # negatives; fail loudly (string ids can pre-derive a numeric
+        # key, e.g. ext.sampling's md5 bucket).
+        raise TypeError(
+            f"negative_pairs needs an integral id column for modulo "
+            f"bucketing; {id_col} is {id_type}"
+        )
     bucket = (F.col(id_col) % n_buckets).alias("_bucket")
     cand = docs.select(
         F.col(id_col).alias("neg_id"),
@@ -246,9 +260,16 @@ def quantize_embeddings(
         s = F.get(scales, i)
         m = F.get(mins, i)
         raw = F.when(s > 0, F.round((x - m) / s)).otherwise(F.lit(0.0))
-        return F.least(
-            F.greatest(raw, F.lit(0.0)), F.lit(255.0)
-        ).cast("int")
+        # x is NULL when the vector's length mismatches the stats
+        # dimension (zip_with pads with NULL): surface a NULL code —
+        # a silent 0 would be indistinguishable from a real value at
+        # dim_min and corrupt the ANN code table.
+        return F.when(
+            x.isNotNull(),
+            F.least(F.greatest(raw, F.lit(0.0)), F.lit(255.0)).cast(
+                "int"
+            ),
+        )
 
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
     codes = F.zip_with(
@@ -270,16 +291,21 @@ def dataset_card(
     tokens, mean document length — the summary table a dataset card /
     mixture designer reads. One partial-aggregating groupBy; token
     counting is a column expression (no UDF)."""
+    # NULL text contributes 0 tokens / 0 chars (size(NULL) would add
+    # -1 per null doc under legacy sizeOfNull and skew the card).
     toks = F.size(
         F.filter(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+            F.split(
+                F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+            ),
+            lambda t: t != "",
         )
     )
     return (
         docs.select(
             F.col(source_col),
             toks.alias("_n_toks"),
-            F.length(text_col).alias("_n_chars"),
+            F.coalesce(F.length(text_col), F.lit(0)).alias("_n_chars"),
         )
         .groupBy(source_col)
         .agg(

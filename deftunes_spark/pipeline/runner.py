@@ -70,7 +70,11 @@ class PipelineTask:
     depends_on: tuple[str, ...] = ()
     retries: int = 1  # reference default_args: retries=1 (:17-19)
     retry_delay_s: float = 0.0  # 5 min in the reference; 0 for tests
-    is_gate: bool = False  # DQ gate: failure stops downstream (O5)
+    # DQ gate (O5): a failed gate ABORTS the whole window — every
+    # task after it in topological order is skipped, dependent or not
+    # (bad data must not reach ANY downstream zone). A failed normal
+    # task skips only its graph-dependents.
+    is_gate: bool = False
 
 
 @dataclass
@@ -131,18 +135,23 @@ class Pipeline:
         end = (
             dt.date.fromisoformat(next_ds) - dt.timedelta(days=1)
         ).isoformat()
+        # Window keys are spread LAST: they define the run and must
+        # win over a reused base_ctx that happens to carry stale
+        # window_start/ingest_date keys (spreading base_ctx last let a
+        # caller silently pin every window to one ingest date).
         ctx = {
+            **(base_ctx or {}),
             "window_start": ds,
             "window_end": end,
             "ingest_date": next_ds,
-            **(base_ctx or {}),
         }
         results: dict[str, object] = {}
         failed: set[str] = set()
         first_failure: TaskFailure | None = None
+        gate_tripped = False
         for name in self.topo_order():
             task = self.tasks[name]
-            if any(d in failed for d in task.depends_on):
+            if gate_tripped or any(d in failed for d in task.depends_on):
                 failed.add(name)
                 results[name] = "skipped"
                 continue
@@ -151,6 +160,8 @@ class Pipeline:
             except TaskFailure as exc:
                 failed.add(name)
                 results[name] = exc
+                if task.is_gate:
+                    gate_tripped = True
                 if first_failure is None:
                     first_failure = exc
         if first_failure is not None:

@@ -195,6 +195,12 @@ class RowCount(Rule):
     threshold: int
     op: str = ">"
 
+    def __post_init__(self) -> None:
+        # A bad op must fail at ruleset LOAD, not with a KeyError
+        # after the full table scan (same design rule as ColumnValues).
+        if self.op not in (">", ">=", "<", "<=", "="):
+            raise ValueError(f"RowCount: unknown op {self.op!r}")
+
     @property
     def name(self) -> str:  # type: ignore[override]
         return f"RowCount {self.op} {self.threshold}"
@@ -256,6 +262,10 @@ class CustomSql(Rule):
     agg_sql: str
     threshold: float
     op: str = "="
+
+    def __post_init__(self) -> None:
+        if self.op not in ("=", ">", ">=", "<", "<="):
+            raise ValueError(f"CustomSql: unknown op {self.op!r}")
 
     @property
     def name(self) -> str:  # type: ignore[override]

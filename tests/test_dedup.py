@@ -278,20 +278,62 @@ def test_blocked_fuzzy_pairs_planted(spark):
     df = spark.createDataFrame(rows, ["id", "name"])
     import pyspark.sql.functions as F
 
-    blk = F.concat_ws(
-        "|",
-        F.length(F.col("name")).cast("string"),
-        F.substring(F.col("name"), 1, 6),
-    )
+    blk = F.substring(F.col("name"), 1, 6)
     out = {
         (r.id_a, r.id_b): r.distance
         for r in blocked_fuzzy_pairs(
             df, "id", "name", block_expr=blk, max_distance=2
         ).collect()
     }
-    # (1,3) share length+prefix block and are 1 edit apart.
+    # (1,3): same prefix block, 1 substitution apart.
     assert out[(1, 3)] == 1
-    # (1,2) differ in LENGTH → different block → missed by THIS pass
-    # (the documented blocking recall boundary).
-    assert (1, 2) not in out
+    # (1,2): one INSERTION (trailing dot) — lengths differ by 1, the
+    # length BAND keeps the pair matchable (a length-exact block key
+    # would have silently excluded every insert/delete edit).
+    assert out[(1, 2)] == 1
     assert all(k != (4, 5) for k in out)
+
+
+def test_incremental_racing_batches_union_complete(spark, tmp_path):
+    """Two batches ingested from the same base must not lose
+    cross-batch pairs: commit-then-dedup means the later run's
+    snapshot contains the earlier batch (regression — the old
+    dedup-then-commit flow dropped (a∈A, b∈B) pairs forever)."""
+    from deftunes_spark.ext.dedup import (
+        incremental_minhash_dedup,
+        minhash_dedup_pairs,
+    )
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base_text + f" tail{i}") for i in range(6)]
+    # Near-dup pair split ACROSS the two racing batches:
+    rows += [(100, base_text), (200, base_text + " x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    batch_a = df.filter("doc_id < 100 OR doc_id = 100")
+    batch_b = df.filter("doc_id >= 200 OR doc_id < 100").filter(
+        "doc_id >= 3 OR doc_id = 200"
+    )
+    store = str(tmp_path / "store")
+    kw = dict(n=2, num_hashes=32, bands=8, threshold=0.3)
+    pairs_a, va = incremental_minhash_dedup(
+        spark, batch_a, store, "doc_id", "text", **kw
+    )
+    got_a = {(r.id_a, r.id_b) for r in pairs_a.collect()}
+    pairs_b, vb = incremental_minhash_dedup(
+        spark, batch_b, store, "doc_id", "text", **kw
+    )
+    got_b = {(r.id_a, r.id_b) for r in pairs_b.collect()}
+    assert vb == va + 1
+    # The cross-batch near-dup pair (100 in A, 200 in B) must be in
+    # run B's output (B committed later, so its snapshot contains A).
+    assert any({a, b} == {100, 200} for a, b in got_b)
+    # Lifetime union covers the full-corpus pair set over all docs
+    # ingested so far (batches overlap on ids 3..5 — union semantics).
+    full = {
+        frozenset((r.id_a, r.id_b))
+        for r in minhash_dedup_pairs(
+            df, "doc_id", "text", **kw
+        ).collect()
+    }
+    lifetime = {frozenset(p) for p in got_a | got_b}
+    assert full <= lifetime
