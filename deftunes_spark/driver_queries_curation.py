@@ -40,7 +40,8 @@ WITH toklist AS (
          UNNEST(range(1, greatest(len(toks) - {_DECON_N - 1}, 1) + 1))
              AS t(i)
 ), ev AS (
-    SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0
+    SELECT DISTINCT shingle FROM sh
+    WHERE doc_id % 10 = 0 AND shingle <> ''
 ), m AS (
     SELECT s.doc_id, COUNT(*) AS matched
     FROM sh s JOIN ev USING (shingle)
@@ -215,7 +216,8 @@ def _mixture_oracle() -> str:
         FROM counts JOIN w USING (source) WHERE wt > 0
     ), r AS (
         SELECT w.source,
-               least(1.0, wt * scale / n) AS rate
+               CASE WHEN wt * scale / n >= 1.0 - 1e-9 THEN 1.0
+                    ELSE wt * scale / n END AS rate
         FROM w JOIN counts USING (source) CROSS JOIN s
     )
     SELECT d.doc_id, d.source
@@ -379,7 +381,8 @@ def _mixture_temperature_oracle() -> str:
     ), s AS (
         SELECT MIN(n / wt) AS scale FROM w WHERE wt > 0
     ), r AS (
-        SELECT w.source, least(1.0, wt * scale / n) AS rate
+        SELECT w.source, CASE WHEN wt * scale / n >= 1.0 - 1e-9 THEN 1.0
+                    ELSE wt * scale / n END AS rate
         FROM w CROSS JOIN s
     )
     SELECT d.doc_id, d.source

@@ -1074,8 +1074,8 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), flagged AS (
         SELECT user_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
-                    OR floor(epoch_us(ts) / 1000000)
-                       - floor(epoch_us(lag(ts) OVER w) / 1000000) > 1800
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 1800000000
                     THEN 1 ELSE 0 END AS is_start
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sessed AS (

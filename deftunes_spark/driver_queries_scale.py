@@ -99,9 +99,11 @@ def q_approx_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the driver. The query asserts the sketch lands within 3×rsd of
     the exact count (deterministic — HLL hashing has no RNG)."""
     orders = _t(spark, sf_dir, "orders")
-    return approx_uniqueness(orders, "o_custkey", rsd=0.05).select(
-        "n_rows", "n_distinct_exact", "approx_ok"
-    )
+    # include_exact: the ORACLE shape (sketch checked against exact);
+    # the production default emits only the sketch.
+    return approx_uniqueness(
+        orders, "o_custkey", rsd=0.05, include_exact=True
+    ).select("n_rows", "n_distinct_exact", "approx_ok")
 
 
 # =====================================================================

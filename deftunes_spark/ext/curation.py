@@ -68,8 +68,13 @@ def decontaminate(
     the per-doc match count aggregate.
     """
     train_sh = shingles(train, id_col, text_col, n)
+    # Blank/whitespace-only eval rows degenerate to the '' shingle,
+    # which would cross-match every blank train document as
+    # "contaminated" on zero shared content — drop it from the
+    # broadcast set.
     eval_sh = (
         shingles(eval_df, id_col, text_col, n)
+        .filter(F.col("shingle") != "")
         .select("shingle")
         .distinct()
     )
@@ -237,7 +242,11 @@ def segment_dedup(
             F.size("_segs").cast("bigint").alias("n_segments"),
             F.posexplode("_segs").alias("_pos", "_seg"),
         )
-        surviving = exploded.join(
+        # NULL segments (NULL text rows) must DROP, as in both
+        # broadcast shapes — the anti-join alone would KEEP them
+        # (NULL == _h is never true), making the methods disagree on
+        # n_dropped for NULL-text rows.
+        surviving = exploded.filter(F.col("_seg").isNotNull()).join(
             hot_df.select(F.col("_h")),
             seg_hash(exploded["_seg"]) == F.col("_h"),
             "left_anti",
@@ -350,13 +359,32 @@ def mixture_rates(
 
     Driver-side arithmetic on the per-domain count table (kilobytes
     at any corpus scale)."""
+    missing = [
+        d for d, w in target_weights.items()
+        if w > 0 and not counts.get(d)
+    ]
+    if missing:
+        # A zero-count target domain makes scale 0 → every rate 0 →
+        # the mixture silently empties; a one-character domain-name
+        # typo must be an ERROR, not an empty corpus.
+        raise ValueError(
+            f"mixture_rates: target domains {sorted(missing)} have no "
+            f"rows in the corpus (available: {sorted(counts)})"
+        )
     scale = min(
         counts.get(d, 0) / w for d, w in target_weights.items() if w > 0
     )
+
+    def _rate(w: float, n: int) -> float:
+        r = w * scale / n
+        # The bottleneck domain's rate is 1.0 by construction; float
+        # association can deliver 0.999...9, whose bucket threshold
+        # truncates one bucket short and drops a ~1/16M sliver of the
+        # domain documented as "keeps 100%". Snap within epsilon.
+        return 1.0 if r >= 1.0 - 1e-9 else r
+
     return {
-        d: (
-            min(1.0, w * scale / counts[d]) if counts.get(d) else 0.0
-        )
+        d: (_rate(w, counts[d]) if counts.get(d) else 0.0)
         for d, w in target_weights.items()
     }
 

@@ -93,10 +93,12 @@ def snapshot_diff(
     # first key column surviving the outer join.
     in_old = joined[f"_o_{keys[0]}"].isNotNull()
     in_new = joined[f"_n_{keys[0]}"].isNotNull()
-    same = None
+    # Empty compare_cols = presence-only diff: rows in both snapshots
+    # are 'unchanged' by definition (F.when(None, ...) would raise).
+    same = F.lit(True)
     for c in compare_cols:
         eq = joined[f"_o_{c}"].eqNullSafe(joined[f"_n_{c}"])
-        same = eq if same is None else (same & eq)
+        same = same & eq
     change = (
         F.when(~in_old, F.lit("insert"))
         .when(~in_new, F.lit("delete"))

@@ -41,6 +41,18 @@ def zvalue_sql(cols: Sequence[str], bits: int = 12) -> str:
     codegen, and identical text runs on Spark SQL and DuckDB.
     """
     n = len(cols)
+    if n == 0 or bits < 1:
+        raise ValueError("zvalue needs >=1 column and bits >= 1")
+    if bits * n > 63:
+        # Position 63 is the sign bit and BIGINT shifts mask the
+        # count to 6 bits (<<64 == <<0), so wider codes would
+        # silently collide terms and corrupt the curve — and diverge
+        # between engines with different >=64-shift semantics.
+        raise ValueError(
+            f"zvalue: bits({bits}) x cols({n}) = {bits * n} exceeds "
+            f"63 usable BIGINT bit positions; lower bits or cluster "
+            f"on fewer columns"
+        )
     terms = []
     for i, c in enumerate(cols):
         masked = f"(CAST({c} AS BIGINT) & {(1 << bits) - 1})"

@@ -123,15 +123,28 @@ def salted_join(
 
 
 def approx_uniqueness(
-    df: DataFrame, col: str, rsd: float = 0.05
+    df: DataFrame,
+    col: str,
+    rsd: float = 0.05,
+    include_exact: bool = False,
 ) -> DataFrame:
     """Scale path of DQDL ``Uniqueness``: HLL++ distinct ratio.
 
-    One narrow aggregation, no key shuffle; ``rsd`` is the HLL target
-    relative standard deviation. Returns (n_rows, n_distinct_exact,
-    n_distinct_approx, approx_ok) where ``approx_ok`` checks the sketch
-    against the exact count at 3×rsd tolerance.
+    Default (``include_exact=False``) is the PRODUCTION shape — one
+    narrow sketch aggregation, no exact-distinct expand/shuffle (the
+    whole reason this helper exists at 100 TB); returns (n_rows,
+    n_distinct_approx). ``include_exact=True`` is the VALIDATION
+    shape: adds the exact count and an ``approx_ok`` check at 3×rsd
+    tolerance — use it on samples or test fixtures, never on the
+    full-scale table the sketch is meant to spare.
     """
+    if not include_exact:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.approx_count_distinct(col, rsd).cast("bigint").alias(
+                "n_distinct_approx"
+            ),
+        )
     return df.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.countDistinct(col).cast("bigint").alias("n_distinct_exact"),

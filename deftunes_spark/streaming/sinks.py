@@ -43,9 +43,16 @@ def stream_id_for_checkpoint(checkpoint_dir: str) -> str:
     the stream id that scopes replay detection. A restart on the same
     checkpoint keeps the id; a fresh checkpoint is a NEW stream whose
     batch numbering starts over."""
-    return hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode("utf-8")
-    ).hexdigest()[:16]
+    # URI checkpoints (s3a://, hdfs://) hash verbatim — abspath would
+    # prepend the LOCAL cwd, making the id depend on where the driver
+    # happened to launch and breaking replay detection across
+    # restarts. Only bare local paths get canonicalized.
+    key = (
+        checkpoint_dir
+        if "://" in checkpoint_dir
+        else os.path.abspath(checkpoint_dir)
+    )
+    return hashlib.md5(key.encode("utf-8")).hexdigest()[:16]
 
 
 def versioned_batch_writer(

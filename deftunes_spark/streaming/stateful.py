@@ -97,11 +97,20 @@ def session_stats_stateful(
     ``stream`` needs (user_col, ts:timestamp). Emits one row per CLOSED
     session; the final open session per user remains in state (inject a
     far-future sentinel event per user to flush, as the driver query
-    does)."""
+    does). The output's ``user_id`` column carries the INPUT column's
+    type (string/UUID keys work — the schema is derived per call, not
+    hardcoded to long)."""
     ev = stream.select(stream[user_col].alias("user_id"), "ts")
+    # Output schema follows the caller's key type; a hardcoded
+    # LongType would make every non-integer user key fail in the
+    # Arrow conversion at runtime.
+    out_schema = T.StructType(
+        [T.StructField("user_id", ev.schema["user_id"].dataType)]
+        + [f for f in SESSION_SCHEMA.fields if f.name != "user_id"]
+    )
     return ev.groupBy("user_id").applyInPandasWithState(
         _session_closer(gap_minutes * 60),
-        SESSION_SCHEMA,
+        out_schema,
         STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,

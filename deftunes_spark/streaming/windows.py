@@ -105,11 +105,14 @@ def sessionize_batch(
     starts per user (lag + conditional cumsum — two window passes over
     the same user partitioning, one shuffle)."""
     by_user = Window.partitionBy(user_col).orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(
-        by_user
-    )
+    # Microsecond precision: a cast("long") truncates to whole
+    # seconds, silently merging sessions whose gap only exceeds the
+    # threshold by the sub-second part — and diverging from the
+    # stateful operator, which compares full timestamps.
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(by_user)
     is_start = F.when(
-        gap.isNull() | (gap > gap_minutes * 60), 1
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1
     ).otherwise(0)
     return events.withColumn(
         "session_seq",

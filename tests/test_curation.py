@@ -126,10 +126,10 @@ def test_mixture_rates():
     assert rates["books"] == 1.0
     assert abs(rates["web"] - 100 / 1000) < 1e-12
     assert abs(rates["code"] - 50 / 100) < 1e-12
-    # Missing domain → impossible mixture → empty selection.
-    assert set(
-        C.mixture_rates(counts, {"web": 0.5, "absent": 0.5}).values()
-    ) == {0.0}
+    # Missing domain → impossible mixture → loud ERROR (a silent
+    # all-zero rate table empties the corpus on a domain-name typo).
+    with pytest.raises(ValueError, match="absent"):
+        C.mixture_rates(counts, {"web": 0.5, "absent": 0.5})
 
 
 def test_mixture_sample_proportions_and_determinism(spark):
@@ -278,14 +278,16 @@ def test_mixture_rates_properties(counts, weights):
     """Pure-function invariants: rates in [0,1]; the bottleneck domain
     (smallest count/weight) keeps 100%; expected kept counts are
     proportional to the target weights for every domain with data."""
+    if any(not counts.get(d) for d, w in weights.items() if w > 0):
+        # Downsample-only cannot hit the target proportions when a
+        # target domain has no data — must raise, never silently
+        # produce an empty mixture.
+        with pytest.raises(ValueError):
+            C.mixture_rates(counts, weights)
+        return
     rates = C.mixture_rates(counts, weights)
     assert set(rates) == set(weights)
     assert all(0.0 <= r <= 1.0 for r in rates.values())
-    if any(not counts.get(d) for d in weights):
-        # Downsample-only cannot hit the target proportions when a
-        # target domain has no data: the only valid output is empty.
-        assert all(r == 0.0 for r in rates.values())
-        return
     bottleneck = min(weights, key=lambda d: counts[d] / weights[d])
     assert rates[bottleneck] == pytest.approx(1.0)
     ratios = {
@@ -314,7 +316,13 @@ def test_mixture_sample_deterministic_subset(spark, rows):
     the selected id set is identical under re-run and under a
     different partition layout (hash-threshold selection is
     layout-free)."""
-    weights = {"web": 0.5, "code": 0.3, "books": 0.2}
+    # Weight only the domains that actually occur in this generated
+    # corpus (a zero-count target domain now raises by design).
+    present = {d for _, d in rows}
+    base = {"web": 0.5, "code": 0.3, "books": 0.2}
+    weights = {d: w for d, w in base.items() if d in present}
+    if not weights:
+        return  # corpus is all "other" — nothing to target
     df = spark.createDataFrame(rows, "doc_id long, domain string")
     pick = lambda d: {r.doc_id for r in d.collect()}  # noqa: E731
     got = pick(C.mixture_sample(df, "domain", weights, "doc_id"))

@@ -51,7 +51,13 @@ def test_approx_uniqueness(spark):
     df = spark.createDataFrame(
         [(i % 500,) for i in range(5000)], ["uid"]
     )
-    row = approx_uniqueness(df, "uid", rsd=0.05).collect()[0]
+    row = approx_uniqueness(
+        df, "uid", rsd=0.05, include_exact=True
+    ).collect()[0]
     assert row.n_rows == 5000
     assert row.n_distinct_exact == 500
     assert row.approx_ok
+    # Production shape: sketch only, no exact-distinct expand.
+    prod = approx_uniqueness(df, "uid", rsd=0.05)
+    assert prod.columns == ["n_rows", "n_distinct_approx"]
+    assert "Expand" not in prod._jdf.queryExecution().executedPlan().toString()
