@@ -116,4 +116,5 @@ def test_approx_uniqueness_exposes_sketch(spark):
     df = spark.createDataFrame([(i % 100,) for i in range(1000)], ["u"])
     row = approx_uniqueness(df, "u").collect()[0]
     assert row.n_distinct_approx > 0  # the sketch value is in the output
-    assert row.approx_ok
+    row = approx_uniqueness(df, "u", include_exact=True).collect()[0]
+    assert row.approx_ok  # validation shape checks sketch vs exact
