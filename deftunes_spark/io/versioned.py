@@ -278,65 +278,67 @@ def write_versioned(
     """Commit ``df`` as a new table version; returns the version number.
 
     ``mode="overwrite"``: the new version IS ``df``.
-    ``mode="append"``: the new version is previous-snapshot ∪ ``df``,
-    re-derived from whatever snapshot is latest at (re)try time — so
-    two concurrent appends serialize correctly instead of one
-    clobbering the other (the lost-update anomaly a bare
-    ``parquet append`` has).
+    ``mode="append"``: the new version is previous-snapshot ∪ ``df``.
+    Appends are INCREMENTAL, Iceberg-style: only the batch is written
+    (one new data directory); the manifest's ``data_dirs`` lists the
+    base snapshot's directories plus the new one, so an append costs
+    O(batch) regardless of table size — a full-snapshot rewrite per
+    daily increment would be O(store) and unusable at 100 TB. The
+    dirs-list is re-derived from whatever snapshot is latest at
+    (re)try time, so two concurrent appends serialize correctly
+    instead of one clobbering the other.
 
-    The data directory is written ONCE for overwrite (its content
-    doesn't depend on the base version, so retries re-publish the same
-    directory under the next version number); append rewrites per
-    attempt because its content derives from the latest snapshot. Row
-    counts come from the WRITTEN parquet (footer metadata count), not
-    a separate pre-write count job — one pass over the input, not two.
+    The input ``df`` is written exactly ONCE across all retry
+    attempts (its content never depends on the base version — for
+    append, only the manifest's dirs-list does); row counts come from
+    parquet footer metadata plus the base manifest's count, never a
+    full-snapshot pass.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode!r}")
     if extra:
         # Validate BEFORE any data write: the clash is loop-invariant,
-        # and failing after out_df has been counted + written would
-        # orphan a _v{n} dir no manifest references (and expire can
-        # never reclaim).
-        clash = set(extra) & {"version", "data_dir", "ts_ms", "mode", "rows"}
+        # and failing after the batch has been written would orphan a
+        # _v{n} dir no manifest references.
+        clash = set(extra) & {
+            "version", "data_dir", "data_dirs", "ts_ms", "mode", "rows",
+        }
         if clash:
             raise ValueError(
                 f"extra manifest keys clash with core fields: {clash}"
             )
     jvm, fs = _fs(spark, path)
-    ow_dir: str | None = None  # overwrite data, written once, reused
-    ow_rows: int | None = None
+    batch_dir: str | None = None  # df's data, written once, reused
+    batch_rows: int | None = None
     for _ in range(max_retries):
         versions = list_versions(spark, path)
-        base = versions[-1]["version"] if versions else None
-        prev_ts = versions[-1]["ts_ms"] if versions else -1
-        n = 0 if base is None else base + 1
+        base_m = versions[-1] if versions else None
+        prev_ts = base_m["ts_ms"] if base_m else -1
+        n = 0 if base_m is None else base_m["version"] + 1
         # Commit timestamp is stamped per ATTEMPT (not once before the
         # retry loop) and clamped monotonic vs the predecessor manifest,
         # so a writer that loses the race can never publish a later
         # version with an earlier ts_ms — which would make as_of_ts_ms
         # time travel ambiguous. Iceberg likewise stamps at commit.
         ts_ms = max(prev_ts + 1, _now_ms(spark))
-        if mode == "overwrite" and ow_dir is not None:
-            # Content is base-independent: reuse the already-durable
-            # directory, only the manifest (version number) changes.
-            data_dir, rows = ow_dir, ow_rows
+        if batch_dir is None:
+            batch_dir = f"{path}/{_DATA_PREFIX}{n}-{uuid.uuid4().hex[:8]}"
+            df.write.mode("overwrite").parquet(batch_dir)
+            # Footer-metadata count of the written files — never a
+            # recompute of the input plan.
+            batch_rows = spark.read.parquet(batch_dir).count()
+        if mode == "append" and base_m is not None:
+            data_dirs = _manifest_dirs(base_m) + [batch_dir]
+            rows = int(base_m["rows"]) + batch_rows
         else:
-            data_dir = f"{path}/{_DATA_PREFIX}{n}-{uuid.uuid4().hex[:8]}"
-            out_df = df
-            if mode == "append" and base is not None:
-                out_df = read_version(
-                    spark, path, version=base
-                ).unionByName(df, allowMissingColumns=True)
-            out_df.write.mode("overwrite").parquet(data_dir)
-            # Count from the written files: parquet footer row counts,
-            # not a second full pass over the (possibly joined) input.
-            rows = spark.read.parquet(data_dir).count()
-            if mode == "overwrite":
-                ow_dir, ow_rows = data_dir, rows
+            data_dirs = [batch_dir]
+            rows = batch_rows
         manifest = {
             "version": n,
-            "data_dir": data_dir,
+            # data_dir kept for backward-compat readers; data_dirs is
+            # authoritative.
+            "data_dir": batch_dir,
+            "data_dirs": data_dirs,
             "ts_ms": ts_ms,
             "mode": mode,
             "rows": rows,
@@ -348,17 +350,20 @@ def write_versioned(
             manifest.update(extra)
         if _publish_manifest(spark, path, manifest, protocol):
             return n
-        # Lost the race: retry against the new latest snapshot.
-        # Append data derives from the stale base — drop it; the
-        # overwrite dir stays, to be re-published as the next version.
-        if mode != "overwrite":
-            fs.delete(_p(jvm, data_dir), True)
-    if ow_dir is not None:
-        fs.delete(_p(jvm, ow_dir), True)  # giving up — no orphan
+        # Lost the race: the batch dir is base-independent — keep it
+        # and retry with the NEW latest snapshot's dirs-list.
+    if batch_dir is not None:
+        fs.delete(_p(jvm, batch_dir), True)  # giving up — no orphan
     raise RuntimeError(
         f"write_versioned: lost the commit race {max_retries} times "
         f"on {path}"
     )
+
+
+def _manifest_dirs(manifest: dict) -> list[str]:
+    """Data directories of a snapshot; single-dir manifests written
+    before the incremental-append format read as a 1-element list."""
+    return list(manifest.get("data_dirs") or [manifest["data_dir"]])
 
 
 def _now_ms(spark: SparkSession) -> int:
@@ -397,23 +402,36 @@ def read_version(
         chosen = eligible[-1]
     else:
         chosen = versions[-1]
-    return spark.read.parquet(chosen["data_dir"])
+    # mergeSchema: appends may add columns (unionByName semantics of
+    # the old full-rewrite format) — older dirs surface NULLs for
+    # columns they predate.
+    return spark.read.option("mergeSchema", "true").parquet(
+        *_manifest_dirs(chosen)
+    )
 
 
 def expire_versions(
     spark: SparkSession, path: str, keep_last: int = 2
 ) -> list[int]:
-    """Retention: delete data + manifests of all but the newest
-    ``keep_last`` versions (never the current). Returns expired
-    version numbers. The snapshot-expiry half of table maintenance
-    (compaction being the other — ``ext.layout``)."""
+    """Retention: delete manifests of all but the newest ``keep_last``
+    versions (never the current), plus every data directory no
+    RETAINED version still references — incremental appends share
+    directories across versions, so deletion is reference-counted,
+    not per-manifest. Returns expired version numbers. The
+    snapshot-expiry half of table maintenance (compaction being the
+    other — ``ext.layout``)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = list_versions(spark, path)
     jvm, fs = _fs(spark, path)
+    retained_dirs: set[str] = set()
+    for m in versions[-keep_last:]:
+        retained_dirs.update(_manifest_dirs(m))
     expired = []
     for m in versions[:-keep_last]:
-        fs.delete(_p(jvm, m["data_dir"]), True)
+        for d in _manifest_dirs(m):
+            if d not in retained_dirs:
+                fs.delete(_p(jvm, d), True)
         fs.delete(
             _p(jvm, f"{path}/{_MANIFEST_DIR}/{m['version']:020d}.json"),
             True,

@@ -388,3 +388,29 @@ def test_fresh_lock_blocks_then_raises(spark, tmp_path):
             spark, spark.range(1).toDF("id"), path, max_retries=2
         )
     fs.delete(p, False)
+
+
+def test_append_is_incremental_not_rewrite(spark, tmp_path):
+    """An append must write ONLY the batch: the base version's data
+    directory is shared (by reference) with the new version, never
+    copied — the O(batch) property that makes daily increments viable
+    on a 100 TB table."""
+    from deftunes_spark.io import versioned as V
+
+    path = str(tmp_path / "tbl")
+    V.write_versioned(spark, spark.range(1000).toDF("id"), path)
+    V.write_versioned(
+        spark, spark.range(1000, 1010).toDF("id"), path, mode="append"
+    )
+    m0, m1 = V.list_versions(spark, path)
+    d0, d1 = V._manifest_dirs(m0), V._manifest_dirs(m1)
+    assert d1[:-1] == d0          # base dirs shared by reference
+    assert len(d1) == len(d0) + 1  # plus exactly one batch dir
+    # The new directory holds only the 10 appended rows.
+    assert spark.read.parquet(d1[-1]).count() == 10
+    assert m1["rows"] == 1010
+    assert V.read_version(spark, path).count() == 1010
+    # Retention is reference-counted: expiring v0 must NOT delete the
+    # base dir v1 still references.
+    assert V.expire_versions(spark, path, keep_last=1) == [0]
+    assert V.read_version(spark, path).count() == 1010
