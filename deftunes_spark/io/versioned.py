@@ -41,6 +41,7 @@ format-identical everywhere; only this one primitive varies.
 from __future__ import annotations
 
 import json
+import time
 import uuid
 from collections.abc import Callable
 
@@ -310,7 +311,15 @@ def write_versioned(
     jvm, fs = _fs(spark, path)
     batch_dir: str | None = None  # df's data, written once, reused
     batch_rows: int | None = None
-    for _ in range(max_retries):
+    for attempt in range(max_retries):
+        if attempt:
+            # Losing the race can mean "version claimed but manifest
+            # not yet visible" (the winner is mid-publish, holding the
+            # lock): without a pause, all retries burn in microseconds
+            # inside that window and the writer gives up spuriously.
+            # Short growing backoff lets the winner land its manifest
+            # so the next attempt re-derives against the NEW snapshot.
+            time.sleep(min(0.05 * attempt, 0.5))
         versions = list_versions(spark, path)
         base_m = versions[-1] if versions else None
         prev_ts = base_m["ts_ms"] if base_m else -1
