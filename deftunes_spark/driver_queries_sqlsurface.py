@@ -190,3 +190,47 @@ def q_map_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("prop_val").cast("int").alias("min_val"),
         F.max("prop_val").cast("int").alias("max_val"),
     )
+
+
+@query(
+    "window_value_suite",
+    """
+    SELECT c_nationkey,
+           first_value(c_custkey) OVER w AS poorest_cust,
+           last_value(c_custkey) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS richest_cust,
+           nth_value(c_custkey, 2) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS second_poorest,
+           c_custkey
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-family window functions (first/last/nth_value) the
+    rank suite doesn't cover, with the frame subtlety they exist to
+    teach: last_value/nth_value need an UNBOUNDED FOLLOWING frame (the
+    default frame ends at CURRENT ROW, making last_value a no-op) —
+    identical frame semantics in both engines. One partition sort
+    serves all three; tie-break on the unique key keeps every output
+    deterministic."""
+    full = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    grow = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal"), F.col("c_custkey")
+    )
+    return _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.first("c_custkey").over(grow).alias("poorest_cust"),
+        F.last("c_custkey").over(full).alias("richest_cust"),
+        F.nth_value("c_custkey", 2).over(full).alias("second_poorest"),
+        "c_custkey",
+    )
