@@ -11,8 +11,10 @@ the registry doesn't yet exercise as first-class entries.
 - MapType round trip: JSON props → map<string,int> → entry explode →
   aggregate (the semi-structured path ``variant_json_agg`` covers for
   structs, here for maps)
+- the value-family window functions (first/last/nth_value) with the
+  UNBOUNDED FOLLOWING frames they require
 
-All four carry full DuckDB value-hash oracles.
+All five carry full DuckDB value-hash oracles.
 """
 
 from __future__ import annotations
