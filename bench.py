@@ -203,25 +203,42 @@ def main() -> None:
         all_runs[name] = rec["runs"]
         timings[name] = round(min(rec["runs"]), 3)
 
+    # The consuming harness keeps only a short TAIL of stdout (r4's
+    # artifact came back parsed=null because per-run arrays pushed the
+    # JSON head past the cap). So: stdout carries ONE compact line —
+    # totals + per-query mins only — and everything bulky (run arrays,
+    # isolation provenance, codec mode, load averages) goes to a
+    # sidecar JSON next to this script.
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = {k: v[:60] for k, v in errors.items()}
+    sidecar = {
+        **out,
+        "errors": errors,
         "runs": all_runs,
         "isolation": "per-query subprocess, min of adaptive %d-%d runs"
         " (2 warm-ups; stops when the two fastest agree within 5%%)"
         % (TIMED_RUNS, MAX_TIMED_RUNS),
         "image_codec": _codec_mode(),
         # Host-noise audit: this box is a VM subject to CPU steal;
-        # per-run arrays above plus the 1/5/15-min load averages let a
+        # per-run arrays plus the 1/5/15-min load averages let a
         # reader distinguish plan regressions from a noisy host (r4:
         # identical plans measured 1-5x apart run-to-run under load).
         "load_avg": [round(x, 2) for x in os.getloadavg()],
     }
-    if errors:
-        out["errors"] = errors
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"
+    )
+    with open(sidecar_path, "w") as f:
+        json.dump(sidecar, f, indent=1)
+    print("full per-run arrays + provenance: %s" % sidecar_path,
+          file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -81,15 +81,66 @@ class RenameCommitProtocol(CommitProtocol):
 
     Crash boundary: a writer dying between claim and rename strands
     the lock; writers finding a lock older than ``stale_lock_ms``
-    with no published manifest reclaim it (delete + re-claim). Two
-    writers reclaiming the SAME stale lock within the same instant is
-    the residual race window — post-crash only, microseconds wide;
-    a real multi-writer deployment on an object store should use
+    with no published manifest reclaim it. Reclaim is RENAME-to-claim
+    (atomic single-winner: the stale lock is renamed to a
+    reclaimer-unique name, and ``rename`` fails for every reclaimer
+    after the first because the source is gone), then the canonical
+    lock is re-established with another exclusive create — so a
+    reclaimer also serializes against fresh claimers. After any
+    claim, the owner writes its UUID into the lock and RE-READS it
+    immediately before the manifest rename; a mismatch means the
+    claim was stolen (a reclaimer decided this owner was dead) and
+    the publish is abandoned as claim-lost. The residual window —
+    lease-style — is an owner that stalls longer than
+    ``stale_lock_ms`` mid-publish and resumes in the microseconds
+    between a thief's verify and rename; a real multi-writer
+    deployment on an object store should use
     ``ConditionalPutCommitProtocol`` with a server-side conditional
-    put, which has no such window."""
+    put, which has no such window.
+
+    Every JVM filesystem call in the claim path is treated as
+    claim-lost on exception: Hadoop's LocalFileSystem
+    ``createNewFile`` is exists-check-then-create (NOT a single
+    O_EXCL syscall), so a simultaneous loser can surface
+    ``FileAlreadyExistsException`` instead of returning False — that
+    is a lost race, not an error, and must not escape to the caller."""
 
     def __init__(self, stale_lock_ms: int = 60_000) -> None:
         self._stale_ms = stale_lock_ms
+
+    def _claim(self, spark, jvm, fs, mdir: str, name: str, lock) -> bool:
+        """Become the single owner of ``lock``, or report lost."""
+        try:
+            if fs.createNewFile(lock):
+                return True
+        except Exception:
+            return False  # concurrent creator beat us — lost
+        # Claim failed. Either a live writer is mid-commit (its
+        # manifest appears momentarily — we lost) or a crashed writer
+        # stranded the lock: no manifest AND an old lock → reclaim.
+        final = _p(jvm, f"{mdir}/{name}")
+        try:
+            age = _now_ms(spark) - fs.getFileStatus(
+                lock
+            ).getModificationTime()
+            if fs.exists(final) or age < self._stale_ms:
+                return False
+            # Atomic single-winner among reclaimers: rename the stale
+            # lock to a name only we know. Everyone else's rename
+            # fails (source vanished).
+            grave = _p(jvm, f"{mdir}/.reclaim-{uuid.uuid4().hex}")
+            if not fs.rename(lock, grave):
+                return False
+            # Re-establish the canonical lock; a FRESH claimer may
+            # have slipped in after our rename — then they own it.
+            try:
+                won = fs.createNewFile(lock)
+            except Exception:
+                won = False
+            fs.delete(grave, False)
+            return bool(won)
+        except Exception:
+            return False  # lock vanished / racing reclaimer — lost
 
     def put_if_absent(
         self, spark: SparkSession, mdir: str, name: str, payload: bytes
@@ -100,23 +151,23 @@ class RenameCommitProtocol(CommitProtocol):
         if fs.exists(final):
             return False
         lock = _p(jvm, f"{mdir}/.lock-{name}")
-        if not fs.createNewFile(lock):
-            # Claim failed. Either a live writer is mid-commit (its
-            # manifest appears momentarily — we lost) or a crashed
-            # writer stranded the lock: no manifest AND an old lock →
-            # reclaim once.
-            try:
-                age = _now_ms(spark) - fs.getFileStatus(
-                    lock
-                ).getModificationTime()
-            except Exception:
-                return False  # lock vanished — owner just finished
-            if fs.exists(final) or age < self._stale_ms:
-                return False
-            fs.delete(lock, False)
-            if not fs.createNewFile(lock):
-                return False
+        if not self._claim(spark, jvm, fs, mdir, name, lock):
+            return False
+        token = uuid.uuid4().hex.encode("ascii")
+        owned = True  # tracks whether the lock is still ours to clean
         try:
+            # Stamp ownership into the (empty) lock we just created.
+            # Overwrite is safe: we own it, and its mtime is fresh so
+            # no reclaimer will touch it for stale_lock_ms.
+            try:
+                out = fs.create(lock, True)
+                try:
+                    out.write(token)
+                finally:
+                    out.close()
+            except Exception:
+                owned = False  # lock state unknown — abandon claim
+                return False
             if fs.exists(final):
                 # Manifest landed between our exists-check and claim.
                 return False
@@ -126,12 +177,28 @@ class RenameCommitProtocol(CommitProtocol):
                 out.write(payload)
             finally:
                 out.close()
+            # Verify the claim is still ours right before publishing:
+            # if a reclaimer stole the lock (we stalled past the
+            # lease), its UUID is in the lock now — abandon, else our
+            # rename could silently overwrite the thief's manifest
+            # (LocalFileSystem rename clobbers existing destinations).
+            if _read_small(fs, lock) != token:
+                owned = False
+                fs.delete(tmp, True)
+                return False
             ok = fs.rename(tmp, final)
             if not ok:
                 fs.delete(tmp, True)
             return bool(ok)
         finally:
-            fs.delete(lock, False)
+            if owned:
+                try:
+                    # Release only OUR lock — a thief's lock (different
+                    # token) must survive our cleanup.
+                    if _read_small(fs, lock) == token:
+                        fs.delete(lock, False)
+                except Exception:
+                    pass
 
 
 class ConditionalPutCommitProtocol(CommitProtocol):
@@ -191,6 +258,20 @@ class ConditionalPutCommitProtocol(CommitProtocol):
             fs.delete(_p(jvm, key), False)
             raise
         return True
+
+
+def _read_small(fs, p) -> bytes | None:
+    """Full bytes of a small control file, or None if unreadable
+    (vanished / permission) — claim-verification treats None as
+    not-ours."""
+    try:
+        stream = fs.open(p)
+        try:
+            return bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+    except Exception:
+        return None
 
 
 def _fs(spark: SparkSession, path: str):

@@ -259,7 +259,7 @@ _writers = st.lists(
 
 
 @settings(
-    max_examples=5,
+    max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
