@@ -163,6 +163,36 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_minhash_fast")
+def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash path: xxhash64 minwise hashes + hashed band
+    keys (one BIGINT per band instead of a concatenated string).
+
+    This is the plan users get by default and the one that holds at
+    100 TB — JVM xxhash64 is ~10× cheaper than md5-hex, and hashing the
+    band key shrinks the LSH shuffle payload to 16 bytes/row. No DuckDB
+    oracle (xxhash64 is Spark-specific) → driver records the rows-only
+    check; parity: the md5 twin ``dedup_minhash`` — registered
+    IMMEDIATELY above so both rotate into the same driver sample —
+    carries the full value-hash oracle for the identical pipeline
+    shape, and recall/precision vs planted duplicates is asserted in
+    tests/test_dedup.py.
+    """
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=2,
+        num_hashes=32,
+        bands=8,
+        threshold=0.3,
+        hash_fn="xxhash64",
+        hash_band_key=True,
+        dict_hashes=True,
+    )
+
+
 def _minhash_mapside_oracle(
     n: int = 2, num_hashes: int = 32, bands: int = 8, threshold: float = 0.3
 ) -> str:
@@ -380,34 +410,6 @@ def q_dedup_incremental_fast(
         spark, new, store, "doc_id", "text", **kw
     )
     return pairs
-
-
-@query("dedup_minhash_fast")
-def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production MinHash path: xxhash64 minwise hashes + hashed band
-    keys (one BIGINT per band instead of a concatenated string).
-
-    This is the plan users get by default and the one that holds at
-    100 TB — JVM xxhash64 is ~10× cheaper than md5-hex, and hashing the
-    band key shrinks the LSH shuffle payload to 16 bytes/row. No DuckDB
-    oracle (xxhash64 is Spark-specific) → driver records the rows-only
-    check; the md5 twin ``dedup_minhash`` carries the full value-hash
-    oracle for the identical pipeline shape, and recall/precision vs
-    planted duplicates is asserted in tests/test_dedup.py.
-    """
-    docs = _t_cpu(spark, sf_dir, "documents")
-    return D.minhash_dedup_pairs(
-        docs,
-        "doc_id",
-        "text",
-        n=2,
-        num_hashes=32,
-        bands=8,
-        threshold=0.3,
-        hash_fn="xxhash64",
-        hash_band_key=True,
-        dict_hashes=True,
-    )
 
 
 def _simhash_oracle(max_hamming: int = 8) -> str:

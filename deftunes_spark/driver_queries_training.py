@@ -269,6 +269,50 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_PAIRS_ORACLE = """
+WITH w AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(list_filter(
+            regexp_split_to_array(lower(trim(text)), '\\s+'),
+            x -> x <> '')) AS word
+        FROM documents WHERE text IS NOT NULL
+    ) GROUP BY 1 HAVING count(*) >= 2
+), s AS (
+    SELECT freq,
+           list_concat(
+               (regexp_split_to_array(word, ''))[1:length(word) - 1],
+               [(regexp_split_to_array(word, ''))[-1] || '</w>']
+           ) AS syms
+    FROM w
+), p AS (
+    SELECT syms[i] AS p1, syms[i + 1] AS p2, freq
+    FROM s, unnest(range(1, len(syms))) AS t(i)
+    WHERE len(syms) >= 2
+)
+SELECT p1, p2, CAST(sum(freq) AS BIGINT) AS n
+FROM p GROUP BY 1, 2
+ORDER BY n DESC, p1, p2 LIMIT 50
+"""
+
+
+@query("bpe_pair_counts", _BPE_PAIRS_ORACLE)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked companion to ``bpe_merges`` (registered adjacent
+    so both land in the same driver sample): the round-0 pair-frequency
+    table — the exact distributed aggregation BPE training runs every
+    merge round, value-hash checked end-to-end (tokenize → char-split
+    with end-of-word marker → adjacent-pair explode → weighted count).
+    Top-50 by (freq desc, pair) for a bounded deterministic result."""
+    from deftunes_spark.ext.tokenizer import bpe_pair_counts
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return (
+        bpe_pair_counts(docs, min_freq=2)
+        .orderBy(F.col("n").desc(), "p1", "p2")
+        .limit(50)
+    )
+
+
 # =====================================================================
 # Deterministic training-export shuffle (ext.sampling.shuffle_shards)
 # =====================================================================
@@ -401,6 +445,46 @@ def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(p, float(round(s, 6))) for p, s in vocab],
         "piece string, log_prob double",
+    )
+
+
+_SEED_ORACLE = """
+WITH w AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(list_filter(
+            regexp_split_to_array(lower(trim(text)), '\\s+'),
+            x -> x <> '')) AS word
+        FROM documents WHERE text IS NOT NULL
+    ) GROUP BY 1 HAVING count(*) >= 2
+), subs AS (
+    SELECT freq, substr(word, i, l) AS piece
+    FROM w,
+         unnest(range(1, length(word) + 1)) AS a(i),
+         unnest(range(1, 9)) AS b(l)
+    WHERE i + l - 1 <= length(word)
+)
+SELECT piece, CAST(sum(freq) AS BIGINT) AS piece_freq
+FROM subs GROUP BY 1
+ORDER BY piece_freq DESC, piece LIMIT 60
+"""
+
+
+@query("unigram_seed_counts", _SEED_ORACLE)
+def q_unigram_seed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked companion to ``unigram_vocab`` (registered
+    adjacent so both land in the same driver sample): the seed-
+    candidate frequency table of Kudo's unigram trainer — every
+    substring up to 8 chars of every vocabulary word, weighted by word
+    frequency — computed DISTRIBUTED (codegen substring explode +
+    partial-aggregating groupBy) and value-hash checked. Top-60 by
+    (freq desc, piece) for a bounded deterministic result."""
+    from deftunes_spark.ext.tokenizer import substring_seed_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        substring_seed_counts(docs, max_piece_len=8, min_freq=2)
+        .orderBy(F.col("piece_freq").desc(), "piece")
+        .limit(60)
     )
 
 

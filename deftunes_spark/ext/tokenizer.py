@@ -55,6 +55,73 @@ def word_vocab(
     return vocab
 
 
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", min_freq: int = 1
+) -> DataFrame:
+    """Round-0 BPE pair-frequency table: (p1, p2, n) over adjacent
+    symbol pairs of the character-split vocabulary (end-of-word marker
+    fused onto the last character). This is exactly the distributed
+    aggregation ``bpe_train`` evaluates every merge round — exposed
+    standalone so the engine's merge-selection algebra is value-hash
+    checkable in SQL even though the iterated loop itself is not
+    (``bpe_merges`` carries the rows-only check; this companion query
+    carries the full oracle for the aggregation core).
+    """
+    vocab = word_vocab(df, text_col, min_freq)
+    syms = (
+        "concat(slice(split(word, ''), 1, length(word) - 1), "
+        f"array(concat(element_at(split(word, ''), -1), {_sql_str(EOW)})))"
+    )
+    vsy = vocab.select(F.expr(syms).alias("syms"), "freq")
+    return (
+        vsy.filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(element_at(syms, i) AS p1, "
+                    "element_at(syms, i + 1) AS p2))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.p1", "p.p2")
+        .agg(F.sum("freq").cast("bigint").alias("n"))
+    )
+
+
+def substring_seed_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 8,
+    min_freq: int = 1,
+) -> DataFrame:
+    """Unigram-LM seed-candidate table: every substring (length ≤
+    ``max_piece_len``) of every vocabulary word, weighted by word
+    frequency — the seeding pass of Kudo's unigram trainer
+    (``unigram_train`` step 1), distributed instead of driver-local.
+    On a 100 TB corpus this is the right home for the seed scan: one
+    explode of codegen'd substring arrays plus one partial-aggregating
+    groupBy, no Python in the loop. ``unigram_vocab`` stays rows-only
+    (the EM loop is not SQL-expressible); this companion carries the
+    full value-hash oracle for the seed algebra.
+    """
+    vocab = word_vocab(df, text_col, min_freq)
+    subs = vocab.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(word)), i -> "
+                f"transform(sequence(i, least(i + {max_piece_len - 1}, "
+                "length(word))), j -> substring(word, i, j - i + 1))))"
+            )
+        ).alias("piece"),
+    )
+    return subs.groupBy("piece").agg(
+        F.sum("freq").cast("bigint").alias("piece_freq")
+    )
+
+
 def _sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
