@@ -110,11 +110,8 @@ class RenameCommitProtocol(CommitProtocol):
 
     def _claim(self, spark, jvm, fs, mdir: str, name: str, lock) -> bool:
         """Become the single owner of ``lock``, or report lost."""
-        try:
-            if fs.createNewFile(lock):
-                return True
-        except Exception:
-            return False  # concurrent creator beat us — lost
+        if _excl_create(spark, fs, lock):
+            return True
         # Claim failed. Either a live writer is mid-commit (its
         # manifest appears momentarily — we lost) or a crashed writer
         # stranded the lock: no manifest AND an old lock → reclaim.
@@ -133,12 +130,9 @@ class RenameCommitProtocol(CommitProtocol):
                 return False
             # Re-establish the canonical lock; a FRESH claimer may
             # have slipped in after our rename — then they own it.
-            try:
-                won = fs.createNewFile(lock)
-            except Exception:
-                won = False
+            won = _excl_create(spark, fs, lock)
             fs.delete(grave, False)
-            return bool(won)
+            return won
         except Exception:
             return False  # lock vanished / racing reclaimer — lost
 
@@ -184,6 +178,9 @@ class RenameCommitProtocol(CommitProtocol):
             # (LocalFileSystem rename clobbers existing destinations).
             if _read_small(fs, lock) != token:
                 owned = False
+                fs.delete(tmp, True)
+                return False
+            if fs.exists(final):  # paranoia: never clobber a manifest
                 fs.delete(tmp, True)
                 return False
             ok = fs.rename(tmp, final)
@@ -258,6 +255,32 @@ class ConditionalPutCommitProtocol(CommitProtocol):
             fs.delete(_p(jvm, key), False)
             raise
         return True
+
+
+def _excl_create(spark, fs, path) -> bool:
+    """Atomic exclusive create of an empty file: True iff THIS caller
+    created it, False on any contention or failure.
+
+    Hadoop's ``FileSystem.createNewFile`` is only atomic where the
+    underlying store's create-no-overwrite is (HDFS). On
+    LocalFileSystem it is exists-check-then-create over a plain
+    ``FileOutputStream`` — two racers can interleave so BOTH observe
+    success (reproduced under 6-thread contention) — so ``file://``
+    paths route to ``java.nio.Files.createFile``, which maps to a
+    single O_EXCL open and admits exactly one winner."""
+    try:
+        if fs.getUri().getScheme() == "file":
+            jvm = spark._jvm
+            gw = spark.sparkContext._gateway
+            p = jvm.java.io.File(path.toUri().getPath()).toPath()
+            attrs = gw.new_array(
+                jvm.java.nio.file.attribute.FileAttribute, 0
+            )
+            jvm.java.nio.file.Files.createFile(p, attrs)
+            return True
+        return bool(fs.createNewFile(path))
+    except Exception:
+        return False  # exists / concurrent creator / IO — claim lost
 
 
 def _read_small(fs, p) -> bytes | None:

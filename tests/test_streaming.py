@@ -435,3 +435,72 @@ def test_versioned_sink_fresh_checkpoint_is_new_stream(spark, tmp_path):
         for m in V.list_versions(spark, table)
     }
     assert len({s for s, _ in ids}) == 2  # two distinct streams recorded
+
+
+def test_versioned_sink_mid_batch_crash_recovery(spark, tmp_path):
+    """THE at-least-once anomaly, end to end: the stream dies AFTER a
+    microbatch's table-version commit but BEFORE Spark records the
+    batch in the checkpoint commit log (injected by raising inside
+    foreachBatch right after the inner writer returns). On restart
+    Spark replays that batch id; the sink's manifest-based skip must
+    turn the replay into a no-op — no duplicated rows — while the
+    remaining backlog still lands — no missing batch."""
+    from pyspark.sql import functions as F
+
+    from deftunes_spark.io import versioned as V
+    from deftunes_spark.streaming.sinks import (
+        stream_id_for_checkpoint,
+        versioned_batch_writer,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(40).select(
+        F.col("id"), (F.col("id") % 4).alias("k")
+    ).repartition(4).write.mode("overwrite").parquet(src)
+
+    sid = stream_id_for_checkpoint(ckpt)
+    inner = versioned_batch_writer(table, stream_id=sid)
+    crashed = {"done": False}
+
+    def crashing(batch_df, batch_id):
+        inner(batch_df, batch_id)  # the table version COMMITS...
+        if not crashed["done"]:
+            crashed["done"] = True
+            # ...then the process "dies" before the checkpoint commit.
+            raise RuntimeError("injected crash after table commit")
+
+    def run(writer_fn):
+        return (
+            spark.readStream.schema("id long, k long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(writer_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = run(crashing)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    assert crashed["done"]
+    committed_before = V.list_versions(spark, table)
+    assert len(committed_before) >= 1  # the crashed batch DID commit
+
+    # Restart on the same checkpoint with the normal writer: the
+    # replayed batch no-ops, the rest of the backlog lands.
+    q2 = run(inner)
+    q2.awaitTermination()
+
+    final = V.read_version(spark, table)
+    assert sorted(r.id for r in final.collect()) == list(range(40))
+    manifests = V.list_versions(spark, table)
+    pairs = [
+        (m.get("stream_id"), m.get("stream_batch_id")) for m in manifests
+    ]
+    assert len(pairs) == len(set(pairs))  # every batch exactly once
+    assert {b for _, b in pairs} == set(range(4))  # none missing
