@@ -409,3 +409,50 @@ def q_mixture_temperature_sample(
     return C.mixture_sample_temperature(
         docs, "source", _TEMP_TAU, "doc_id"
     ).select("doc_id", "source")
+
+
+# =====================================================================
+# Cross-source corpus overlap (ext.curation.source_overlap)
+# =====================================================================
+
+_OVERLAP_N = 3
+
+_OVERLAP_ORACLE = f"""
+WITH toks AS (
+    SELECT source,
+           regexp_split_to_array(trim(text), '\\s+') AS tk
+    FROM documents WHERE text IS NOT NULL
+), sh AS (
+    SELECT DISTINCT source,
+           array_to_string(tk[i:i+{_OVERLAP_N - 1}], ' ') AS shingle
+    FROM toks,
+         unnest(range(1, greatest(len(tk) - {_OVERLAP_N - 1}, 1) + 1))
+             AS t(i)
+), sz AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
+), shared AS (
+    SELECT a.source AS ga, b.source AS gb,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM sh a JOIN sh b
+      ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT ga AS group_a, gb AS group_b, n_shared,
+       za.n AS n_a, zb.n AS n_b,
+       round(n_shared / least(za.n, zb.n), 6) AS containment,
+       round(n_shared / (za.n + zb.n - n_shared), 6) AS jaccard
+FROM shared
+JOIN sz za ON za.source = ga
+JOIN sz zb ON zb.source = gb
+"""
+
+
+@query("source_overlap", _OVERLAP_ORACLE)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise trigram-shingle overlap between sources: shared
+    distinct-shingle counts plus containment and Jaccard per source
+    pair — the "is B already inside A" governance check run before
+    mixing datasets. Fan-out of the shingle join is bounded by
+    (sources choose 2) per shingle, never corpus size."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return C.source_overlap(docs, "source", "text", n=_OVERLAP_N)

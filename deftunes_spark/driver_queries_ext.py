@@ -1660,6 +1660,63 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEAK_TEST_FRAC = 0.2
+_LEAK_HEX = format(int(_LEAK_TEST_FRAC * 16**6), "06x")
+
+_LEAKAGE_SPLIT_ORACLE = f"""
+WITH RECURSIVE pairs AS ({{pairs}}),
+edges AS (
+    SELECT id_a AS s, id_b AS d FROM pairs
+    UNION ALL
+    SELECT id_b AS s, id_a AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach AS (
+    SELECT node, node AS comp FROM nodes
+    UNION
+    SELECT e.d AS node, r.comp
+    FROM reach r JOIN edges e ON e.s = r.node
+),
+comp AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+labeled AS (
+    SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster AS BIGINT) AS cluster,
+       CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 6)
+                 < '{_LEAK_HEX}'
+            THEN 'test' ELSE 'train' END AS split
+FROM labeled
+"""
+
+
+@query(
+    "leakage_safe_split",
+    _LEAKAGE_SPLIT_ORACLE.format(pairs=_ngram_jaccard_oracle_n(3, 0.5)),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-proof train/test split: near-dup pairs (trigram
+    Jaccard, same edge set as ``dedup_components``) → connected
+    components → the split decision hashes the CLUSTER id, so no
+    near-duplicate pair ever straddles train/test. Value-checked end
+    to end: the oracle replays the recursive transitive closure AND
+    the md5 bucket arithmetic verbatim."""
+    from deftunes_spark.ext.sampling import leakage_safe_split
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    )
+    return leakage_safe_split(
+        docs, pairs, "doc_id", test_fraction=_LEAK_TEST_FRAC
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "split",
+    )
+
+
 _NFC_ORACLE = """
 WITH decomposed AS (
     SELECT doc_id, text || ' cafe' || chr(769) || ' nino' || chr(771)

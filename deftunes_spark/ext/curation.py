@@ -350,6 +350,70 @@ def semantic_dedup(
 # ---------------------------------------------------------------------
 
 
+def source_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise shingle overlap between corpus groups (sources,
+    snapshots, datasets): for every group pair, the shared distinct
+    n-gram count plus containment (shared / smaller set) and Jaccard —
+    the corpus-governance numbers that answer "is dataset B already
+    inside A?" before anyone pays to train on both.
+
+    Shape at 100 TB: distinct (group, shingle) via one
+    explode+distinct shuffle; the pair join is per-SHINGLE and fans
+    out at most (groups choose 2) rows per shingle — bounded by the
+    group count, never by corpus size. The final aggregate is
+    |group pairs| rows. No document payload ever joins.
+    """
+    from deftunes_spark.ext.dedup import shingles
+
+    sh = shingles(
+        df.filter(F.col(text_col).isNotNull()), group_col, text_col, n
+    )
+    sizes = sh.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    a = sh.select(
+        F.col(group_col).alias("ga"), F.col("shingle").alias("sh")
+    )
+    b = sh.select(
+        F.col(group_col).alias("gb"), F.col("shingle").alias("sh")
+    )
+    shared = (
+        a.join(b, (a["sh"] == b["sh"]) & (a["ga"] < b["gb"]))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col(group_col).alias("ga"), F.col("n_shingles").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(group_col).alias("gb"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(sa), "ga")
+        .join(F.broadcast(sb), "gb")
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def mixture_rates(
     counts: Mapping[str, int], target_weights: Mapping[str, float]
 ) -> dict[str, float]:

@@ -52,6 +52,50 @@ def train_test_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    test_fraction: float = 0.1,
+    salt: str = "",
+) -> DataFrame:
+    """Train/test split that cannot leak near-duplicates across the
+    boundary: rows are first clustered by connected components over
+    ``pairs`` (near-dup edges ``id_a``/``id_b``), then the split
+    decision hashes the CLUSTER id — every member of a duplicate
+    cluster lands on the same side. A plain per-row hash split puts
+    ~2·f·(1−f) of each dup pair's mass astride the boundary, which is
+    exactly the train→test contamination a decontamination pass exists
+    to prevent; splitting on the cluster makes that probability zero
+    by construction.
+
+    Singleton rows (no near-dup edge) are their own cluster, so the
+    expected test mass stays ``test_fraction``. Deterministic and
+    incremental-append-stable like every split here: the assignment is
+    a pure function of (salt, cluster id), and the cluster id is the
+    min member id — stable as long as the duplicate set is.
+
+    Adds ``cluster`` and ``split`` columns. Cost at 100 TB: the
+    components loop is bounded by duplicate-graph diameter (edges only
+    — the corpus itself never iterates); the split itself is one
+    codegen md5, no extra shuffle beyond the cluster left-join."""
+    from deftunes_spark.ext.dedup import connected_components
+
+    comp = connected_components(pairs, "id_a", "id_b")
+    labeled = df.join(
+        comp, df[id_col] == comp["node"], "left"
+    ).select(
+        *df.columns,
+        F.coalesce(F.col("comp"), F.col(id_col)).alias("cluster"),
+    )
+    is_test = _hash_bucket("cluster", salt) < int(
+        test_fraction * _BUCKETS
+    )
+    return labeled.withColumn(
+        "split", F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -137,3 +137,67 @@ def test_shuffle_shards_deterministic_and_balanced(ids):
         for r in shuffle_shards(ids, "id", n_shards=4, seed="ep2").collect()
     }
     assert c != a
+
+
+def test_leakage_safe_split_no_pair_straddles(spark):
+    """THE property the operator exists for: no near-dup edge crosses
+    the train/test boundary, while singletons still split ~f."""
+    from pyspark.sql import functions as F
+
+    from deftunes_spark.ext.sampling import leakage_safe_split
+
+    # 3 duplicate clusters (sizes 4, 3, 2) + 91 singletons.
+    rows = [(i,) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    out = leakage_safe_split(df, pairs, "id", test_fraction=0.3)
+    got = {r.id: (r.cluster, r.split) for r in out.collect()}
+    assert len(got) == 100
+    # Every member of each cluster shares cluster id AND side.
+    for members in ([0, 1, 2, 3], [10, 11, 12], [20, 21]):
+        assert len({got[m] for m in members}) == 1
+        assert got[members[0]][0] == min(members)
+    # Singletons are their own cluster.
+    assert got[50] == (50, got[50][1])
+    # Both sides populated at f=0.3 over 100 rows (deterministic).
+    sides = {s for _, s in got.values()}
+    assert sides == {"train", "test"}
+    # Deterministic across recomputation and partitioning.
+    again = {
+        r.id: (r.cluster, r.split)
+        for r in leakage_safe_split(
+            df.repartition(7), pairs, "id", test_fraction=0.3
+        ).collect()
+    }
+    assert again == got
+
+
+def test_source_overlap_known_sets(spark):
+    """Hand-computable overlap: two groups sharing exactly half their
+    shingles, a third disjoint."""
+    from deftunes_spark.ext.curation import source_overlap
+
+    mk = lambda toks: " ".join(toks)
+    # Unigram shingles (n=1) make set algebra exact.
+    df = spark.createDataFrame(
+        [
+            ("A", mk(["w1", "w2", "w3", "w4"])),
+            ("B", mk(["w3", "w4", "w5", "w6"])),
+            ("C", mk(["z1", "z2"])),
+        ],
+        "source string, text string",
+    )
+    out = {
+        (r.group_a, r.group_b): r
+        for r in source_overlap(df, "source", "text", n=1).collect()
+    }
+    ab = out[("A", "B")]
+    assert (ab.n_shared, ab.n_a, ab.n_b) == (2, 4, 4)
+    assert abs(ab.containment - 0.5) < 1e-9
+    assert abs(ab.jaccard - 2 / 6) < 1e-6  # output rounds to 6dp
+    # Disjoint pairs produce NO row (inner join) — absence is the
+    # correct signal, not a 0-row.
+    assert ("A", "C") not in out and ("B", "C") not in out

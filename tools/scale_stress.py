@@ -1,0 +1,189 @@
+"""Scale-stress the dedup/ANN family one notch past the bench SF.
+
+Builds a 10x replica of the sf0.1 ``documents``/``embeddings`` tables
+(text tokens suffixed per replica so within-replica duplicate
+structure is preserved EXACTLY while cross-replica shingles never
+collide — duplicate density stays constant, data volume scales 10x;
+embeddings perturbed per replica the same way), then runs the heavy
+bucketed operators at 1x and 10x, recording wall time, output rows,
+and the bucket-size maxima that decide whether the "banded/bucketed,
+never all-pairs" claims hold off the toy scale:
+
+- minhash LSH: max rows in one (band, band_key) bucket — the largest
+  unit of quadratic work the band join can do;
+- semantic dedup: max coarse-cluster size — the largest within-cluster
+  pair block;
+- IVF-PQ: max rows in one probed inverted list.
+
+Usage: python tools/scale_stress.py [--rebuild]
+Prints a markdown table for SCALE.md plus one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE_DIR = "/tmp/deftunes_scale10"
+REPLICAS = 10
+
+QUERIES = [
+    "dedup_minhash_fast",
+    "dedup_incremental_fast",
+    "ann_ivfpq_topk",
+    "semantic_dedup",
+]
+
+
+def build_scale_dir(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    scaled = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            F.when(
+                F.col("text").isNotNull(),
+                F.array_join(
+                    F.transform(
+                        F.split(F.trim("text"), "\\s+"),
+                        lambda x: F.concat(
+                            x, F.lit("_r"), F.col("rep").cast("string")
+                        ),
+                    ),
+                    " ",
+                ),
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    scaled.repartition(32).write.mode("overwrite").parquet(
+        f"{SCALE_DIR}/documents.parquet"
+    )
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    scaled_e = (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (
+                    x + F.col("rep").cast("float") * F.lit(0.0003)
+                ).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    scaled_e.repartition(32).write.mode("overwrite").parquet(
+        f"{SCALE_DIR}/embeddings.parquet"
+    )
+    # The harness loaders resolve sibling tables from the same dir.
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+    ).split():
+        dst = f"{SCALE_DIR}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+
+
+def bucket_maxima(spark, sf_dir: str) -> dict:
+    """Largest bucket each bucketed operator can see at this scale —
+    the quantity that must grow sublinearly (or stay capped) for the
+    100 TB claim to hold."""
+    from pyspark.sql import functions as F
+
+    from deftunes_spark.ext.dedup import minhash_signatures_mapside
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    sigs = minhash_signatures_mapside(
+        docs, "doc_id", "text", n=2, num_hashes=32,
+        hash_fn="xxhash64",
+    )
+    bands = 8
+    rows = 32 // bands
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        ).alias(f"bk_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id", *band_cols
+    ).unpivot("doc_id", [f"bk_{b}" for b in range(bands)], "band", "key")
+    max_band = (
+        banded.groupBy("band", "key").count().agg(F.max("count")).first()[0]
+    )
+
+    from deftunes_spark.driver_queries_ext import _IVF_CENTROIDS
+    from deftunes_spark.ext.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned = ivf_assign(emb, _IVF_CENTROIDS, "embedding", "cluster")
+    max_cluster = (
+        assigned.groupBy("cluster").count().agg(F.max("count")).first()[0]
+    )
+    return {
+        "max_lsh_bucket": int(max_band),
+        "max_ivf_cluster_rows": int(max_cluster),
+        "n_docs": docs.count(),
+        "n_vecs": emb.count(),
+    }
+
+
+def main() -> None:
+    from deftunes_spark.registry import QUERIES as REG
+    from deftunes_spark.session import get_spark
+
+    spark = get_spark(
+        "deftunes-scale-stress",
+        extra_conf={"spark.sql.files.maxPartitionBytes": "2MB"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--rebuild" in sys.argv or not os.path.exists(
+        f"{SCALE_DIR}/documents.parquet"
+    ):
+        t0 = time.perf_counter()
+        build_scale_dir(spark)
+        print(f"built {SCALE_DIR} in {time.perf_counter() - t0:.1f}s")
+
+    out: dict = {"load_avg": [round(x, 2) for x in os.getloadavg()]}
+    for label, sf_dir in (("1x", BASE), ("10x", SCALE_DIR)):
+        out[label] = {"buckets": bucket_maxima(spark, sf_dir)}
+        for name in QUERIES:
+            fn = REG[name]
+            fn(spark, sf_dir).collect()  # warm
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = len(fn(spark, sf_dir).collect())
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out[label][name] = {"sec": round(best, 2), "rows": rows}
+            print(f"{label:>4} {name:28s} {best:7.2f}s {rows:>8} rows")
+
+    print("\n| query | 1x sec | 10x sec | ratio | 1x rows | 10x rows |")
+    print("|---|---|---|---|---|---|")
+    for name in QUERIES:
+        a, b = out["1x"][name], out["10x"][name]
+        print(
+            f"| {name} | {a['sec']} | {b['sec']} | "
+            f"{b['sec'] / max(a['sec'], 1e-9):.1f}x | {a['rows']} | "
+            f"{b['rows']} |"
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
