@@ -106,6 +106,13 @@ def _release_run_state(spark) -> None:
     for rdd in jmap.values():
         rdd.unpersist(True)
     gc.collect()
+    # Drain the JVM heap BETWEEN runs so garbage from the previous
+    # execution (HOF dot products allocate a dim-sized array per pair;
+    # md5-minhash allocates GBs of short-lived strings) is collected
+    # on our schedule, not as a full-GC pause mid-timed-run — the
+    # source of intermittent 5-20x single-run spikes (semantic_dedup
+    # r4: 56 s outlier vs 2.6 s steady state).
+    spark._jvm.System.gc()
 
 
 def _run_one(name: str, sf_dir: str) -> None:
@@ -152,7 +159,13 @@ def _run_one(name: str, sf_dir: str) -> None:
                 # TIMED_RUNS; under noise it keeps sampling until two
                 # independent draws agree near the floor.
                 break
-    print(json.dumps({"name": name, "runs": runs}))
+    # 1-min load average bracketing the sweep: a spiked run with high
+    # load reads as host steal, not a plan regression.
+    print(json.dumps({
+        "name": name,
+        "runs": runs,
+        "load_avg_1m": round(os.getloadavg()[0], 2),
+    }))
 
 
 def _codec_mode() -> str:
@@ -200,7 +213,10 @@ def main() -> None:
         if not rec.get("runs"):
             errors[name] = rec.get("err", "no runs")
             continue
-        all_runs[name] = rec["runs"]
+        all_runs[name] = {
+            "runs": rec["runs"],
+            "load_avg_1m": rec.get("load_avg_1m"),
+        }
         timings[name] = round(min(rec["runs"]), 3)
 
     # The consuming harness keeps only a short TAIL of stdout (r4's

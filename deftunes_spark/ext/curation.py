@@ -315,12 +315,23 @@ def semantic_dedup(
         norm_expr,
     )
 
+    # Norms are computed ONCE PER ROW here, not per candidate pair:
+    # inside the pair join each dot/norm is a zip_with+aggregate that
+    # allocates a dim-sized intermediate array, so evaluating three of
+    # them per pair (dot + both norms) tripled allocation pressure and
+    # made full-GC pauses dominate intermittently (observed 14-47 s
+    # spikes vs 2.6 s steady state at sf0.1). Same float ops in the
+    # same order — sim is still dot/(sqrt(Σa²)·sqrt(Σb²)) — so the
+    # cross-engine value-hash oracle is unaffected.
     assigned = ivf_assign(df, centroids, vec_col, "cluster").select(
-        F.col(id_col), F.col(vec_col), F.col("cluster")
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cluster"),
+        norm_expr(F.col(vec_col)).alias("_norm"),
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     sim = dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
-        norm_expr(F.col(f"a.{vec_col}")) * norm_expr(F.col(f"b.{vec_col}"))
+        F.col("a._norm") * F.col("b._norm")
     )
     dominated = (
         a.join(
