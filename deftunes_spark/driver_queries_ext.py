@@ -2004,3 +2004,89 @@ def q_multimodal_frame_features(
         decoded, every_ms=1000, carry_cols=("payload",)
     )
     return M.extract_frame_features(frames)
+
+
+# =====================================================================
+# ANN recall harness: approximate-vs-exact quality, value-checked
+# =====================================================================
+
+
+def _ann_recall_oracle() -> str:
+    from deftunes_spark.driver_queries import ORACLES
+
+    methods = {
+        "lsh": ORACLES["ann_lsh_topk"],
+        "ivf": ORACLES["ann_ivf_topk"],
+        "pq": ORACLES["ann_pq_topk"],
+        "ivfpq": ORACLES["ann_ivfpq_topk"],
+    }
+    cand = "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS method, vec_id FROM ({sql})"
+        for m, sql in methods.items()
+    )
+    return f"""
+    WITH exact AS (
+        SELECT vec_id FROM (
+            SELECT vec_id, round({_SQL_COSINE}, 6) AS cosine_sim
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings)
+            ORDER BY cosine_sim DESC, vec_id LIMIT 10
+        )
+    ), cand AS (
+        {cand}
+    )
+    SELECT method,
+           CAST(count(e.vec_id) AS BIGINT) AS n_hits,
+           round(count(e.vec_id) / 10.0, 6) AS recall_at_10
+    FROM cand LEFT JOIN exact e ON cand.vec_id = e.vec_id
+    GROUP BY method
+    """
+
+
+@query("ann_recall", _ann_recall_oracle())
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every ANN variant against the exact brute-force
+    top-10 for the fixed query vector — the quality harness an
+    approximate index ships with (a fast index with unmeasured recall
+    is not 'done'). Each variant's candidate set is the SAME pipeline
+    its own oracle-checked query runs; the exact set is the
+    brute-force scan. The oracle composes those per-variant SQL
+    mirrors verbatim, so a recall discrepancy isolates to the engine,
+    never the fixture. At 100 TB this runs on a hash-sampled query
+    panel; the per-query cost is one exact scan plus the index probes.
+    """
+    emb = _t_cpu(spark, sf_dir, "embeddings")
+    exact = (
+        S.cosine_to_query(emb, _ANN_QUERY)
+        .select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("_hit"))
+    )
+    methods = {
+        "lsh": q_ann_lsh_topk,
+        "ivf": q_ann_ivf_topk,
+        "pq": q_ann_pq_topk,
+        "ivfpq": q_ann_ivfpq_topk,
+    }
+    frames = [
+        fn(spark, sf_dir).select(
+            F.lit(m).alias("method"), F.col("vec_id")
+        )
+        for m, fn in methods.items()
+    ]
+    cand = frames[0]
+    for f in frames[1:]:
+        cand = cand.unionByName(f)
+    return (
+        cand.join(F.broadcast(exact), "vec_id", "left")
+        .groupBy("method")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits")
+        )
+        .withColumn(
+            "recall_at_10", F.round(F.col("n_hits") / 10.0, 6)
+        )
+    )

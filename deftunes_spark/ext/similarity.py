@@ -292,20 +292,45 @@ def ivf_assign(
     ``argmin`` over the same centroid literals).
 
     ``d_c = ‖v‖² − 2·(v·c) + ‖c‖²`` with ``‖c‖²`` folded to a literal;
-    argmin = first index attaining the minimum (ties break low)."""
-    dists = "array(" + ", ".join(
-        f"{_dot_sql(vec_col, vec_col)}"
-        f" - 2.0D * {_dot_sql(vec_col, _sql_vec(c))}"
-        f" + {float(np.dot(c, c))!r}D"
-        for c in centroids
+    argmin = first index attaining the minimum (ties break low).
+
+    Expression-tree discipline (r5): the first version unrolled one
+    full dot-product expression PER CENTROID and interpolated the
+    whole distance array TWICE (once for ``array_position``, once for
+    ``array_min``) — at 64 centroids that is a ~17k-node tree whose
+    Catalyst analysis + codegen + JIT took 40–66 s per fresh
+    DataFrame, dwarfing the actual execution (~0.3 s). Now the
+    centroid matrix and the ‖c‖² vector are each ONE constant-folded
+    literal, the per-centroid distance is a ``zip_with`` lambda over
+    them, and the distance array + self-dot land in temp columns so
+    each is built (and evaluated) once. Float ops and their order are
+    IDENTICAL — ``sd − 2·(v·c) + ‖c‖²`` per centroid with
+    left-to-right aggregate dots — so the cross-engine value-hash
+    oracles are unaffected."""
+    mat = "array(" + ", ".join(_sql_vec(c) for c in centroids) + ")"
+    norms = "array(" + ", ".join(
+        f"{float(np.dot(c, c))!r}D" for c in centroids
     ) + ")"
-    return df.withColumn(
-        list_col,
-        F.expr(
-            f"CAST(array_position({dists}, array_min({dists})) - 1"
-            " AS INT)"
-        ),
+    sd_col = f"_sd_{list_col}"
+    dl_col = f"_dl_{list_col}"
+    out = (
+        df.withColumn(sd_col, F.expr(_dot_sql(vec_col, vec_col)))
+        .withColumn(
+            dl_col,
+            F.expr(
+                f"zip_with({mat}, {norms}, (c, n2) -> "
+                f"{sd_col} - 2.0D * {_dot_sql(vec_col, 'c')} + n2)"
+            ),
+        )
+        .withColumn(
+            list_col,
+            F.expr(
+                f"CAST(array_position({dl_col}, array_min({dl_col}))"
+                " - 1 AS INT)"
+            ),
+        )
     )
+    return out.drop(sd_col, dl_col)
 
 
 def ivf_topk(
