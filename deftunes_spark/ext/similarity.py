@@ -56,7 +56,16 @@ def _dot_sql(a_sql: str, b_sql: str) -> str:
 
 
 def dot_expr(a: Column, b: Column) -> Column:
-    """Σ aᵢbᵢ in double, via zip_with + aggregate (codegen, no UDF)."""
+    """Σ aᵢbᵢ in double, via zip_with + aggregate (no UDF).
+
+    NOTE: higher-order functions are CodegenFallback — the lambda is
+    INTERPRETED per element (~15 µs per 64-dim dot, measured), fine
+    once per row but ruinous inside a pair join (and unrolling the
+    sum per pair is no escape: past ~64 terms the generated join
+    method blows the 64 KB codegen limit and the WHOLE stage falls
+    back to interpreted eval — measured slower than the fold). Hot
+    pair loops belong in a blocked vectorized kernel instead — see
+    ``curation._semantic_dominated_grouped``."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0).cast("double"),
@@ -489,24 +498,44 @@ def pq_encode(
         return df.withColumn(code_col, udf(F.col(vec_col)))
     if method != "expr":
         raise ValueError(f"unknown method {method!r}")
-    codes = []
+    # Same expression-tree discipline as ivf_assign (r5): per
+    # subspace the codebook and its ‖c‖² vector are ONE constant-
+    # folded literal each, the distance list is a zip_with lambda, and
+    # both the subvector slice and the distance list land in temp
+    # columns so each is built and evaluated once (the unrolled
+    # version duplicated the whole distance array for array_position
+    # + array_min and re-sliced the vector per codeword). Identical
+    # float ops in identical order — the PQ oracles are unaffected.
+    out = df
+    tmp = []
     for j in range(m):
-        s = (
-            f"slice(CAST({vec_col} AS array<double>),"
-            f" {j * dsub + 1}, {dsub})"
-        )
-        dists = "array(" + ", ".join(
-            f"-2.0D * {_dot_sql(s, _sql_vec(list(c)))}"
-            f" + {float(np.dot(c, c))!r}D"
-            for c in codebooks[j]
+        s_col, d_col = f"_pqs{j}_{code_col}", f"_pqd{j}_{code_col}"
+        tmp += [s_col, d_col]
+        mat = "array(" + ", ".join(
+            _sql_vec(list(c)) for c in codebooks[j]
         ) + ")"
-        codes.append(
-            f"CAST(array_position({dists}, array_min({dists})) - 1"
-            " AS INT)"
+        n2s = "array(" + ", ".join(
+            f"{float(np.dot(c, c))!r}D" for c in codebooks[j]
+        ) + ")"
+        out = out.withColumn(
+            s_col,
+            F.expr(
+                f"slice(CAST({vec_col} AS array<double>),"
+                f" {j * dsub + 1}, {dsub})"
+            ),
+        ).withColumn(
+            d_col,
+            F.expr(
+                f"zip_with({mat}, {n2s}, (c, n2) -> "
+                f"-2.0D * {_dot_sql(s_col, 'c')} + n2)"
+            ),
         )
-    return df.withColumn(
-        code_col, F.expr("array(" + ", ".join(codes) + ")")
+    codes = ", ".join(
+        f"CAST(array_position(_pqd{j}_{code_col},"
+        f" array_min(_pqd{j}_{code_col})) - 1 AS INT)"
+        for j in range(m)
     )
+    return out.withColumn(code_col, F.expr(f"array({codes})")).drop(*tmp)
 
 
 def pq_adc_scores(

@@ -485,3 +485,80 @@ def test_segment_dedup_null_text_both_shapes_agree(spark):
         out[lit_max] = got
     assert out[256] == out[0]
     assert 97 in out[0]  # null row survives end-to-end
+
+
+def test_semantic_dedup_grouped_matches_expr(spark):
+    """The blocked-BLAS grouped kernel and the pure-expression engine
+    must make IDENTICAL keep/drop decisions — including pairs with
+    similarity near the threshold (cross-checked by planting exact
+    duplicates, near-duplicates, and orthogonal vectors)."""
+    import numpy as np
+
+    from deftunes_spark.ext.curation import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    dim = 16
+    base = rng.randn(40, dim)
+    rows = []
+    vid = 0
+    for i in range(40):
+        rows.append((vid, [float(x) for x in base[i]])); vid += 1
+        if i % 4 == 0:  # exact duplicate
+            rows.append((vid, [float(x) for x in base[i]])); vid += 1
+        if i % 5 == 0:  # near duplicate (tiny perturbation)
+            p = base[i] + rng.randn(dim) * 1e-3
+            rows.append((vid, [float(x) for x in p])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[float(x) for x in c] for c in rng.randn(4, dim)]
+    got = {}
+    for method in ("grouped", "expr"):
+        got[method] = {
+            r.vec_id: (r.cluster, r.kept)
+            for r in semantic_dedup(
+                df, cents, threshold=0.98, method=method
+            ).collect()
+        }
+    assert got["grouped"] == got["expr"]
+    # The planted exact dups must actually be dropped (same cluster,
+    # cosine 1.0) — the test has teeth.
+    dropped = [v for v, (_, k) in got["grouped"].items() if not k]
+    assert len(dropped) >= 10
+
+
+def test_semantic_dedup_grouped_blocking(spark):
+    """Column blocking must not change decisions (block smaller than
+    the cluster forces the multi-block path)."""
+    import numpy as np
+
+    from deftunes_spark.ext.curation import (
+        _semantic_dominated_grouped,
+        semantic_dedup,
+    )
+    from deftunes_spark.ext.similarity import ivf_assign
+
+    rng = np.random.RandomState(7)
+    dim = 8
+    V = rng.randn(30, dim)
+    V[10] = V[3]; V[20] = V[3] + 1e-4  # planted dup chain
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[0.0] * dim]  # ONE cluster: everything pairs
+    assigned = ivf_assign(df, cents, "embedding", "cluster").select(
+        "vec_id", "embedding", "cluster"
+    )
+    small = {
+        r.vec_id
+        for r in _semantic_dominated_grouped(
+            assigned, "vec_id", "embedding", 0.99, block=7
+        ).collect()
+    }
+    big = {
+        r.vec_id
+        for r in _semantic_dominated_grouped(
+            assigned, "vec_id", "embedding", 0.99, block=4096
+        ).collect()
+    }
+    assert small == big
+    assert {10, 20} <= small
