@@ -765,3 +765,71 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name_b",
         F.col("distance").cast("int").alias("distance"),
     )
+
+
+# =====================================================================
+# Distribution drift (PSI) between ingest snapshots (ext.profile)
+# =====================================================================
+
+_PSI_BINS = 12
+_PSI_WIDTH = 100.0
+
+_PSI_ORACLE = f"""
+WITH spine AS (
+    SELECT CAST(unnest(range(0, {_PSI_BINS})) AS INT) AS bin
+), a AS (
+    SELECT CAST(least(greatest(CAST(floor(n_chars / {_PSI_WIDTH})
+                                    AS BIGINT), 0),
+                      {_PSI_BINS - 1}) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_a
+    FROM documents
+    WHERE n_chars IS NOT NULL AND doc_id % 3 != 0
+    GROUP BY 1
+), b AS (
+    SELECT CAST(least(greatest(CAST(floor(n_chars / {_PSI_WIDTH})
+                                    AS BIGINT), 0),
+                      {_PSI_BINS - 1}) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_b
+    FROM documents
+    WHERE n_chars IS NOT NULL AND doc_id % 3 = 0
+    GROUP BY 1
+), j AS (
+    SELECT spine.bin,
+           COALESCE(n_a, 0) AS n_a,
+           COALESCE(n_b, 0) AS n_b
+    FROM spine LEFT JOIN a USING (bin) LEFT JOIN b USING (bin)
+), t AS (
+    SELECT CAST(sum(n_a) AS DOUBLE) AS ta,
+           CAST(sum(n_b) AS DOUBLE) AS tb
+    FROM j
+)
+SELECT bin, n_a, n_b,
+       round((n_a + 0.5) / (ta + {_PSI_BINS * 0.5!r}), 6) AS p_a,
+       round((n_b + 0.5) / (tb + {_PSI_BINS * 0.5!r}), 6) AS p_b,
+       round(((n_a + 0.5) / (ta + {_PSI_BINS * 0.5!r})
+              - (n_b + 0.5) / (tb + {_PSI_BINS * 0.5!r}))
+             * ln(((n_a + 0.5) / (ta + {_PSI_BINS * 0.5!r}))
+                  / ((n_b + 0.5) / (tb + {_PSI_BINS * 0.5!r}))), 6)
+           AS psi_term
+FROM j CROSS JOIN t
+"""
+
+
+@query("snapshot_drift_psi", _PSI_ORACLE)
+def q_snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift between two ingest snapshots
+    of the corpus (doc_id % 3 split — the same old/new partition the
+    incremental-dedup family uses): per-bin counts, Laplace-smoothed
+    shares, and PSI terms over a FIXED equi-width grid, so recurring
+    batches measure against the same ruler. Two n_bins-row aggregates
+    + a bin-spine join + a 1-row totals grid join."""
+    from deftunes_spark.ext.profile import psi_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return psi_drift(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+        "n_chars",
+        bin_width=_PSI_WIDTH,
+        n_bins=_PSI_BINS,
+    )

@@ -124,3 +124,76 @@ def robust_group_stats(
             .alias("n_outliers"),
         )
     )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    bin_width: float,
+    n_bins: int,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — THE drift monitor a recurring ingest runs before letting
+    a new batch into the training mix (PSI < 0.1 stable, 0.1–0.25
+    watch, > 0.25 investigate, per the standard credit-scoring rule of
+    thumb).
+
+    Fixed equi-width bins (``floor(x / bin_width)`` clamped to
+    ``[0, n_bins)``) — bin edges are a pure function of the CONFIG,
+    never of either dataset, so the measurement is reproducible and
+    incremental batches can't shift the grid under each other.
+    Laplace-smoothed shares (+0.5 per bin) keep empty bins finite on
+    both sides. Returns one row per bin: counts, shares, and the
+    bin's PSI term ``(p_a − p_b)·ln(p_a / p_b)`` (sum them for the
+    index; emitting terms keeps the result value-hash checkable and
+    shows WHERE the drift lives).
+
+    Shape at 100 TB: each side is one partial-aggregating groupBy to
+    ``n_bins`` rows; the join is bin-spine sized. The totals attach
+    via a 1-row broadcast grid join — O(1) rows, never a shuffle of
+    data."""
+    spark = df_a.sparkSession
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+
+    def binned(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.filter(F.col(value_col).isNotNull())
+            .select(
+                F.least(
+                    F.greatest(
+                        F.floor(F.col(value_col) / F.lit(bin_width)),
+                        F.lit(0),
+                    ),
+                    F.lit(n_bins - 1),
+                )
+                .cast("int")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    counts = (
+        spine.join(binned(df_a, "n_a"), "bin", "left")
+        .join(binned(df_b, "n_b"), "bin", "left")
+        .fillna(0, ["n_a", "n_b"])
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("double").alias("_ta"),
+        F.sum("n_b").cast("double").alias("_tb"),
+    )
+    smooth = float(n_bins) * 0.5
+    p_a = (F.col("n_a") + F.lit(0.5)) / (F.col("_ta") + F.lit(smooth))
+    p_b = (F.col("n_b") + F.lit(0.5)) / (F.col("_tb") + F.lit(smooth))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.round(p_a, 6).alias("p_a"),
+            F.round(p_b, 6).alias("p_b"),
+            F.round((p_a - p_b) * F.log(p_a / p_b), 6).alias("psi_term"),
+        )
+    )

@@ -621,13 +621,19 @@ def cosine_neardup_pairs(
                 f"id_a {id_type}, id_b {id_type}, cosine_sim double",
             )
         planes = random_hyperplanes(len(probe[0]), n_bits, seed)
+    # Norm once per ROW (not per pair): HOF folds are interpreted, so
+    # the pair loop should evaluate exactly one (the dot). Same float
+    # ops in the same order — sim is unchanged (see semantic_dedup).
     bucketed = with_lsh_bucket(df, planes, vec_col).select(
-        F.col(id_col), F.col(vec_col), F.col("lsh_bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("lsh_bucket"),
+        norm_expr(F.col(vec_col)).alias("_norm"),
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     sim = dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
-        norm_expr(F.col(f"a.{vec_col}")) * norm_expr(F.col(f"b.{vec_col}"))
+        F.col("a._norm") * F.col("b._norm")
     )
     return (
         a.join(
