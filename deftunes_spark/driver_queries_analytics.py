@@ -833,3 +833,70 @@ def q_snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_width=_PSI_WIDTH,
         n_bins=_PSI_BINS,
     )
+
+
+# =====================================================================
+# Event-sequence pattern matching (MATCH_RECOGNIZE shape)
+# =====================================================================
+
+_SEQ_ORACLE = """
+WITH j AS (
+    SELECT user_id,
+           string_agg(substr(event_type, 1, 1), ''
+                      ORDER BY ts, event_id) AS journey,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+)
+SELECT user_id, n_events,
+       CAST(len(regexp_extract_all(journey, 'vc*p')) AS BIGINT)
+           AS n_conversions,
+       CAST(len(regexp_extract_all(journey, 'ee+')) AS BIGINT)
+           AS n_error_bursts
+FROM j
+"""
+
+
+@query("event_pattern_match", _SEQ_ORACLE)
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MATCH_RECOGNIZE re-expressed Spark-first: per user, the
+    time-ordered event-type sequence collapses to a journey string
+    (one char per event — first letters are distinct here) and
+    patterns become regexes counted over it — conversions = ``vc*p``
+    (view, any clicks, purchase, contiguous), error bursts = ``ee+``.
+    One groupBy with an array_sort(collect_list(struct)) — the
+    standard Spark idiom for ordered per-key sequence analysis; both
+    engines count non-overlapping leftmost greedy matches, so the
+    result is engine-portable. Journey length is bounded by per-user
+    activity, the only cardinality that matters at 100 TB (a per-user
+    cap upstream is the guard for pathological keys)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    journeys = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.substring("event_type", 1, 1).alias("ch"),
+                        )
+                    )
+                ),
+                lambda s: s["ch"],
+            ),
+            "",
+        ).alias("journey"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return journeys.select(
+        "user_id",
+        "n_events",
+        F.regexp_count("journey", F.lit("vc*p"))
+        .cast("bigint")
+        .alias("n_conversions"),
+        F.regexp_count("journey", F.lit("ee+"))
+        .cast("bigint")
+        .alias("n_error_bursts"),
+    )
