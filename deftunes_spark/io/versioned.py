@@ -371,6 +371,14 @@ def _publish_manifest(
     )
 
 
+class CommitConflict(RuntimeError):
+    """Raised when ``require_base_version`` no longer holds: another
+    writer advanced the table between the caller's read and this
+    commit. The caller's derived data is stale — re-derive and retry
+    at the APPLICATION level (a blind protocol-level retry would
+    publish results computed from a superseded snapshot)."""
+
+
 def write_versioned(
     spark: SparkSession,
     df: DataFrame,
@@ -379,6 +387,7 @@ def write_versioned(
     max_retries: int = 10,
     protocol: CommitProtocol | None = None,
     extra: dict | None = None,
+    require_base_version: int | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -426,6 +435,19 @@ def write_versioned(
             time.sleep(min(0.05 * attempt, 0.5))
         versions = list_versions(spark, path)
         base_m = versions[-1] if versions else None
+        if require_base_version is not None:
+            # Conditional commit (Iceberg's snapshot-id assertion):
+            # the caller derived df from a specific snapshot; if the
+            # table moved, publishing would silently drop the
+            # interleaved commit (the compaction/merge lost-update).
+            latest = base_m["version"] if base_m else None
+            if latest != require_base_version:
+                if batch_dir is not None:
+                    fs.delete(_p(jvm, batch_dir), True)
+                raise CommitConflict(
+                    f"table {path} advanced to version {latest} "
+                    f"(required base {require_base_version})"
+                )
         prev_ts = base_m["ts_ms"] if base_m else -1
         n = 0 if base_m is None else base_m["version"] + 1
         # Commit timestamp is stamped per ATTEMPT (not once before the
@@ -521,6 +543,79 @@ def read_version(
     return spark.read.option("mergeSchema", "true").parquet(
         *_manifest_dirs(chosen)
     )
+
+
+def compact_versioned(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    protocol: CommitProtocol | None = None,
+) -> dict:
+    """Rewrite the LATEST snapshot into ~``target_file_bytes`` files
+    and commit the rewrite as a NEW version — Iceberg's
+    ``rewrite_data_files``, the compaction half of versioned-table
+    maintenance (``expire_versions`` is the retention half).
+
+    Incremental appends accrete one directory per batch; a 15-minute
+    ingest cadence is ~35k directories/year whose file listing and
+    task scheduling eventually dominate scans. Compaction folds them
+    back into one right-sized directory. Safety comes from the commit
+    protocol itself:
+
+    - readers never see a half-compacted table (a version is visible
+      only at manifest publish);
+    - time travel to pre-compaction versions keeps working — their
+      manifests still reference the old dirs, which
+      ``expire_versions``' reference counting retains until those
+      versions expire;
+    - a CONCURRENT append cannot be silently dropped: the commit
+      asserts the base snapshot (``require_base_version``), so if the
+      table advanced while the rewrite ran, ``CommitConflict`` is
+      raised and the compaction simply reruns later — losing a
+      compaction is free, losing an append is not.
+
+    Returns {base_version, new_version, files_before, files_after,
+    bytes}."""
+    versions = list_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no published versions under {path}")
+    base = versions[-1]
+    jvm, fs = _fs(spark, path)
+    total_bytes = 0
+    files_before = 0
+    for d in _manifest_dirs(base):
+        try:
+            summary = fs.getContentSummary(_p(jvm, d))
+        except Exception:
+            continue  # dir expired between list and summary — skip
+        total_bytes += summary.getLength()
+        files_before += summary.getFileCount()
+    n_files = max(1, -(-total_bytes // max(1, target_file_bytes)))
+    df = read_version(spark, path, version=base["version"]).repartition(
+        n_files
+    )
+    new_v = write_versioned(
+        spark,
+        df,
+        path,
+        mode="overwrite",
+        protocol=protocol,
+        extra={"compaction_of": base["version"]},
+        require_base_version=base["version"],
+    )
+    new_m = [
+        m for m in list_versions(spark, path) if m["version"] == new_v
+    ][0]
+    files_after = 0
+    for d in _manifest_dirs(new_m):
+        files_after += fs.getContentSummary(_p(jvm, d)).getFileCount()
+    return {
+        "base_version": base["version"],
+        "new_version": new_v,
+        "files_before": int(files_before),
+        "files_after": int(files_after),
+        "bytes": int(total_bytes),
+    }
 
 
 def expire_versions(

@@ -414,3 +414,67 @@ def test_append_is_incremental_not_rewrite(spark, tmp_path):
     # base dir v1 still references.
     assert V.expire_versions(spark, path, keep_last=1) == [0]
     assert V.read_version(spark, path).count() == 1010
+
+
+def test_compact_versioned_folds_append_dirs(spark, tmp_path):
+    """Compaction rewrites the multi-dir incremental snapshot into one
+    right-sized dir AS a new version: same rows, fewer files, older
+    snapshots still readable, and retention then drops the small
+    files while the compacted version survives."""
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark, spark.range(100).toDF("id").repartition(8), t)
+    for i in range(1, 4):
+        V.write_versioned(
+            spark,
+            spark.range(100 * i, 100 * (i + 1)).toDF("id").repartition(8),
+            t,
+            mode="append",
+        )
+    stats = V.compact_versioned(spark, t, target_file_bytes=10**9)
+    assert stats["base_version"] == 3 and stats["new_version"] == 4
+    assert stats["files_after"] < stats["files_before"]
+    assert sorted(r.id for r in V.read_version(spark, t).collect()) == list(
+        range(400)
+    )
+    # Time travel through the compaction boundary still works.
+    assert V.read_version(spark, t, version=2).count() == 300
+    # The compaction is self-describing in the manifest.
+    latest = V.list_versions(spark, t)[-1]
+    assert latest["compaction_of"] == 3
+    # Retention drops the pre-compaction versions; the compacted
+    # snapshot (which shares NO dirs with them) stays whole.
+    V.expire_versions(spark, t, keep_last=1)
+    assert V.read_version(spark, t).count() == 400
+    with pytest.raises(ValueError):
+        V.read_version(spark, t, version=2)
+
+
+def test_conditional_commit_conflict(spark, tmp_path):
+    """require_base_version: a commit derived from a superseded
+    snapshot must raise CommitConflict, not silently drop the
+    interleaved append — the compaction/merge lost-update guard."""
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark, spark.range(10).toDF("id"), t)  # v0
+    # A concurrent append lands AFTER the compactor read v0...
+    V.write_versioned(
+        spark, spark.range(10, 15).toDF("id"), t, mode="append"
+    )  # v1
+    with pytest.raises(V.CommitConflict):
+        V.write_versioned(
+            spark,
+            spark.range(10).toDF("id"),
+            t,
+            require_base_version=0,
+        )
+    # Nothing was published by the conflicted writer and no orphan
+    # data dir survived its cleanup.
+    assert [m["version"] for m in V.list_versions(spark, t)] == [0, 1]
+    assert V.read_version(spark, t).count() == 15
+    # A commit asserting the CURRENT base succeeds.
+    v = V.write_versioned(
+        spark,
+        spark.range(3).toDF("id"),
+        t,
+        require_base_version=1,
+    )
+    assert v == 2 and V.read_version(spark, t).count() == 3
