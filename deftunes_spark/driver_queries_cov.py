@@ -755,3 +755,56 @@ def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"),
         F.sum(F.length("text")).alias("char_sum"),
     )
+
+
+_COMPACT_VERSIONED_ORACLE = """
+SELECT 3 AS new_version, 2 AS base_version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       TRUE AS files_reduced
+FROM documents
+"""
+
+
+@query("compact_versioned_roundtrip", _COMPACT_VERSIONED_ORACLE)
+def q_compact_versioned_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Versioned-table maintenance end-to-end: three incremental
+    appends accrete three data dirs; compact_versioned folds them into
+    one right-sized dir committed as version 3 under the conditional
+    base-snapshot assertion. The oracle pins the version arithmetic,
+    content preservation (count/id-sum over the full corpus), and that
+    compaction actually reduced the file count; conflict/expiry
+    mechanics are pytest-asserted (tests/test_versioned.py)."""
+    import tempfile as _tf
+
+    from deftunes_spark.io.versioned import (
+        compact_versioned,
+        read_version,
+        write_versioned,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = _tf.mkdtemp(prefix="deftunes_vcompact_") + "/tbl"
+    for i in range(3):
+        write_versioned(
+            spark,
+            docs.filter(F.col("doc_id") % 3 == i).repartition(8),
+            path,
+            mode="overwrite" if i == 0 else "append",
+        )
+    stats = compact_versioned(spark, path, target_file_bytes=10**9)
+    back = read_version(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    ).select(
+        F.lit(stats["new_version"]).cast("int").alias("new_version"),
+        F.lit(stats["base_version"]).cast("int").alias("base_version"),
+        "n_rows",
+        "id_sum",
+        F.lit(
+            stats["files_after"] < stats["files_before"]
+        ).alias("files_reduced"),
+    )
