@@ -2090,3 +2090,100 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_10", F.round(F.col("n_hits") / 10.0, 6)
         )
     )
+
+
+@query(
+    "events_stream_scd2_enrich",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, event_type,
+               lag(event_type) OVER w AS prev_type,
+               lag(ts) OVER w AS prev_ts
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), versions AS (
+        SELECT user_id, ts, event_type FROM ordered
+        WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
+    ), scd AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS valid_to
+        FROM versions
+    ), p AS (
+        SELECT user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT state, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+    FROM p JOIN scd
+      ON p.user_id = scd.user_id
+     AND p.ts > scd.valid_from
+     AND (scd.valid_to IS NULL OR p.ts <= scd.valid_to)
+    GROUP BY 1
+    """,
+)
+def q_events_stream_scd2_enrich(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-time dimension enrichment IN A STREAM: purchases flow
+    as a file stream and each one joins the SCD2 user-state dimension
+    row valid JUST BEFORE its event time (valid_from < ts ≤ valid_to:
+    the state the user was IN when they purchased — the purchase event
+    itself starts a new version at exactly ts, so the half-open
+    look-back excludes it) — the late-arriving-dimension correctness
+    pattern a lakehouse needs so replayed/backfilled streams enrich
+    against history, not today's dim. Stream-static join with the dim
+    broadcast (at most ONE interval matches per purchase; a user's
+    first-ever event has no prior state and drops out of the inner
+    join); per-state aggregate run
+    to completion via availableNow. At 100 TB the dim is bucketed by
+    user key instead of broadcast — the interval predicate is
+    unchanged. Oracle: the identical batch point-in-time join."""
+    import tempfile as _tf
+
+    from deftunes_spark.ext.scd import scd2_from_log
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_from_log(
+        ev.select("user_id", "ts", "event_type"),
+        key="user_id",
+        ts="ts",
+        attrs=["event_type"],
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    src = _tf.mkdtemp(prefix="deftunes_scd2stream_src_")
+    purchases.write.mode("overwrite").parquet(src)
+
+    def _enrich(stream):
+        return (
+            stream.join(
+                F.broadcast(dim),
+                (stream["user_id"] == F.col("d_user"))
+                & (stream["ts"] > F.col("valid_from"))
+                & (
+                    F.col("valid_to").isNull()
+                    | (stream["ts"] <= F.col("valid_to"))
+                ),
+            )
+            .groupBy("state")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("value_sum"),
+            )
+        )
+
+    return run_stream_once(
+        spark,
+        src,
+        "user_id bigint, ts timestamp, value double",
+        _enrich,
+        query_name="deftunes_scd2_enrich_stream",
+    )
