@@ -60,9 +60,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Rows-only query -> its value-hash oracle twin. The pair sorts by the
-# MINIMUM of the two coverage tiers, so whenever the rotation pulls one
-# into the driver's 50-query sample the other comes with it — the
-# artifact then always shows the twin green next to the rows-only row.
+# MINIMUM of the two coverage tiers, so when the rotation pulls one
+# toward the driver's 50-query sample the other travels with it and
+# the artifact shows the twin green next to the rows-only row. (The
+# pair can still straddle the fixed sample boundary — positions 50/51
+# — at most one round before coverage re-ties them, so the guarantee
+# is per-rotation, not per-round.)
 _ORACLE_TWINS = {
     "dedup_minhash_fast": "dedup_minhash",
     "dedup_incremental_fast": "dedup_incremental",

@@ -2095,11 +2095,19 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_stream_scd2_enrich",
     """
-    WITH ordered AS (
+    WITH dedup AS (
+        SELECT user_id, ts, event_type FROM (
+            SELECT user_id, ts, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id, ts ORDER BY event_id
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ), ordered AS (
         SELECT user_id, ts, event_type,
                lag(event_type) OVER w AS prev_type,
                lag(ts) OVER w AS prev_ts
-        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        FROM dedup WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), versions AS (
         SELECT user_id, ts, event_type FROM ordered
         WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
@@ -2142,9 +2150,24 @@ def q_events_stream_scd2_enrich(
 
     from deftunes_spark.ext.scd import scd2_from_log
 
+    from pyspark.sql.window import Window as _W
+
     ev = _t(spark, sf_dir, "events")
+    # scd2_from_log requires unique (key, ts): deterministic min-
+    # event_id dedup per instant, mirrored in the oracle's dedup CTE.
+    log = (
+        ev.select("user_id", "ts", "event_type", "event_id")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                _W.partitionBy("user_id", "ts").orderBy("event_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "event_id")
+    )
     dim = scd2_from_log(
-        ev.select("user_id", "ts", "event_type"),
+        log,
         key="user_id",
         ts="ts",
         attrs=["event_type"],

@@ -22,11 +22,22 @@ from deftunes_spark.ext.scd import scd2_from_log
 # =====================================================================
 
 _SCD2_ORACLE = """
-WITH ordered AS (
+WITH dedup AS (
+    -- scd2_from_log requires unique (key, ts): deterministically keep
+    -- the min-event_id row per instant so regenerated testdata with
+    -- same-ts events can't make the two engines pick different orders.
+    SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, ts ORDER BY event_id
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+), ordered AS (
     SELECT user_id, ts, event_type,
            lag(event_type) OVER w AS prev_type,
            lag(ts) OVER w AS prev_ts
-    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    FROM dedup WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), versions AS (
     SELECT user_id, ts, event_type FROM ordered
     WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
@@ -43,7 +54,20 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 build: collapse each user's event-type log into
     versioned rows with [valid_from, valid_to) ranges — lag to detect
     changes, lead for the closing edge, one shuffle on the key."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    # Enforce scd2_from_log's unique-(key, ts) precondition
+    # deterministically (min event_id per instant — mirrored in the
+    # oracle's dedup CTE).
+    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    ev = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "event_id")
+    )
     return scd2_from_log(ev, "user_id", "ts", ["event_type"])
 
 

@@ -410,16 +410,34 @@ def _semantic_dominated_grouped(
     strict-upper-triangle cosine matrix in column blocks with BLAS
     (``V @ V_blk.T``), mark any j with an i<j neighbor ≥ threshold.
     Pairs inside the ±1e-9 guard band around the threshold are
-    re-evaluated with ``np.add.reduce`` (strict left-to-right
-    summation — the expression engine's exact op order, and
-    0.0+x is exact so the fold's seed changes nothing), making the
-    DECISION set independent of BLAS summation order. Guard-band hits
-    are O(pairs-on-the-boundary) — in practice a handful, worst case
-    still exact.
+    re-evaluated with ``_seq_cosine`` — a PLAIN PYTHON left-to-right
+    fold for the dot and both norms, the expression engine's exact op
+    order (NOT ``np.add.reduce``, which unrolls multiple accumulators
+    / pairwise-sums and differs from a sequential fold in the last
+    ulps for most 64-dim inputs) — making the DECISION set independent
+    of vectorized summation order. The fast path's error vs the
+    sequential value is ~1e-12 relative, far inside the 1e-9 band, so
+    every boundary-sensitive pair IS rechecked. Guard-band hits are
+    O(pairs-on-the-boundary) — in practice a handful, worst case still
+    exact.
 
     Memory per task: n·block doubles (the sim block) + the group's
     vectors — bounded by cluster size, which the nlist ∝ corpus rule
     keeps O(corpus/nlist). Ids must be integral (cast upstream)."""
+
+    import math
+
+    def _seq_cosine(x, y):
+        """Cosine with strict left-to-right float summation — the
+        exact op order of aggregate(zip_with(...)): ((0+t1)+t2)+…"""
+        d = 0.0
+        nx = 0.0
+        ny = 0.0
+        for a, b in zip(x, y):
+            d += a * b
+            nx += a * a
+            ny += b * b
+        return d / (math.sqrt(nx) * math.sqrt(ny))
 
     def fold(pdf):
         n = len(pdf)
@@ -431,9 +449,10 @@ def _semantic_dominated_grouped(
         V = np.array(
             [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].iloc[order]]
         )
-        # Sequential-exact norms: same left-to-right order as the SQL
-        # aggregate fold (sqrt of the exact self-dot).
-        norms = np.sqrt(np.add.reduce(V * V, axis=1))
+        # Fast-path norms (vectorized; ~1e-15 relative off the
+        # sequential fold — absorbed by the guard band, whose members
+        # recompute everything sequentially).
+        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
         dom = np.zeros(n, dtype=bool)
         guard = 1e-9
         for j0 in range(0, n, block):
@@ -453,8 +472,7 @@ def _semantic_dominated_grouped(
             band = upper & (np.abs(sims - threshold) <= guard)
             band[:, dom_blk] = False
             for i, j in zip(*np.nonzero(band)):
-                d = float(np.add.reduce(V[i] * V[j0 + j]))
-                if d / (norms[i] * norms[j0 + j]) >= threshold:
+                if _seq_cosine(V[i], V[j0 + j]) >= threshold:
                     dom_blk[j] = True
             dom[j0:j1] |= dom_blk
         return pd.DataFrame({id_col: ids[dom]})

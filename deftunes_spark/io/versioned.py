@@ -131,7 +131,10 @@ class RenameCommitProtocol(CommitProtocol):
             # Re-establish the canonical lock; a FRESH claimer may
             # have slipped in after our rename — then they own it.
             won = _excl_create(spark, fs, lock)
-            fs.delete(grave, False)
+            try:
+                fs.delete(grave, False)
+            except Exception:
+                pass  # orphan .reclaim-* is invisible to readers
             return won
         except Exception:
             return False  # lock vanished / racing reclaimer — lost
@@ -160,7 +163,16 @@ class RenameCommitProtocol(CommitProtocol):
                 finally:
                     out.close()
             except Exception:
-                owned = False  # lock state unknown — abandon claim
+                # Abandon the claim, but do NOT strand the lock we
+                # just created: left in place (fresh mtime, no owner)
+                # it would block every writer of this version for
+                # stale_lock_ms while the caller's retry budget burns
+                # out in seconds.
+                owned = False
+                try:
+                    fs.delete(lock, False)
+                except Exception:
+                    pass
                 return False
             if fs.exists(final):
                 # Manifest landed between our exists-check and claim.
@@ -608,7 +620,10 @@ def compact_versioned(
     ][0]
     files_after = 0
     for d in _manifest_dirs(new_m):
-        files_after += fs.getContentSummary(_p(jvm, d)).getFileCount()
+        try:
+            files_after += fs.getContentSummary(_p(jvm, d)).getFileCount()
+        except Exception:
+            continue  # concurrent cleanup — stats only, commit stands
     return {
         "base_version": base["version"],
         "new_version": new_v,

@@ -126,17 +126,30 @@ def bucket_maxima(spark, sf_dir: str) -> dict:
         banded.groupBy("band", "key").count().agg(F.max("count")).first()[0]
     )
 
-    from deftunes_spark.driver_queries_ext import _IVF_CENTROIDS
+    from deftunes_spark.driver_queries_ext import (
+        _IVF_CENTROIDS,
+        _IVF_PROBE,
+    )
     from deftunes_spark.ext.similarity import ivf_assign
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    assigned = ivf_assign(emb, _IVF_CENTROIDS, "embedding", "cluster")
-    max_cluster = (
-        assigned.groupBy("cluster").count().agg(F.max("count")).first()[0]
+    sizes = (
+        ivf_assign(emb, _IVF_CENTROIDS, "embedding", "cluster")
+        .groupBy("cluster")
+        .count()
+        .collect()
+    )
+    max_cluster = max(r["count"] for r in sizes)
+    # The ivfpq scale claim specifically: the probe scans only the
+    # probed inverted lists, so THEIR maximum is the unit of work.
+    max_probed = max(
+        (r["count"] for r in sizes if r["cluster"] in _IVF_PROBE),
+        default=0,
     )
     return {
         "max_lsh_bucket": int(max_band),
         "max_ivf_cluster_rows": int(max_cluster),
+        "max_probed_list_rows": int(max_probed),
         "n_docs": docs.count(),
         "n_vecs": emb.count(),
     }
