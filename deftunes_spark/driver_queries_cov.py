@@ -808,3 +808,55 @@ def q_compact_versioned_roundtrip(
             stats["files_after"] < stats["files_before"]
         ).alias("files_reduced"),
     )
+
+
+_PRUNED_SCAN_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       TRUE AS files_pruned
+FROM orders
+WHERE o_orderkey BETWEEN 2000 AND 3999
+"""
+
+
+@query("versioned_pruned_scan", _PRUNED_SCAN_ORACLE)
+def q_versioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level data skipping end-to-end: orders land in three
+    key-range appends with per-file min/max stats recorded in each
+    manifest (stats_cols); a pruned read for the middle range scans
+    only intersecting files — Iceberg's file-pruning contract (a
+    SUPERSET, so the row filter still applies) — and the oracle checks
+    content equality against a plain filter while files_pruned pins
+    that skipping genuinely skipped."""
+    import tempfile as _tf
+
+    from deftunes_spark.io.versioned import (
+        plan_pruned_files,
+        read_version_pruned,
+        write_versioned,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    path = _tf.mkdtemp(prefix="deftunes_prune_") + "/tbl"
+    bounds = [(0, 1999), (2000, 3999), (4000, 10**9)]
+    for i, (lo, hi) in enumerate(bounds):
+        write_versioned(
+            spark,
+            o.filter(F.col("o_orderkey").between(lo, hi)).repartition(4),
+            path,
+            mode="overwrite" if i == 0 else "append",
+            stats_cols=["o_orderkey"],
+        )
+    files, total = plan_pruned_files(spark, path, "o_orderkey", 2000, 3999)
+    out = (
+        read_version_pruned(spark, path, "o_orderkey", 2000, 3999)
+        .filter(F.col("o_orderkey").between(2000, 3999))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+    )
+    return out.select(
+        "n_rows", "key_sum",
+        F.lit(len(files) < total).alias("files_pruned"),
+    )

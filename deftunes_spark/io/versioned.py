@@ -46,6 +46,7 @@ import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
 _DATA_PREFIX = "_v"
@@ -400,6 +401,7 @@ def write_versioned(
     protocol: CommitProtocol | None = None,
     extra: dict | None = None,
     require_base_version: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -428,6 +430,7 @@ def write_versioned(
         # _v{n} dir no manifest references.
         clash = set(extra) & {
             "version", "data_dir", "data_dirs", "ts_ms", "mode", "rows",
+            "file_stats",
         }
         if clash:
             raise ValueError(
@@ -436,6 +439,7 @@ def write_versioned(
     jvm, fs = _fs(spark, path)
     batch_dir: str | None = None  # df's data, written once, reused
     batch_rows: int | None = None
+    batch_stats: dict | None = None
     for attempt in range(max_retries):
         if attempt:
             # Losing the race can mean "version claimed but manifest
@@ -474,6 +478,10 @@ def write_versioned(
             # Footer-metadata count of the written files — never a
             # recompute of the input plan.
             batch_rows = spark.read.parquet(batch_dir).count()
+            if stats_cols:
+                batch_stats = _collect_file_stats(
+                    spark, batch_dir, stats_cols
+                )
         if mode == "append" and base_m is not None:
             data_dirs = _manifest_dirs(base_m) + [batch_dir]
             rows = int(base_m["rows"]) + batch_rows
@@ -490,6 +498,11 @@ def write_versioned(
             "mode": mode,
             "rows": rows,
         }
+        if stats_cols:
+            # Per-file min/max of the declared columns — the
+            # manifest-level data-skipping stats an Iceberg manifest
+            # carries; read_version_pruned consumes them.
+            manifest["file_stats"] = batch_stats
         if extra:
             # Caller metadata rides the manifest (e.g. the streaming
             # sink's (stream_id, batch_id) for exactly-once replay
@@ -519,15 +532,12 @@ def _now_ms(spark: SparkSession) -> int:
     return int(spark._jvm.System.currentTimeMillis())
 
 
-def read_version(
-    spark: SparkSession,
+def _resolve_version(
+    versions: list[dict],
     path: str,
-    version: int | None = None,
-    as_of_ts_ms: int | None = None,
-) -> DataFrame:
-    """Read a snapshot: explicit ``version``, or the newest manifest
-    with ``ts_ms <= as_of_ts_ms`` (time travel), or latest."""
-    versions = list_versions(spark, path)
+    version: int | None,
+    as_of_ts_ms: int | None,
+) -> dict:
     if not versions:
         raise FileNotFoundError(f"no published versions under {path}")
     if version is not None and as_of_ts_ms is not None:
@@ -539,22 +549,138 @@ def read_version(
                 f"version {version} not published (have "
                 f"{[m['version'] for m in versions]})"
             )
-        chosen = match[0]
-    elif as_of_ts_ms is not None:
+        return match[0]
+    if as_of_ts_ms is not None:
         eligible = [m for m in versions if m["ts_ms"] <= as_of_ts_ms]
         if not eligible:
             raise ValueError(
                 f"no version at or before ts {as_of_ts_ms}"
             )
-        chosen = eligible[-1]
-    else:
-        chosen = versions[-1]
+        return eligible[-1]
+    return versions[-1]
+
+
+def read_version(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of_ts_ms: int | None = None,
+) -> DataFrame:
+    """Read a snapshot: explicit ``version``, or the newest manifest
+    with ``ts_ms <= as_of_ts_ms`` (time travel), or latest."""
+    versions = list_versions(spark, path)
+    chosen = _resolve_version(versions, path, version, as_of_ts_ms)
     # mergeSchema: appends may add columns (unionByName semantics of
     # the old full-rewrite format) — older dirs surface NULLs for
     # columns they predate.
     return spark.read.option("mergeSchema", "true").parquet(
         *_manifest_dirs(chosen)
     )
+
+
+def _collect_file_stats(
+    spark: SparkSession, batch_dir: str, stats_cols: list[str]
+) -> dict:
+    """Per-file [min, max] of each stats column for one data dir —
+    computed from the just-written files with a single grouped scan
+    (driver memory is O(files × cols); a real deployment would spill
+    these to an avro/parquet manifest file, same information).
+
+    Values must round-trip JSON: numeric and string columns only
+    (timestamps/dates should be written as epoch numbers upstream).
+    An all-null file records [None, None] and is never pruned."""
+    df = spark.read.parquet(batch_dir)
+    from pyspark.sql import functions as _F
+
+    aggs = []
+    for c in stats_cols:
+        aggs.append(_F.min(c).alias(f"__mn_{c}"))
+        aggs.append(_F.max(c).alias(f"__mx_{c}"))
+    rows = (
+        df.groupBy(_F.input_file_name().alias("__f"))
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        out[r["__f"]] = {
+            c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in stats_cols
+        }
+    return out
+
+
+def read_version_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+    as_of_ts_ms: int | None = None,
+) -> DataFrame:
+    """Snapshot read with MANIFEST-LEVEL data skipping: only files
+    whose recorded [min, max] range for ``col`` intersects
+    ``[lo, hi]`` are scanned — Iceberg's file pruning, the layer that
+    turns a 100 TB table scan into a read of the few files a selective
+    predicate can touch BEFORE the engine's own row-group pruning even
+    starts. Conservative everywhere stats are missing: a dir written
+    without ``stats_cols``, a file with no entry for ``col``, or an
+    all-null range is always read.
+
+    The caller still applies the actual row filter — pruning is a
+    superset guarantee, not a filter (exactly Iceberg's contract).
+    ``plan_pruned_files`` exposes the decision for tests/EXPLAIN-style
+    audits."""
+    files, _total = plan_pruned_files(
+        spark, path, col, lo, hi, version, as_of_ts_ms
+    )
+    if not files:
+        return read_version(
+            spark, path, version=version, as_of_ts_ms=as_of_ts_ms
+        ).filter(F.lit(False))
+    return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+def plan_pruned_files(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+    as_of_ts_ms: int | None = None,
+) -> tuple[list[str], int]:
+    """(paths to scan, total candidate count) for a pruned read.
+
+    Stats travel with the manifest that INTRODUCED each data dir
+    (dirs are immutable, so the mapping dir → stats never goes
+    stale); a retained version whose introducing manifest was expired
+    falls back to scanning that dir whole."""
+    versions = list_versions(spark, path)
+    chosen = _resolve_version(versions, path, version, as_of_ts_ms)
+    dir_stats: dict[str, dict] = {}
+    for m in versions:
+        st = m.get("file_stats")
+        if st is not None:
+            dir_stats[m["data_dir"]] = st
+    files: list[str] = []
+    total = 0
+    for d in _manifest_dirs(chosen):
+        st = dir_stats.get(d)
+        if st is None:
+            files.append(d)  # no stats — scan the dir whole
+            total += 1
+            continue
+        for f, cols in st.items():
+            total += 1
+            rng = cols.get(col)
+            if rng is None or rng[0] is None or rng[1] is None:
+                files.append(f)
+                continue
+            mn, mx = rng
+            if (lo is None or mx >= lo) and (hi is None or mn <= hi):
+                files.append(f)
+    return files, total
 
 
 def compact_versioned(

@@ -478,3 +478,61 @@ def test_conditional_commit_conflict(spark, tmp_path):
         require_base_version=1,
     )
     assert v == 2 and V.read_version(spark, t).count() == 3
+
+
+def test_manifest_file_stats_pruned_read(spark, tmp_path):
+    """Iceberg-style data skipping: appends record per-file min/max in
+    their manifest; a pruned read scans only files whose range
+    intersects the predicate — and stays a SUPERSET of the true
+    result, with missing-stats dirs read conservatively."""
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):  # disjoint id ranges, 4 files each
+        V.write_versioned(
+            spark,
+            spark.range(lo, lo + 100).toDF("id").repartition(4),
+            t,
+            mode="overwrite" if lo == 0 else "append",
+            stats_cols=["id"],
+        )
+    files, total = V.plan_pruned_files(spark, t, "id", lo=120, hi=180)
+    assert total == 12
+    assert len(files) < total  # pruning actually pruned
+    got = sorted(
+        r.id
+        for r in V.read_version_pruned(spark, t, "id", 120, 180)
+        .filter("id BETWEEN 120 AND 180")
+        .collect()
+    )
+    assert got == list(range(120, 181))
+    # Superset contract: unpruned files may carry extra rows, but
+    # nothing in range may be lost — checked against the full read.
+    full = sorted(
+        r.id
+        for r in V.read_version(spark, t)
+        .filter("id BETWEEN 120 AND 180")
+        .collect()
+    )
+    assert got == full
+    # Open-ended bounds and fully-out-of-range predicates.
+    all_rows = V.read_version_pruned(spark, t, "id", lo=250).count()
+    assert all_rows == sum(
+        1 for r in V.read_version(spark, t).collect() if r.id >= 250
+    ) + len(
+        [r for r in V.read_version_pruned(spark, t, "id", lo=250)
+         .filter("id < 250").collect()]
+    )
+    none_files, _ = V.plan_pruned_files(spark, t, "id", lo=900, hi=999)
+    assert none_files == []
+    assert V.read_version_pruned(spark, t, "id", 900, 999).count() == 0
+    # A dir written WITHOUT stats is always scanned (conservative).
+    V.write_versioned(
+        spark, spark.range(300, 310).toDF("id"), t, mode="append"
+    )
+    files2, total2 = V.plan_pruned_files(spark, t, "id", lo=120, hi=180)
+    assert any(f.rstrip("/").startswith(t.rstrip("/")) for f in files2)
+    got2 = (
+        V.read_version_pruned(spark, t, "id", 120, 180)
+        .filter("id BETWEEN 120 AND 180")
+        .count()
+    )
+    assert got2 == 61
