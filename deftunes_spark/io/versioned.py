@@ -759,6 +759,46 @@ def compact_versioned(
     }
 
 
+def vacuum_orphans(
+    spark: SparkSession,
+    path: str,
+    grace_ms: int = 24 * 3600 * 1000,
+) -> list[str]:
+    """Delete data directories no manifest references — the strandings
+    of writers that crashed between batch write and manifest publish
+    (Delta ``VACUUM`` / Iceberg ``remove_orphan_files``). Without this
+    pass a busy table slowly leaks its crashed writers' batches.
+
+    ``grace_ms`` guards the race against LIVE writers: a writer that
+    has written its batch dir but not yet published would look like an
+    orphan, so only dirs older than the grace period (default 24 h —
+    far beyond any commit's retry budget) are eligible. Returns the
+    deleted directory paths."""
+    jvm, fs = _fs(spark, path)
+    root = _p(jvm, path)
+    if not fs.exists(root):
+        return []
+    referenced: set[str] = set()
+    for m in list_versions(spark, path):
+        referenced.update(
+            d.rstrip("/").rsplit("/", 1)[-1] for d in _manifest_dirs(m)
+        )
+    now = _now_ms(spark)
+    deleted: list[str] = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith(_DATA_PREFIX) or name in referenced:
+            continue
+        if now - st.getModificationTime() < grace_ms:
+            continue  # possibly a live writer mid-commit
+        try:
+            fs.delete(st.getPath(), True)
+            deleted.append(str(st.getPath()))
+        except Exception:
+            continue  # contested/already gone — next pass gets it
+    return deleted
+
+
 def expire_versions(
     spark: SparkSession, path: str, keep_last: int = 2
 ) -> list[int]:

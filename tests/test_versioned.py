@@ -536,3 +536,35 @@ def test_manifest_file_stats_pruned_read(spark, tmp_path):
         .count()
     )
     assert got2 == 61
+
+
+def test_vacuum_orphans(spark, tmp_path):
+    """Only UNREFERENCED data dirs past the grace period are deleted:
+    referenced dirs and fresh strandings survive, aged strandings go."""
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark, spark.range(5).toDF("id"), t)
+    V.write_versioned(
+        spark, spark.range(5, 8).toDF("id"), t, mode="append"
+    )
+    # Strand two dirs: a crashed writer's batch (aged) and a live
+    # writer's batch (fresh mtime).
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(t).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    aged = f"{t}/_v9-deadbeef"
+    fresh = f"{t}/_v9-cafebabe"
+    spark.range(1).toDF("id").write.parquet(aged)
+    spark.range(1).toDF("id").write.parquet(fresh)
+    old = int(jvm.System.currentTimeMillis()) - 48 * 3600 * 1000
+    fs.setTimes(jvm.org.apache.hadoop.fs.Path(aged), old, -1)
+
+    deleted = V.vacuum_orphans(spark, t, grace_ms=3600 * 1000)
+    assert len(deleted) == 1 and deleted[0].endswith("_v9-deadbeef")
+    assert not fs.exists(jvm.org.apache.hadoop.fs.Path(aged))
+    assert fs.exists(jvm.org.apache.hadoop.fs.Path(fresh))
+    # The table itself is untouched.
+    assert sorted(r.id for r in V.read_version(spark, t).collect()) == list(
+        range(8)
+    )
+    assert V.read_version(spark, t, version=0).count() == 5
