@@ -860,3 +860,49 @@ def q_versioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows", "key_sum",
         F.lit(len(files) < total).alias("files_pruned"),
     )
+
+
+_DELETE_MOR_ORACLE = """
+SELECT 1 AS delete_version,
+       TRUE AS no_data_rewritten,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+WHERE NOT COALESCE(o_totalprice > 200000, FALSE)
+"""
+
+
+@query("versioned_delete_mor", _DELETE_MOR_ORACLE)
+def q_versioned_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE, merge-on-read: the predicate commits as pure
+    metadata (the new manifest references the SAME data dirs — pinned
+    by no_data_rewritten) and readers apply NOT coalesce(pred, false)
+    at scan time, so NULL-evaluating rows survive exactly as SQL
+    DELETE leaves them. O(metadata) commit regardless of table size —
+    the GDPR-pass shape at 100 TB; compact_versioned later folds the
+    predicates into a materialized snapshot (pytest-asserted)."""
+    import tempfile as _tf
+
+    from deftunes_spark.io.versioned import (
+        _manifest_dirs,
+        delete_where,
+        list_versions,
+        read_version,
+        write_versioned,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = _tf.mkdtemp(prefix="deftunes_delmor_") + "/tbl"
+    write_versioned(spark, o, path)
+    v = delete_where(spark, path, "o_totalprice > 200000")
+    ms = list_versions(spark, path)
+    same_dirs = _manifest_dirs(ms[-1]) == _manifest_dirs(ms[0])
+    return read_version(spark, path).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    ).select(
+        F.lit(v).cast("int").alias("delete_version"),
+        F.lit(same_dirs).alias("no_data_rewritten"),
+        "n_rows",
+        "key_sum",
+    )

@@ -430,7 +430,7 @@ def write_versioned(
         # _v{n} dir no manifest references.
         clash = set(extra) & {
             "version", "data_dir", "data_dirs", "ts_ms", "mode", "rows",
-            "file_stats",
+            "file_stats", "delete_predicates",
         }
         if clash:
             raise ValueError(
@@ -572,9 +572,13 @@ def read_version(
     chosen = _resolve_version(versions, path, version, as_of_ts_ms)
     # mergeSchema: appends may add columns (unionByName semantics of
     # the old full-rewrite format) — older dirs surface NULLs for
-    # columns they predate.
-    return spark.read.option("mergeSchema", "true").parquet(
-        *_manifest_dirs(chosen)
+    # columns they predate. Merge-on-read delete predicates (if any)
+    # apply at scan time.
+    return _apply_delete_predicates(
+        spark.read.option("mergeSchema", "true").parquet(
+            *_manifest_dirs(chosen)
+        ),
+        chosen,
     )
 
 
@@ -638,7 +642,12 @@ def read_version_pruned(
         return read_version(
             spark, path, version=version, as_of_ts_ms=as_of_ts_ms
         ).filter(F.lit(False))
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    chosen = _resolve_version(
+        list_versions(spark, path), path, version, as_of_ts_ms
+    )
+    return _apply_delete_predicates(
+        spark.read.option("mergeSchema", "true").parquet(*files), chosen
+    )
 
 
 def plan_pruned_files(
@@ -757,6 +766,92 @@ def compact_versioned(
         "files_after": int(files_after),
         "bytes": int(total_bytes),
     }
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    strategy: str = "metadata",
+    protocol: CommitProtocol | None = None,
+) -> int:
+    """Row-level DELETE on a versioned table; returns the new version.
+
+    ``strategy="metadata"`` is merge-on-read (Iceberg v2's delete
+    shape at predicate granularity): NO data is rewritten — the new
+    manifest references the SAME data dirs plus the predicate, and
+    readers apply ``NOT coalesce(condition, false)`` at scan time
+    (SQL DELETE semantics: NULL-evaluating rows survive). O(metadata)
+    commit cost regardless of table size — the only viable shape for
+    a daily GDPR pass over 100 TB. Accumulated predicates fold away at
+    the next ``compact_versioned`` (which materializes the filtered
+    read and publishes a predicate-free snapshot) — exactly the
+    MOR→COW folding Iceberg's rewrite procedures do.
+
+    ``strategy="rewrite"`` is copy-on-write: materialize the filtered
+    snapshot as a fresh version now (costs a table rewrite; reads pay
+    nothing afterward).
+
+    Both serialize against concurrent writers with the conditional
+    commit: a delete races an append for CORRECTNESS (the append may
+    add rows the predicate should remove), so losing the race raises
+    ``CommitConflict`` for the caller to re-run against the new
+    snapshot — serializable-isolation behavior, not blind retry.
+
+    Time travel is unaffected: versions before the delete keep their
+    undeleted content."""
+    if strategy not in ("metadata", "rewrite"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    versions = list_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no published versions under {path}")
+    base = versions[-1]
+    keep = ~F.coalesce(F.expr(condition), F.lit(False))
+    if strategy == "rewrite":
+        df = read_version(spark, path, version=base["version"]).filter(
+            keep
+        )
+        return write_versioned(
+            spark,
+            df,
+            path,
+            mode="overwrite",
+            protocol=protocol,
+            extra={"rewrite_delete_of": condition},
+            require_base_version=base["version"],
+        )
+    # Metadata-only: one count job (for the manifest's rows field),
+    # then a manifest publish referencing the base's dirs verbatim.
+    remaining = int(
+        read_version(spark, path, version=base["version"])
+        .filter(keep)
+        .count()
+    )
+    n = base["version"] + 1
+    manifest = {
+        "version": n,
+        "data_dir": base["data_dir"],
+        "data_dirs": _manifest_dirs(base),
+        "ts_ms": max(base["ts_ms"] + 1, _now_ms(spark)),
+        "mode": "delete",
+        "rows": remaining,
+        "delete_predicates": list(base.get("delete_predicates") or [])
+        + [condition],
+    }
+    if not _publish_manifest(spark, path, manifest, protocol):
+        raise CommitConflict(
+            f"table {path} advanced past version {base['version']} "
+            "during delete — re-derive and re-run"
+        )
+    return n
+
+
+def _apply_delete_predicates(df: DataFrame, manifest: dict) -> DataFrame:
+    """Merge-on-read: filter out every accumulated delete predicate
+    (NULL-evaluating rows survive, matching SQL DELETE)."""
+    for cond in manifest.get("delete_predicates") or []:
+        df = df.filter(~F.coalesce(F.expr(cond), F.lit(False)))
+    return df
 
 
 def vacuum_orphans(

@@ -568,3 +568,87 @@ def test_vacuum_orphans(spark, tmp_path):
         range(8)
     )
     assert V.read_version(spark, t, version=0).count() == 5
+
+
+def test_delete_where_metadata_merge_on_read(spark, tmp_path):
+    """Metadata delete: no data rewritten, readers filter at scan
+    time, predicates accumulate, NULLs survive (SQL DELETE), history
+    stays undeleted, and compaction folds the predicates away."""
+    t = str(tmp_path / "tbl")
+    rows = [(i, float(i) if i % 4 else None) for i in range(20)]
+    V.write_versioned(
+        spark, spark.createDataFrame(rows, "id long, v double"), t
+    )
+    v1 = V.delete_where(spark, t, "v > 14.0")  # NULL v rows survive
+    assert v1 == 1
+    got = sorted(r.id for r in V.read_version(spark, t).collect())
+    assert got == [i for i in range(20) if i % 4 == 0 or i <= 14]
+    # No data dir was written: same dirs as version 0.
+    ms = V.list_versions(spark, t)
+    assert V._manifest_dirs(ms[1]) == V._manifest_dirs(ms[0])
+    assert ms[1]["rows"] == len(got)
+    # History: version 0 still has everything.
+    assert V.read_version(spark, t, version=0).count() == 20
+    # Second delete stacks.
+    V.delete_where(spark, t, "id < 2")
+    got2 = sorted(r.id for r in V.read_version(spark, t).collect())
+    assert got2 == [i for i in range(2, 20) if i % 4 == 0 or i <= 14]
+    # Compaction materializes the filtered snapshot, predicate-free.
+    V.compact_versioned(spark, t, target_file_bytes=10**9)
+    latest = V.list_versions(spark, t)[-1]
+    assert not latest.get("delete_predicates")
+    assert sorted(r.id for r in V.read_version(spark, t).collect()) == got2
+
+
+def test_delete_where_rewrite_and_conflict(spark, tmp_path):
+    """Copy-on-write delete materializes now; racing any other commit
+    surfaces CommitConflict instead of silently dropping it."""
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark, spark.range(10).toDF("id"), t)
+    v = V.delete_where(spark, t, "id >= 8", strategy="rewrite")
+    assert v == 1
+    assert V.read_version(spark, t).count() == 8
+    assert V.list_versions(spark, t)[-1]["rewrite_delete_of"] == "id >= 8"
+
+    # Conflict: another writer advances the table mid-delete.
+    import deftunes_spark.io.versioned as VV
+
+    orig = VV.list_versions
+    state = {"raced": False}
+
+    def racing_list(spark_, path_):
+        out = orig(spark_, path_)
+        if not state["raced"] and path_ == t:
+            state["raced"] = True
+            V.write_versioned(
+                spark, spark.range(100, 103).toDF("id"), t, mode="append"
+            )
+        return out
+
+    VV.list_versions = racing_list
+    try:
+        with pytest.raises(V.CommitConflict):
+            V.delete_where(spark, t, "id < 3")
+    finally:
+        VV.list_versions = orig
+    # The interleaved append survived; the failed delete changed nothing.
+    assert V.read_version(spark, t).count() == 11
+
+
+def test_delete_predicates_compose_with_pruned_read(spark, tmp_path):
+    """Merge-on-read deletes apply on the PRUNED read path too."""
+    t = str(tmp_path / "tbl")
+    V.write_versioned(
+        spark,
+        spark.range(100).toDF("id").repartition(4),
+        t,
+        stats_cols=["id"],
+    )
+    V.delete_where(spark, t, "id BETWEEN 40 AND 49")
+    got = sorted(
+        r.id
+        for r in V.read_version_pruned(spark, t, "id", 30, 60)
+        .filter("id BETWEEN 30 AND 60")
+        .collect()
+    )
+    assert got == list(range(30, 40)) + list(range(50, 61))
