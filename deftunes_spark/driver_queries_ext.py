@@ -2092,17 +2092,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_stream_scd2_enrich",
-    """
+def _scd2_enrich_oracle() -> str:
+    from deftunes_spark.ext.scd import scd2_tie_dedup_cte
+
+    return f"""
     WITH dedup AS (
-        SELECT user_id, ts, event_type FROM (
-            SELECT user_id, ts, event_type,
-                   row_number() OVER (
-                       PARTITION BY user_id, ts ORDER BY event_id
-                   ) AS rn
-            FROM events
-        ) WHERE rn = 1
+        {scd2_tie_dedup_cte()}
     ), ordered AS (
         SELECT user_id, ts, event_type,
                lag(event_type) OVER w AS prev_type,
@@ -2127,8 +2122,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND p.ts > scd.valid_from
      AND (scd.valid_to IS NULL OR p.ts <= scd.valid_to)
     GROUP BY 1
-    """,
-)
+    """
+
+
+@query("events_stream_scd2_enrich", _scd2_enrich_oracle())
 def q_events_stream_scd2_enrich(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2150,21 +2147,14 @@ def q_events_stream_scd2_enrich(
 
     from deftunes_spark.ext.scd import scd2_from_log
 
-    from pyspark.sql.window import Window as _W
+    from deftunes_spark.ext.scd import dedup_log_ties
 
     ev = _t(spark, sf_dir, "events")
-    # scd2_from_log requires unique (key, ts): deterministic min-
-    # event_id dedup per instant, mirrored in the oracle's dedup CTE.
-    log = (
-        ev.select("user_id", "ts", "event_type", "event_id")
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                _W.partitionBy("user_id", "ts").orderBy("event_id")
-            ),
-        )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "event_id")
+    # scd2_from_log requires unique (key, ts): shared deterministic
+    # dedup, mirrored by the oracle's shared scd2_tie_dedup_cte.
+    log = dedup_log_ties(
+        ev.select("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", "event_id",
     )
     dim = scd2_from_log(
         log,

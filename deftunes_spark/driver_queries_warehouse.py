@@ -21,18 +21,11 @@ from deftunes_spark.ext.scd import scd2_from_log
 # SCD2: user activity-state history from the events log
 # =====================================================================
 
-_SCD2_ORACLE = """
+from deftunes_spark.ext.scd import scd2_tie_dedup_cte
+
+_SCD2_ORACLE = f"""
 WITH dedup AS (
-    -- scd2_from_log requires unique (key, ts): deterministically keep
-    -- the min-event_id row per instant so regenerated testdata with
-    -- same-ts events can't make the two engines pick different orders.
-    SELECT user_id, ts, event_type FROM (
-        SELECT user_id, ts, event_type,
-               row_number() OVER (
-                   PARTITION BY user_id, ts ORDER BY event_id
-               ) AS rn
-        FROM events
-    ) WHERE rn = 1
+    {scd2_tie_dedup_cte()}
 ), ordered AS (
     SELECT user_id, ts, event_type,
            lag(event_type) OVER w AS prev_type,
@@ -54,19 +47,13 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 build: collapse each user's event-type log into
     versioned rows with [valid_from, valid_to) ranges — lag to detect
     changes, lead for the closing edge, one shuffle on the key."""
-    from pyspark.sql.window import Window
+    from deftunes_spark.ext.scd import dedup_log_ties
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_type", "event_id"
-    )
-    # Enforce scd2_from_log's unique-(key, ts) precondition
-    # deterministically (min event_id per instant — mirrored in the
-    # oracle's dedup CTE).
-    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
-    ev = (
-        ev.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "event_id")
+    ev = dedup_log_ties(
+        _t(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_type", "event_id"
+        ),
+        "user_id", "ts", "event_id",
     )
     return scd2_from_log(ev, "user_id", "ts", ["event_type"])
 

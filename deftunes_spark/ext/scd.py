@@ -76,3 +76,40 @@ def scd2_lookup(
         & (scd["valid_to"].isNull() | (facts[fact_ts] < scd["valid_to"]))
     )
     return facts.join(scd, cond, "left").drop(scd[key])
+
+
+def dedup_log_ties(
+    df: DataFrame, key: str, ts: str, order_col: str
+) -> DataFrame:
+    """Enforce ``scd2_from_log``'s unique-(key, ts) precondition
+    deterministically: keep the min-``order_col`` row per (key, ts)
+    instant, so two engines (and two runs) can never pick different
+    orders for same-timestamp events. Mirror in SQL oracles with
+    ``scd2_tie_dedup_cte``."""
+    w = Window.partitionBy(key, ts).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", order_col)
+    )
+
+
+def scd2_tie_dedup_cte(
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    attr: str = "event_type",
+    order_col: str = "event_id",
+) -> str:
+    """The SQL mirror of ``dedup_log_ties`` — paste as a CTE body so
+    the Spark queries and their oracles stay in lockstep on the
+    tie-break rule."""
+    return f"""
+    SELECT {key}, {ts}, {attr} FROM (
+        SELECT {key}, {ts}, {attr},
+               row_number() OVER (
+                   PARTITION BY {key}, {ts} ORDER BY {order_col}
+               ) AS rn
+        FROM {table}
+    ) WHERE rn = 1
+    """

@@ -322,6 +322,13 @@ def ivf_assign(
     ) + ")"
     sd_col = f"_sd_{list_col}"
     dl_col = f"_dl_{list_col}"
+    clash = {sd_col, dl_col} & set(df.columns)
+    if clash:
+        # withColumn would silently REPLACE (and drop then delete) a
+        # user column of the same name — fail loudly instead.
+        raise ValueError(
+            f"ivf_assign staging columns clash with input: {clash}"
+        )
     out = (
         df.withColumn(sd_col, F.expr(_dot_sql(vec_col, vec_col)))
         .withColumn(
@@ -508,6 +515,14 @@ def pq_encode(
     # float ops in identical order — the PQ oracles are unaffected.
     out = df
     tmp = []
+    all_tmp = {
+        f"_pq{k}{j}_{code_col}" for j in range(m) for k in ("s", "d")
+    }
+    clash = all_tmp & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"pq_encode staging columns clash with input: {clash}"
+        )
     for j in range(m):
         s_col, d_col = f"_pqs{j}_{code_col}", f"_pqd{j}_{code_col}"
         tmp += [s_col, d_col]

@@ -475,16 +475,25 @@ def write_versioned(
         if batch_dir is None:
             batch_dir = f"{path}/{_DATA_PREFIX}{n}-{uuid.uuid4().hex[:8]}"
             df.write.mode("overwrite").parquet(batch_dir)
-            # Footer-metadata count of the written files — never a
-            # recompute of the input plan.
-            batch_rows = spark.read.parquet(batch_dir).count()
+            # Count from the written files — never a recompute of the
+            # input plan. With stats_cols the per-file grouped scan
+            # yields the count too (ONE pass, not two).
             if stats_cols:
-                batch_stats = _collect_file_stats(
+                batch_stats, batch_rows = _collect_file_stats(
                     spark, batch_dir, stats_cols
                 )
+            else:
+                batch_rows = spark.read.parquet(batch_dir).count()
+        carried_preds = None
         if mode == "append" and base_m is not None:
             data_dirs = _manifest_dirs(base_m) + [batch_dir]
             rows = int(base_m["rows"]) + batch_rows
+            # Merge-on-read deletes MUST survive appends: the base's
+            # scoped predicates carry forward verbatim (their dir
+            # scope excludes the new batch, so appended rows matching
+            # an old predicate correctly survive — and deleted rows
+            # stay deleted instead of resurrecting).
+            carried_preds = base_m.get("delete_predicates") or None
         else:
             data_dirs = [batch_dir]
             rows = batch_rows
@@ -503,6 +512,8 @@ def write_versioned(
             # manifest-level data-skipping stats an Iceberg manifest
             # carries; read_version_pruned consumes them.
             manifest["file_stats"] = batch_stats
+        if carried_preds:
+            manifest["delete_predicates"] = carried_preds
         if extra:
             # Caller metadata rides the manifest (e.g. the streaming
             # sink's (stream_id, batch_id) for exactly-once replay
@@ -584,33 +595,35 @@ def read_version(
 
 def _collect_file_stats(
     spark: SparkSession, batch_dir: str, stats_cols: list[str]
-) -> dict:
-    """Per-file [min, max] of each stats column for one data dir —
-    computed from the just-written files with a single grouped scan
-    (driver memory is O(files × cols); a real deployment would spill
-    these to an avro/parquet manifest file, same information).
+) -> tuple[dict, int]:
+    """(per-file stats, total row count) for one data dir — per-file
+    [min, max] of each stats column plus counts, all from ONE grouped
+    scan of the just-written files (driver memory is O(files × cols);
+    a real deployment would spill these to an avro/parquet manifest
+    file, same information).
 
     Values must round-trip JSON: numeric and string columns only
     (timestamps/dates should be written as epoch numbers upstream).
     An all-null file records [None, None] and is never pruned."""
     df = spark.read.parquet(batch_dir)
-    from pyspark.sql import functions as _F
 
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in stats_cols:
-        aggs.append(_F.min(c).alias(f"__mn_{c}"))
-        aggs.append(_F.max(c).alias(f"__mx_{c}"))
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
     rows = (
-        df.groupBy(_F.input_file_name().alias("__f"))
+        df.groupBy(F.input_file_name().alias("__f"))
         .agg(*aggs)
         .collect()
     )
     out: dict[str, dict] = {}
+    total = 0
     for r in rows:
+        total += int(r["__n"])
         out[r["__f"]] = {
             c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in stats_cols
         }
-    return out
+    return out, total
 
 
 def read_version_pruned(
@@ -635,16 +648,19 @@ def read_version_pruned(
     superset guarantee, not a filter (exactly Iceberg's contract).
     ``plan_pruned_files`` exposes the decision for tests/EXPLAIN-style
     audits."""
-    files, _total = plan_pruned_files(
-        spark, path, col, lo, hi, version, as_of_ts_ms
-    )
+    # ONE manifest listing serves both the file plan and the delete
+    # predicates — two listings would double manifest I/O and could
+    # resolve different snapshots if a commit landed in between.
+    versions = list_versions(spark, path)
+    chosen = _resolve_version(versions, path, version, as_of_ts_ms)
+    files, _total = _plan_pruned(versions, chosen, col, lo, hi)
     if not files:
-        return read_version(
-            spark, path, version=version, as_of_ts_ms=as_of_ts_ms
-        ).filter(F.lit(False))
-    chosen = _resolve_version(
-        list_versions(spark, path), path, version, as_of_ts_ms
-    )
+        return _apply_delete_predicates(
+            spark.read.option("mergeSchema", "true")
+            .parquet(*_manifest_dirs(chosen))
+            .filter(F.lit(False)),
+            chosen,
+        )
     return _apply_delete_predicates(
         spark.read.option("mergeSchema", "true").parquet(*files), chosen
     )
@@ -667,6 +683,12 @@ def plan_pruned_files(
     falls back to scanning that dir whole."""
     versions = list_versions(spark, path)
     chosen = _resolve_version(versions, path, version, as_of_ts_ms)
+    return _plan_pruned(versions, chosen, col, lo, hi)
+
+
+def _plan_pruned(
+    versions: list[dict], chosen: dict, col: str, lo, hi
+) -> tuple[list[str], int]:
     dir_stats: dict[str, dict] = {}
     for m in versions:
         st = m.get("file_stats")
@@ -697,6 +719,7 @@ def compact_versioned(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     protocol: CommitProtocol | None = None,
+    stats_cols: list[str] | str | None = "auto",
 ) -> dict:
     """Rewrite the LATEST snapshot into ~``target_file_bytes`` files
     and commit the rewrite as a NEW version — Iceberg's
@@ -738,6 +761,16 @@ def compact_versioned(
         total_bytes += summary.getLength()
         files_before += summary.getFileCount()
     n_files = max(1, -(-total_bytes // max(1, target_file_bytes)))
+    if stats_cols == "auto":
+        # Preserve data skipping through the rewrite: recompute stats
+        # for every column the base snapshot tracked (otherwise the
+        # compacted manifest would have no file_stats and every pruned
+        # read silently degrades to a full scan).
+        cols: set[str] = set()
+        for m in versions:
+            for file_cols in (m.get("file_stats") or {}).values():
+                cols.update(file_cols)
+        stats_cols = sorted(cols) or None
     df = read_version(spark, path, version=base["version"]).repartition(
         n_files
     )
@@ -749,6 +782,7 @@ def compact_versioned(
         protocol=protocol,
         extra={"compaction_of": base["version"]},
         require_base_version=base["version"],
+        stats_cols=stats_cols,
     )
     new_m = [
         m for m in list_versions(spark, path) if m["version"] == new_v
@@ -822,6 +856,12 @@ def delete_where(
         )
     # Metadata-only: one count job (for the manifest's rows field),
     # then a manifest publish referencing the base's dirs verbatim.
+    # The predicate is SCOPED to the data dirs that exist NOW —
+    # Iceberg's sequence-number rule: a delete applies to files
+    # already in the table, never to rows appended later (without the
+    # scope, the next append would re-apply every historical predicate
+    # to its fresh rows — and conversely, carrying nothing forward
+    # would resurrect deleted rows; both are wrong).
     remaining = int(
         read_version(spark, path, version=base["version"])
         .filter(keep)
@@ -836,22 +876,58 @@ def delete_where(
         "mode": "delete",
         "rows": remaining,
         "delete_predicates": list(base.get("delete_predicates") or [])
-        + [condition],
+        + [{"sql": condition, "dirs": _manifest_dirs(base)}],
     }
-    if not _publish_manifest(spark, path, manifest, protocol):
-        raise CommitConflict(
-            f"table {path} advanced past version {base['version']} "
-            "during delete — re-derive and re-run"
-        )
-    return n
+    # Transient claim contention (a winner mid-publish holding the
+    # lock) is NOT a conflict: retry while the base is unchanged, and
+    # only report CommitConflict when the table genuinely advanced.
+    for attempt in range(10):
+        if attempt:
+            time.sleep(min(0.05 * attempt, 0.5))
+            latest = latest_version(spark, path)
+            if latest != base["version"]:
+                raise CommitConflict(
+                    f"table {path} advanced to version {latest} during "
+                    f"delete (base {base['version']}) — re-derive and "
+                    "re-run"
+                )
+        if _publish_manifest(spark, path, manifest, protocol):
+            return n
+    raise RuntimeError(
+        f"delete_where: could not publish version {n} on {path} "
+        "(persistent lock contention)"
+    )
 
 
 def _apply_delete_predicates(df: DataFrame, manifest: dict) -> DataFrame:
     """Merge-on-read: filter out every accumulated delete predicate
-    (NULL-evaluating rows survive, matching SQL DELETE)."""
-    for cond in manifest.get("delete_predicates") or []:
-        df = df.filter(~F.coalesce(F.expr(cond), F.lit(False)))
-    return df
+    (NULL-evaluating rows survive, matching SQL DELETE).
+
+    Each predicate is scoped to the data dirs present when the delete
+    committed (``input_file_name`` provenance), so rows APPENDED after
+    the delete survive even when they match its condition — Iceberg's
+    sequence-number semantics. Legacy unscoped (plain-string)
+    predicates apply globally."""
+    preds = manifest.get("delete_predicates") or []
+    if not preds:
+        return df
+    df = df.withColumn("__vfile", F.input_file_name())
+    for p in preds:
+        if isinstance(p, str):  # legacy unscoped form
+            cond = F.coalesce(F.expr(p), F.lit(False))
+            df = df.filter(~cond)
+            continue
+        cond = F.coalesce(F.expr(p["sql"]), F.lit(False))
+        in_scope = F.lit(False)
+        for d in p.get("dirs") or []:
+            # input_file_name yields a URI (file:/...); dirs are the
+            # manifest's raw paths — match on the path tail.
+            tail = d.rstrip("/").rsplit("/", 1)[-1]
+            in_scope = in_scope | F.col("__vfile").contains(
+                f"/{tail}/"
+            )
+        df = df.filter(~(cond & in_scope))
+    return df.drop("__vfile")
 
 
 def vacuum_orphans(

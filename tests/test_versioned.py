@@ -652,3 +652,64 @@ def test_delete_predicates_compose_with_pruned_read(spark, tmp_path):
         .collect()
     )
     assert got == list(range(30, 40)) + list(range(50, 61))
+
+
+def test_append_after_metadata_delete_no_resurrection(spark, tmp_path):
+    """THE MOR-delete invariant (found by review, verified broken,
+    now fixed): appends after a metadata delete must (a) NOT
+    resurrect deleted rows — the predicate carries forward — and
+    (b) NOT delete the newly appended rows even when they match the
+    predicate — the predicate is scoped to the dirs that existed at
+    delete time (Iceberg sequence-number semantics)."""
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark, spark.range(20).toDF("id"), t)
+    V.delete_where(spark, t, "id >= 15")
+    assert V.read_version(spark, t).count() == 15
+    # Append rows 100-102 plus row 17 — 17 matches the old predicate
+    # but is NEW data, so it must survive.
+    V.write_versioned(
+        spark,
+        spark.createDataFrame([(100,), (101,), (102,), (17,)], "id long"),
+        t,
+        mode="append",
+    )
+    got = sorted(r.id for r in V.read_version(spark, t).collect())
+    assert got == list(range(15)) + [17, 100, 101, 102]
+    # Manifest row count agrees with the scan.
+    assert V.list_versions(spark, t)[-1]["rows"] == len(got)
+    # The exactly-once streaming sink appends through the same path —
+    # one more append keeps the invariant.
+    V.write_versioned(
+        spark, spark.createDataFrame([(16,)], "id long"), t, mode="append"
+    )
+    got2 = sorted(r.id for r in V.read_version(spark, t).collect())
+    assert got2 == sorted(got + [16])
+    # And a FRESH delete applies to everything present now.
+    V.delete_where(spark, t, "id >= 100")
+    got3 = sorted(r.id for r in V.read_version(spark, t).collect())
+    assert got3 == list(range(15)) + [16, 17]
+
+
+def test_semantic_dedup_zero_norm_vectors_kept(spark):
+    """Zero-norm embeddings (padding/failed-encoder rows) have
+    undefined cosine: BOTH engines keep them and neither crashes
+    (the expr path would raise DIVIDE_BY_ZERO under ANSI without the
+    guard)."""
+    from deftunes_spark.ext.curation import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # exact dup of 0
+        (2, [0.0, 0.0, 0.0, 0.0]),   # zero vector
+        (3, [0.0, 0.0, 0.0, 0.0]),   # another zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[0.0, 0.0, 0.0, 0.0]]
+    for method in ("grouped", "expr"):
+        got = {
+            r.vec_id: r.kept
+            for r in semantic_dedup(
+                df, cents, threshold=0.9, method=method
+            ).collect()
+        }
+        assert got == {0: True, 1: False, 2: True, 3: True}, method
