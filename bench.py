@@ -82,6 +82,14 @@ HEADLINE = [
     # and the alphabet-bounded entropy shuffle:
     "gopher_rules",
     "text_char_entropy",
+    # r5 additions: component-clustered split (iterative components +
+    # hash split), cross-source shingle overlap (distinct + bucketed
+    # pair join), journey-string pattern match (ordered collect_list),
+    # and the 5-pipeline ANN recall harness:
+    "leakage_safe_split",
+    "source_overlap",
+    "event_pattern_match",
+    "ann_recall",
 ]
 
 WARMUP_RUNS = 2
