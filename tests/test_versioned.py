@@ -713,3 +713,72 @@ def test_semantic_dedup_zero_norm_vectors_kept(spark):
             ).collect()
         }
         assert got == {0: True, 1: False, 2: True, 3: True}, method
+
+
+def test_racing_deletes_and_appends_consistent_history(spark, tmp_path):
+    """Concurrent appends (unconditional) and metadata deletes
+    (conditional, app-level retry on CommitConflict) must leave a
+    contiguous, metadata-consistent history: every version's manifest
+    row count equals its actual scan, appends only grow content,
+    deletes only shrink it — no resurrection, no lost append."""
+    t = str(tmp_path / "tbl")
+    V.write_versioned(spark, spark.range(10).toDF("id"), t)
+    errs = []
+
+    def appender(lo):
+        try:
+            V.write_versioned(
+                spark,
+                spark.range(lo, lo + 5).toDF("id"),
+                t,
+                mode="append",
+            )
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    def deleter(cond):
+        for _ in range(8):
+            try:
+                V.delete_where(spark, t, cond)
+                return
+            except V.CommitConflict:
+                continue
+            except Exception as exc:  # pragma: no cover
+                errs.append(exc)
+                return
+        errs.append(RuntimeError(f"delete never committed: {cond}"))
+
+    threads = [
+        threading.Thread(target=appender, args=(100,)),
+        threading.Thread(target=deleter, args=("id < 5",)),
+        threading.Thread(target=appender, args=(200,)),
+        threading.Thread(target=deleter, args=("id >= 205",)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    ms = V.list_versions(spark, t)
+    assert [m["version"] for m in ms] == list(range(len(ms)))
+    ts = [m["ts_ms"] for m in ms]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)
+    prev: set | None = None
+    for m in ms:
+        cur = {
+            r.id
+            for r in V.read_version(spark, t, version=m["version"]).collect()
+        }
+        assert m["rows"] == len(cur), f"v{m['version']} metadata drift"
+        if prev is not None:
+            if m["mode"] == "append":
+                assert prev <= cur, f"v{m['version']} lost rows on append"
+                assert len(cur) == len(prev) + 5
+            elif m["mode"] == "delete":
+                assert cur <= prev, f"v{m['version']} grew on delete"
+        prev = cur
+    # Both deletes committed and both appends landed: final content is
+    # base minus id<5, plus both batches, minus id>=205.
+    assert prev == set(range(5, 10)) | set(range(100, 105)) | {
+        200, 201, 202, 203, 204,
+    }
