@@ -219,11 +219,16 @@ class ConditionalPutCommitProtocol(CommitProtocol):
     ``attribute_not_exists`` write, ...); it must be all-or-nothing —
     on False/exception, nothing may be visible at ``key``.
 
-    Without ``put_fn``, falls back to Hadoop ``create(path,
-    overwrite=False)`` — exclusive create, atomic on HDFS/local, so
-    the protocol is testable (incl. under contention) in this
-    container; a REAL object store must supply ``put_fn``, since
-    S3A's create() is check-then-write, not conditional."""
+    Without ``put_fn``, the fallback depends on the scheme:
+    ``file://`` routes through java.nio ``Files.write`` with
+    ``CREATE_NEW`` — a single O_EXCL open, exactly one winner —
+    because Hadoop LocalFileSystem's ``create(path, overwrite=False)``
+    is exists-check-then-create and double-succeeds under thread
+    races (the same pathology ``_excl_create`` fixes for the rename
+    protocol's lock claim). Other schemes use Hadoop exclusive
+    ``create(path, False)``, which IS atomic on HDFS. A REAL object
+    store must supply ``put_fn``, since S3A's create() is
+    check-then-write, not conditional."""
 
     def __init__(
         self, put_fn: Callable[[str, bytes], bool] | None = None
@@ -238,8 +243,37 @@ class ConditionalPutCommitProtocol(CommitProtocol):
             return bool(self._put_fn(key, payload))
         jvm, fs = _fs(spark, mdir)
         fs.mkdirs(_p(jvm, mdir))
+        if fs.getUri().getScheme() == "file":
+            # LocalFileSystem's create(path, False) is exists-check-
+            # then-create — two racers can BOTH succeed. java.nio
+            # CREATE_NEW maps to one O_EXCL open: exactly one winner.
+            gw = spark.sparkContext._gateway
+            p = jvm.java.io.File(
+                _p(jvm, key).toUri().getPath()
+            ).toPath()
+            opts = gw.new_array(jvm.java.nio.file.OpenOption, 2)
+            opts[0] = jvm.java.nio.file.StandardOpenOption.CREATE_NEW
+            opts[1] = jvm.java.nio.file.StandardOpenOption.WRITE
+            try:
+                jvm.java.nio.file.Files.write(p, payload, opts)
+                return True
+            except Exception as exc:
+                msg = str(exc)
+                if (
+                    "FileAlreadyExists" in msg
+                    or "exists" in msg.lower()
+                ):
+                    return False  # lost the race — loser, not error
+                # CREATE_NEW succeeded but the payload didn't land
+                # whole: delete the partial before surfacing, per the
+                # class contract that on failure nothing is visible.
+                try:
+                    jvm.java.nio.file.Files.deleteIfExists(p)
+                except Exception:
+                    pass
+                raise
         try:
-            out = fs.create(_p(jvm, key), False)  # exclusive create
+            out = fs.create(_p(jvm, key), False)  # exclusive create (HDFS)
         except Exception as exc:
             # Only a lost race (FileAlreadyExistsException) maps to
             # False; genuine IO/permission failures must surface, not
