@@ -82,9 +82,11 @@ def cosine_to_query(
 ) -> DataFrame:
     q = _vec_lit(query_vec)
     qn = float(np.linalg.norm(np.asarray(query_vec, dtype="float64")))
-    sim = dot_expr(F.col(vec_col), q) / (
-        norm_expr(F.col(vec_col)) * F.lit(qn)
-    )
+    denom = norm_expr(F.col(vec_col)) * F.lit(qn)
+    # Zero-norm rows (padding / failed-encoder embeddings) would
+    # raise DIVIDE_BY_ZERO under ANSI mode — NULL them instead, so
+    # they sort last in top-k and drop out of threshold filters.
+    sim = F.when(denom != 0.0, dot_expr(F.col(vec_col), q) / denom)
     return df.withColumn("cosine_sim", sim)
 
 
@@ -647,8 +649,12 @@ def cosine_neardup_pairs(
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    sim = dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
-        F.col("a._norm") * F.col("b._norm")
+    denom = F.col("a._norm") * F.col("b._norm")
+    # NULL (not crash) on a zero-norm side under ANSI mode; the
+    # threshold filter then drops the pair (NULL >= thr is NULL).
+    sim = F.when(
+        denom != 0.0,
+        dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / denom,
     )
     return (
         a.join(

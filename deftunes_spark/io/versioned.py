@@ -743,7 +743,17 @@ def _plan_pruned(
                 files.append(f)
                 continue
             mn, mx = rng
-            if (lo is None or mx >= lo) and (hi is None or mn <= hi):
+            try:
+                keep = (lo is None or mx >= lo) and (
+                    hi is None or mn <= hi
+                )
+            except TypeError:
+                # JSON-round-tripped stats can disagree in type with
+                # the caller's bounds (string stats vs numeric lo/hi);
+                # conservative-everywhere: scan the file rather than
+                # fail the read.
+                keep = True
+            if keep:
                 files.append(f)
     return files, total
 
@@ -795,19 +805,23 @@ def compact_versioned(
         total_bytes += summary.getLength()
         files_before += summary.getFileCount()
     n_files = max(1, -(-total_bytes // max(1, target_file_bytes)))
+    df = read_version(spark, path, version=base["version"])
     if stats_cols == "auto":
         # Preserve data skipping through the rewrite: recompute stats
         # for every column the base snapshot tracked (otherwise the
         # compacted manifest would have no file_stats and every pruned
-        # read silently degrades to a full scan).
+        # read silently degrades to a full scan). Intersect with the
+        # snapshot's live schema — a column tracked by an old manifest
+        # but dropped by a later overwrite would make
+        # _collect_file_stats aggregate a nonexistent column and fail
+        # the whole compaction with AnalysisException.
         cols: set[str] = set()
         for m in versions:
             for file_cols in (m.get("file_stats") or {}).values():
                 cols.update(file_cols)
+        cols &= set(df.columns)
         stats_cols = sorted(cols) or None
-    df = read_version(spark, path, version=base["version"]).repartition(
-        n_files
-    )
+    df = df.repartition(n_files)
     new_v = write_versioned(
         spark,
         df,
@@ -1001,6 +1015,22 @@ def vacuum_orphans(
             deleted.append(str(st.getPath()))
         except Exception:
             continue  # contested/already gone — next pass gets it
+    # Aged .reclaim-* graves: a lock reclaimer that crashed between
+    # rename(lock, grave) and delete(grave) leaks the grave file
+    # forever (it is invisible to readers and to the _v* scan above).
+    mroot = _p(jvm, f"{path}/{_MANIFEST_DIR}")
+    if fs.exists(mroot):
+        for st in fs.listStatus(mroot):
+            name = st.getPath().getName()
+            if not name.startswith(".reclaim-"):
+                continue
+            if now - st.getModificationTime() < grace_ms:
+                continue
+            try:
+                fs.delete(st.getPath(), False)
+                deleted.append(str(st.getPath()))
+            except Exception:
+                continue
     return deleted
 
 
