@@ -840,19 +840,35 @@ def q_snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 _SEQ_ORACLE = """
-WITH j AS (
-    SELECT user_id,
-           string_agg(substr(event_type, 1, 1), ''
-                      ORDER BY ts, event_id) AS journey,
+WITH m AS (
+    SELECT event_type,
+           chr(96 + CAST(row_number() OVER (ORDER BY event_type) AS INT))
+               AS ch
+    FROM (SELECT DISTINCT event_type FROM events)
+),
+p AS (
+    SELECT coalesce((SELECT ch FROM m WHERE event_type = 'view'),
+                    chr(1)) AS v,
+           coalesce((SELECT ch FROM m WHERE event_type = 'click'),
+                    chr(1)) AS c,
+           coalesce((SELECT ch FROM m WHERE event_type = 'purchase'),
+                    chr(1)) AS pu,
+           coalesce((SELECT ch FROM m WHERE event_type = 'error'),
+                    chr(1)) AS er
+),
+j AS (
+    SELECT e.user_id,
+           string_agg(m.ch, '' ORDER BY e.ts, e.event_id) AS journey,
            CAST(count(*) AS BIGINT) AS n_events
-    FROM events GROUP BY 1
+    FROM events e JOIN m ON e.event_type = m.event_type
+    GROUP BY 1
 )
 SELECT user_id, n_events,
-       CAST(len(regexp_extract_all(journey, 'vc*p')) AS BIGINT)
-           AS n_conversions,
-       CAST(len(regexp_extract_all(journey, 'ee+')) AS BIGINT)
-           AS n_error_bursts
-FROM j
+       CAST(len(regexp_extract_all(journey, v || c || '*' || pu))
+            AS BIGINT) AS n_conversions,
+       CAST(len(regexp_extract_all(journey, er || er || '+'))
+            AS BIGINT) AS n_error_bursts
+FROM j, p
 """
 
 
@@ -860,17 +876,41 @@ FROM j
 def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL MATCH_RECOGNIZE re-expressed Spark-first: per user, the
     time-ordered event-type sequence collapses to a journey string
-    (one char per event — first letters are distinct here) and
-    patterns become regexes counted over it — conversions = ``vc*p``
-    (view, any clicks, purchase, contiguous), error bursts = ``ee+``.
-    One groupBy with an array_sort(collect_list(struct)) — the
-    standard Spark idiom for ordered per-key sequence analysis; both
-    engines count non-overlapping leftmost greedy matches, so the
-    result is engine-portable. Journey length is bounded by per-user
-    activity, the only cardinality that matters at 100 TB (a per-user
-    cap upstream is the guard for pathological keys)."""
+    (one char per event) and patterns become regexes counted over it —
+    conversions = view (clicks)* purchase contiguous, error bursts =
+    two-plus consecutive errors. The char alphabet is built
+    DETERMINISTICALLY from distinct(event_type) (sorted → 'a'+i), not
+    from first letters — two event types sharing an initial (e.g.
+    ``purchase``/``pause``) must not silently alias. The distinct
+    collect is bounded by the event-type alphabet (dozens, never
+    corpus-sized); >26 types needs a wider encoding and raises
+    loudly rather than emitting regex metacharacters. One groupBy
+    with an array_sort(collect_list(struct)) — the standard Spark
+    idiom for ordered per-key sequence analysis; both engines count
+    non-overlapping leftmost greedy matches, so the result is
+    engine-portable. Journey length is bounded by per-user activity,
+    the only cardinality that matters at 100 TB (a per-user cap
+    upstream is the guard for pathological keys)."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
+    )
+    types = sorted(
+        r[0] for r in ev.select("event_type").distinct().collect()
+    )
+    if len(types) > 26:
+        raise ValueError(
+            f"event alphabet has {len(types)} types; single-char "
+            "journey encoding supports at most 26"
+        )
+    mapping = {t: chr(ord("a") + i) for i, t in enumerate(types)}
+    char_map = F.create_map(
+        *[x for t, c in mapping.items() for x in (F.lit(t), F.lit(c))]
+    )
+    # \x01 never occurs in a journey: a missing semantic type makes
+    # its pattern unmatchable instead of matching a wrong event.
+    v, c, pu, er = (
+        mapping.get(t, "\x01")
+        for t in ("view", "click", "purchase", "error")
     )
     journeys = ev.groupBy("user_id").agg(
         F.array_join(
@@ -880,7 +920,9 @@ def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.struct(
                             F.col("ts"),
                             F.col("event_id"),
-                            F.substring("event_type", 1, 1).alias("ch"),
+                            F.element_at(
+                                char_map, F.col("event_type")
+                            ).alias("ch"),
                         )
                     )
                 ),
@@ -893,10 +935,10 @@ def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return journeys.select(
         "user_id",
         "n_events",
-        F.regexp_count("journey", F.lit("vc*p"))
+        F.regexp_count("journey", F.lit(f"{v}{c}*{pu}"))
         .cast("bigint")
         .alias("n_conversions"),
-        F.regexp_count("journey", F.lit("ee+"))
+        F.regexp_count("journey", F.lit(f"{er}{er}+"))
         .cast("bigint")
         .alias("n_error_bursts"),
     )
