@@ -71,6 +71,8 @@ _ORACLE_TWINS = {
     "dedup_incremental_fast": "dedup_incremental",
     "bpe_merges": "bpe_pair_counts",
     "unigram_vocab": "unigram_seed_counts",
+    "semantic_dedup_auto": "semantic_dedup",
+    "source_overlap_minhash": "source_overlap",
 }
 
 

@@ -188,6 +188,26 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("semantic_dedup_auto")
+def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the PRODUCTION quantizer sizing: the coarse
+    clusters come from ``ivf_index(n_lists="auto")`` — sample-fit
+    k-means with max(8, rows/target) clusters — so the within-cluster
+    pair block stays O(1) as the corpus grows instead of linear under
+    a fixed literal nlist. Rows-only (the trained quantizer is not
+    SQL-mirrorable); its value-hash twin is ``semantic_dedup``, whose
+    fixed-centroid path exercises the identical pair/keep machinery.
+    Output shape: one row per vector with its cluster and keep flag —
+    row count is corpus-deterministic."""
+    emb = _t_cpu(spark, sf_dir, "embeddings")
+    return C.semantic_dedup(
+        emb,
+        "auto",
+        threshold=_SEM_THRESHOLD,
+        target_cluster_rows=500,
+    )
+
+
 # =====================================================================
 # Target-mixture reweighting
 # =====================================================================
@@ -456,3 +476,21 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sources choose 2) per shingle, never corpus size."""
     docs = _t_cpu(spark, sf_dir, "documents")
     return C.source_overlap(docs, "source", "text", n=_OVERLAP_N)
+
+
+@query("source_overlap_minhash")
+def q_source_overlap_minhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KMV-sketch estimate of ``source_overlap``: per-source state is
+    the k smallest distinct shingle hashes (bottom-k rides the text
+    scan map-side; only fixed-width (source, hash) rows ever shuffle),
+    so the corpus-sized distinct-shingle table of the exact operator
+    never materializes — the 100 TB path. Rows-only (the hash-order
+    sketch is not worth mirroring in SQL); its value-hash twin is
+    ``source_overlap``, and ε-closeness of every estimate to the
+    exact operator is pytest-asserted (``tests/test_overlap_sketch``)."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return C.source_overlap_minhash(
+        docs, "source", "text", n=_OVERLAP_N, k=256
+    )

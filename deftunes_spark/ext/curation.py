@@ -296,12 +296,14 @@ def segment_dedup(
 
 def semantic_dedup(
     df: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | str,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt_buckets: int = 8,
     method: str = "grouped",
+    target_cluster_rows: int = 2_000,
+    seed: int = 42,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): assign embeddings to coarse
     clusters, then inside each cluster drop every vector that has a
@@ -312,6 +314,12 @@ def semantic_dedup(
     clusters — quadratic work is bounded per cluster, and the
     statistical scaling rule is nlist ∝ corpus (Abbas et al. run 50k
     clusters for 100M points) so cluster size stays O(corpus/nlist).
+    ``centroids="auto"`` ENGINEERS that rule instead of documenting
+    it: the quantizer is trained here (``ivf_index(n_lists="auto")``,
+    sample-fit k-means) with ``max(8, rows / target_cluster_rows)``
+    clusters, so the expected within-cluster pair block stays O(1) as
+    the corpus grows. Fixed literal centroids remain supported for
+    oracle-mirrored runs.
 
     ``method`` picks the within-cluster pair engine:
 
@@ -341,8 +349,23 @@ def semantic_dedup(
     from deftunes_spark.ext.similarity import (
         dot_expr,
         ivf_assign,
+        ivf_index,
         norm_expr,
     )
+
+    if isinstance(centroids, str):
+        if centroids != "auto":
+            raise ValueError(
+                f"centroids must be a list or 'auto', got {centroids!r}"
+            )
+        _, centroids = ivf_index(
+            df,
+            n_lists="auto",
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            target_list_rows=target_cluster_rows,
+        )
 
     if method == "grouped":
         assigned = ivf_assign(df, centroids, vec_col, "cluster").select(
@@ -564,6 +587,129 @@ def source_overlap(
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+def source_overlap_minhash(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 256,
+) -> DataFrame:
+    """Sketch variant of :func:`source_overlap`: per-group KMV
+    (bottom-k) sketches replace the exact distinct (group, shingle)
+    table, which is CORPUS-SIZED at 100 TB — the one part of the exact
+    operator that cannot shuffle at scale.
+
+    Per group the state is the k smallest distinct shingle hashes
+    (k·8 bytes, ~2 KB at k=256). Estimators (Bar-Yossef et al. KMV /
+    Beyer et al.):
+
+    - ``|A∪B|`` ≈ (k−1)/u_k over the merged sketch's k-th smallest
+      normalized hash (exact when the union sketch is unsaturated);
+    - ``J(A,B)`` ≈ fraction of the merged bottom-k present in BOTH
+      input sketches (an unbiased Jaccard estimator, σ ≈ √(J(1−J)/k));
+    - ``n_shared`` ≈ Ĵ·|A∪B|̂ and containment ≈ n_shared/min(n̂_a, n̂_b).
+
+    Scale shape: per-document bottom-k rides the text scan (array
+    expressions, no shuffle — same map-side discipline as
+    ``minhash_signatures_mapside``); the only shuffled relation is
+    (group, hash) rows capped at k per document and k per group after
+    the rank — fixed-width longs, ~1000× under the shingle table. The
+    pair stage joins G sketch rows on a constant key (broadcast hash
+    join, never a CartesianProduct) and fans out (G choose 2) rows —
+    bounded by the group count. Same output schema as the exact
+    operator; values are estimates.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (KMV needs a k-th minimum)")
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    sh_expr = (
+        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)), "
+        f"i -> array_join(slice(_toks, i, {n}), ' '))"
+    )
+    # One hash per DISTINCT shingle (unseeded — KMV wants one uniform
+    # permutation, not the banded k-seed family), bottom-k per doc:
+    # the group bottom-k is a subset of its docs' bottom-k unions, so
+    # per-doc truncation loses nothing (standard KMV merge property).
+    doc_bk = F.expr(
+        f"slice(array_sort(array_distinct(transform({sh_expr}, "
+        f"s -> xxhash64(concat('kmv|', s))))), 1, {k})"
+    )
+    per_doc = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(group_col).alias("g"), toks.alias("_toks"))
+        .select("g", F.explode(doc_bk).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    sketches = (
+        per_doc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+    )
+    # Signed 64-bit hash → uniform (0, 1]; double's 53-bit mantissa is
+    # ample for an estimator with 1/√k relative error.
+    def _u(h):
+        return h.cast("double") / F.lit(float(2**64)) + F.lit(0.5)
+
+    def _card(sk):
+        sz = F.size(sk)
+        return F.when(
+            sz < k, sz.cast("double")
+        ).otherwise(F.lit(float(k - 1)) / _u(F.element_at(sk, sz)))
+
+    a = sketches.select(
+        F.col("g").alias("ga"), F.col("sk").alias("ska"), F.lit(1).alias("_one")
+    )
+    b = sketches.select(
+        F.col("g").alias("gb"), F.col("sk").alias("skb"), F.lit(1).alias("_one")
+    )
+    pairs = (
+        a.join(F.broadcast(b), "_one")
+        .filter(F.col("ga") < F.col("gb"))
+        .withColumn(
+            "mk",
+            F.expr(f"slice(array_sort(array_union(ska, skb)), 1, {k})"),
+        )
+        .withColumn("kk", F.size("mk"))
+        .withColumn(
+            "m",
+            F.size(
+                F.array_intersect(
+                    "mk", F.array_intersect("ska", "skb")
+                )
+            ),
+        )
+    )
+    j_hat = F.col("m") / F.col("kk")
+    union_hat = F.when(
+        F.col("kk") < k, F.col("kk").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / _u(F.element_at("mk", F.col("kk")))
+    )
+    na_hat, nb_hat = _card(F.col("ska")), _card(F.col("skb"))
+    shared_hat = j_hat * union_hat
+    # Mirror the exact operator's contract: pairs with no observed
+    # overlap (the inner shingle join emits nothing there) are absent,
+    # not zero rows.
+    pairs = pairs.filter(F.col("m") > 0)
+    return pairs.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        F.round(shared_hat).cast("bigint").alias("n_shared"),
+        F.round(na_hat).cast("bigint").alias("n_a"),
+        F.round(nb_hat).cast("bigint").alias("n_b"),
+        # Exact containment is ≤ 1 by construction; the ratio of two
+        # independent estimates can overshoot, so clamp.
+        F.round(
+            F.least(F.lit(1.0), shared_hat / F.least(na_hat, nb_hat)), 6
+        ).alias("containment"),
+        F.round(j_hat, 6).alias("jaccard"),
     )
 
 

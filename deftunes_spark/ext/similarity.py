@@ -245,15 +245,25 @@ def ann_topk(
 
 def ivf_index(
     df: DataFrame,
-    n_lists: int = 16,
+    n_lists: int | str = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
     fit_max_rows: int | None = 1_000_000,
+    target_list_rows: int = 2_000,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Build an IVF index: k-means (MLlib, JVM-side) coarse quantizer,
     every vector assigned to its nearest centroid's inverted list.
+
+    ``n_lists="auto"`` sizes the quantizer to the corpus:
+    ``max(8, ceil(rows / target_list_rows))`` (clamped to the row
+    count). A FIXED n_lists makes the expected inverted-list size grow
+    linearly with the corpus — the probed list is the unit of
+    quadratic/scan work, so at 100 TB it must be held O(1) by scaling
+    cluster count, not documented away. The default 2 000 rows/list
+    matches SemDeDup's published operating point (Abbas et al. 2023:
+    50 k clusters for 100 M points).
 
     The quantizer is FIT ON A SAMPLE (standard IVF practice — FAISS
     trains on ~1–10 M vectors): ``fit_max_rows`` caps the training set,
@@ -271,9 +281,18 @@ def ivf_index(
     with_vec = df.withColumn(
         "_ivf_feat", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
+    n: int | None = None
+    if n_lists == "auto" or fit_max_rows is not None:
+        n = with_vec.count()
+    if isinstance(n_lists, str):
+        if n_lists != "auto":
+            raise ValueError(f"n_lists must be an int or 'auto', got {n_lists!r}")
+        if target_list_rows < 1:
+            raise ValueError("target_list_rows must be >= 1")
+        n_lists = max(8, -(-n // target_list_rows))
+        n_lists = max(1, min(n, n_lists))  # k-means needs k <= rows
     train = with_vec
     if fit_max_rows is not None:
-        n = with_vec.count()
         if n > fit_max_rows:
             # Oversample slightly so the sample rarely undershoots.
             frac = min(1.0, 1.1 * fit_max_rows / n)

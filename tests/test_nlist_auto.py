@@ -1,0 +1,87 @@
+"""nlist ∝ corpus as engineered behavior: ivf_index(n_lists="auto")
+must scale the quantizer with the row count so expected inverted-list
+size stays bounded — the scale rule the 10x stress identified as the
+one remaining linear-growth risk."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _emb(spark, n, dim=8, seed=0):
+    rng = np.random.RandomState(seed)
+    rows = [
+        (i, [float(x) for x in rng.randn(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_auto_nlist_scales_with_corpus(spark):
+    from deftunes_spark.ext.similarity import ivf_index
+
+    small = _emb(spark, 200)
+    big = _emb(spark, 2000)
+    _, c_small = ivf_index(small, n_lists="auto", target_list_rows=100)
+    _, c_big = ivf_index(big, n_lists="auto", target_list_rows=100)
+    assert len(c_small) == 8  # max(8, ceil(200/100)) floor
+    assert len(c_big) == 20  # ceil(2000/100)
+
+
+def test_auto_nlist_bounds_mean_cluster_rows(spark):
+    """The engineered invariant: mean rows per cluster stays near the
+    target as the corpus grows 4x (k-means balance is statistical, so
+    assert the mean, and a loose cap on the max)."""
+    from deftunes_spark.ext.similarity import ivf_index
+
+    for n in (500, 2000):
+        assigned, cents = ivf_index(
+            _emb(spark, n, seed=1), n_lists="auto", target_list_rows=100
+        )
+        sizes = [
+            r["count"]
+            for r in assigned.groupBy("ivf_list").count().collect()
+        ]
+        assert sum(sizes) == n
+        assert sum(sizes) / len(cents) <= 100 + 1
+        assert max(sizes) <= 10 * 100  # no runaway megacluster
+
+
+def test_auto_nlist_clamped_to_tiny_corpus(spark):
+    from deftunes_spark.ext.similarity import ivf_index
+
+    tiny = _emb(spark, 3)
+    assigned, cents = ivf_index(tiny, n_lists="auto")
+    assert len(cents) <= 3
+    assert assigned.count() == 3
+
+
+def test_auto_rejects_bad_args(spark):
+    from deftunes_spark.ext.similarity import ivf_index
+
+    with pytest.raises(ValueError, match="n_lists"):
+        ivf_index(_emb(spark, 10), n_lists="adaptive")
+    with pytest.raises(ValueError, match="target_list_rows"):
+        ivf_index(_emb(spark, 10), n_lists="auto", target_list_rows=0)
+
+
+def test_semantic_dedup_auto_end_to_end(spark):
+    """centroids='auto' trains in-operator and still yields the
+    one-row-per-vector (cluster, kept) contract, with exact dup pairs
+    (identical vectors) deduped to the min id."""
+    from deftunes_spark.ext.curation import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = [[float(x) for x in rng.randn(8)] for _ in range(50)]
+    rows = [(i, base[i]) for i in range(50)]
+    rows += [(100 + i, base[i]) for i in range(10)]  # exact dups
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(
+        df, "auto", threshold=0.999, target_cluster_rows=20
+    ).collect()
+    assert len(out) == 60
+    kept = {r.vec_id for r in out if r.kept}
+    # Identical vectors always share a cluster (argmin over the same
+    # distances), so each dup pair keeps exactly the lower id.
+    for i in range(10):
+        assert i in kept and (100 + i) not in kept

@@ -62,6 +62,11 @@ ALLOW_BNLJ = {
     "dedup_substring": "1-row corpus gram-threshold scalar broadcast",
     "corpus_curation": "chains decontamination's broadcast semi-join",
     "negative_sampling": "1-row corpus-size scalar for modulo mining",
+    "source_overlap_minhash": (
+        "group-pair stage: build side is the G-row sketch table "
+        "(one ~2 KB bottom-k array per group), broadcast — fan-out "
+        "bounded by (groups choose 2), never corpus-sized"
+    ),
 }
 ALLOW_SINGLE_PARTITION_WINDOW = {
     "scd2_user_state": (

@@ -37,6 +37,7 @@ QUERIES = [
     "dedup_incremental_fast",
     "ann_ivfpq_topk",
     "semantic_dedup",
+    "semantic_dedup_auto",
 ]
 
 
@@ -146,10 +147,27 @@ def bucket_maxima(spark, sf_dir: str) -> dict:
         (r["count"] for r in sizes if r["cluster"] in _IVF_PROBE),
         default=0,
     )
+    # The engineered nlist ∝ corpus path: auto must hold the max
+    # cluster ~flat 1x→10x where the fixed-literal quantizer grows
+    # linearly (the scale-killer the r5 stress measured).
+    from deftunes_spark.ext.similarity import ivf_index
+
+    auto_assigned, auto_cents = ivf_index(
+        emb, n_lists="auto", target_list_rows=500
+    )
+    auto_sizes = (
+        auto_assigned.groupBy("ivf_list")
+        .count()
+        .agg(F.max("count"), F.avg("count"))
+        .first()
+    )
     return {
         "max_lsh_bucket": int(max_band),
         "max_ivf_cluster_rows": int(max_cluster),
         "max_probed_list_rows": int(max_probed),
+        "auto_nlist": len(auto_cents),
+        "auto_max_cluster_rows": int(auto_sizes[0]),
+        "auto_mean_cluster_rows": round(float(auto_sizes[1]), 1),
         "n_docs": docs.count(),
         "n_vecs": emb.count(),
     }
