@@ -73,6 +73,7 @@ _ORACLE_TWINS = {
     "unigram_vocab": "unigram_seed_counts",
     "semantic_dedup_auto": "semantic_dedup",
     "source_overlap_minhash": "source_overlap",
+    "sequence_pack_bestfit": "sequence_pack",
 }
 
 

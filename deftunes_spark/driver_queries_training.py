@@ -513,3 +513,68 @@ def q_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reservoir_per_group(docs, "lang", "doc_id", k=5).select(
         "doc_id", "lang", "sample_rank"
     )
+
+
+# =====================================================================
+# Sequence packing (ext.training.sequence_pack_concat / _bestfit)
+# =====================================================================
+
+_PACK_CAP = 512
+_PACK_SHARDS = 16
+
+_PACK_ORACLE = f"""
+WITH c AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                ::BIGINT % {_PACK_SHARDS} AS INT) AS shard,
+           CAST(len(list_filter(
+                regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                t -> t <> '')) AS BIGINT) AS token_count
+    FROM documents
+), p AS (
+    SELECT doc_id, shard, token_count,
+           CAST(coalesce(sum(token_count) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS start_offset
+    FROM c
+)
+SELECT doc_id, shard, token_count, start_offset,
+       CAST(floor(start_offset / {_PACK_CAP}.0) AS BIGINT) AS first_seq,
+       CAST(floor((start_offset + greatest(token_count, 1) - 1)
+                  / {_PACK_CAP}.0)
+            - floor(start_offset / {_PACK_CAP}.0) + 1 AS BIGINT)
+           AS n_seqs
+FROM p
+"""
+
+
+@query("sequence_pack", _PACK_ORACLE)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per md5-derived shard, docs
+    lie end-to-end in id order and the token stream is cut into
+    512-token training sequences (zero padding waste; docs straddle
+    cuts). One shard-partitioned window — the only shuffle; shard
+    count scales with the cluster."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return TR.sequence_pack_concat(
+        docs, "doc_id", "text", capacity=_PACK_CAP, shards=_PACK_SHARDS
+    )
+
+
+@query("sequence_pack_bestfit")
+def q_sequence_pack_bestfit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Best-fit-decreasing packing: whole documents into 512-token
+    bins per shard (document-boundary-respecting — the SFT recipe; no
+    cross-doc attention contamination), oversize docs flagged in
+    singleton bins. Rows-only (the greedy loop is not SQL-mirrorable);
+    its value-hash twin is ``sequence_pack`` (same shard hash + token
+    counts), and the packing invariants — every bin within capacity,
+    no doc dropped, waste bounded — are pytest-asserted in
+    ``tests/test_packing.py``."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return TR.sequence_pack_bestfit(
+        docs, "doc_id", "text", capacity=_PACK_CAP, shards=_PACK_SHARDS
+    )

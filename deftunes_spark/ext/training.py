@@ -100,6 +100,173 @@ def chunk_documents(
     )
 
 
+def sequence_pack_concat(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    capacity: int = 512,
+    shards: int = 16,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each shard, documents
+    are laid end-to-end in id order and the token stream is cut into
+    fixed-``capacity`` training sequences (documents straddle cuts —
+    the GPT-2/Pile packing recipe, zero padding waste by construction).
+
+    Returns one row per document: its shard, token count, starting
+    offset in the shard's stream, the first sequence it lands in, and
+    how many sequences it spans. Empty documents occupy no tokens but
+    keep a deterministic (first_seq, n_seqs=1) slot so no row
+    disappears.
+
+    Shape at 100 TB: the only shuffle is the window over (shard,
+    id) — shard count scales with the cluster, each shard's running
+    sum is a partition-local scan. The shard hash is md5-derived (not
+    xxhash64) so the SQL oracle mirrors it bit-for-bit.
+    """
+    if capacity < 1 or shards < 1:
+        raise ValueError("capacity and shards must be >= 1")
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(id_col)
+    counted = docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        F.size(toks).cast("long").alias("token_count"),
+    )
+    packed = counted.withColumn(
+        "start_offset",
+        F.coalesce(
+            F.sum("token_count").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    end_tok = F.col("start_offset") + F.greatest(
+        F.col("token_count"), F.lit(1)
+    )
+    return packed.select(
+        id_col,
+        "shard",
+        "token_count",
+        "start_offset",
+        F.floor(F.col("start_offset") / capacity).alias("first_seq"),
+        (
+            F.floor((end_tok - 1) / capacity)
+            - F.floor(F.col("start_offset") / capacity)
+            + 1
+        ).cast("long").alias("n_seqs"),
+    )
+
+
+def sequence_pack_bestfit(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    capacity: int = 512,
+    shards: int = 16,
+) -> DataFrame:
+    """Best-fit-decreasing sequence packing: within each shard, whole
+    documents are packed into bins of ``capacity`` tokens without
+    splitting (the SFT/document-boundary-respecting recipe — no
+    cross-document attention contamination). Documents longer than
+    ``capacity`` get a singleton bin, flagged ``oversize``.
+
+    Deterministic: per shard, docs are processed longest-first with id
+    as tie-break, each placed into the fullest bin it fits (best-fit);
+    bin ids are then renumbered by first-doc order. One
+    ``applyInPandas`` per shard — the per-task state is the shard's
+    (id, token_count) pairs, never the text, so a shard is bounded by
+    docs/shards rows of two scalars. Padding waste is
+    ``1 - sum(tokens)/(bins*capacity)``, pytest-asserted against the
+    concat packer's zero-waste baseline.
+    """
+    if capacity < 1 or shards < 1:
+        raise ValueError("capacity and shards must be >= 1")
+    import pandas as pd
+
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % shards
+    ).cast("int")
+    counted = docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        F.size(toks).cast("long").alias("token_count"),
+    )
+    id_type = dict(counted.dtypes)[id_col]
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["token_count", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        # bins: list of [remaining_capacity, [row_indices]]
+        bins: list[list] = []
+        assign = [0] * len(pdf)
+        for i, tc in enumerate(pdf["token_count"]):
+            tc = int(tc)
+            if tc >= capacity:
+                # rem = -1 marks the bin CLOSED: a zero-token doc
+                # would otherwise best-fit into it (0 <= rem 0) and
+                # break the oversize-docs-pack-alone invariant.
+                bins.append([-1, [i]])
+                assign[i] = len(bins) - 1
+                continue
+            # Best fit: the fullest bin that still takes tc (ties →
+            # lowest bin index: deterministic).
+            best, best_rem = -1, capacity + 1
+            for b, (rem, _) in enumerate(bins):
+                if tc <= rem < best_rem:
+                    best, best_rem = b, rem
+            if best < 0:
+                bins.append([capacity - tc, [i]])
+                assign[i] = len(bins) - 1
+            else:
+                bins[best][0] -= tc
+                bins[best][1].append(i)
+                assign[i] = best
+        # Renumber bins by the minimum contained id — stable across
+        # input partition order.
+        key = {
+            b: min(pdf[id_col].iloc[rows]) for b, (_, rows) in enumerate(bins)
+        }
+        order = {
+            b: r for r, b in enumerate(sorted(key, key=lambda b: key[b]))
+        }
+        out = pdf[[id_col, "shard", "token_count"]].copy()
+        out["bin_id"] = [order[b] for b in assign]
+        out["oversize"] = out["token_count"] > capacity
+        return out
+
+    return counted.groupBy("shard").applyInPandas(
+        pack,
+        schema=(
+            f"{id_col} {id_type}, shard int, token_count long, "
+            "bin_id long, oversize boolean"
+        ),
+    )
+
+
 def negative_pairs(
     docs: DataFrame,
     id_col: str,
