@@ -73,6 +73,87 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Bloom-filter decontamination (ext.curation.decontaminate_bloom)
+# =====================================================================
+
+_BLOOM_M = 1 << 16
+_BLOOM_K = 3
+
+_BLOOM_ORACLE = f"""
+WITH toklist AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(coalesce(text, '')), '\\s+')
+               AS toks
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i:i+{_DECON_N - 1}], ' ') AS shingle
+    FROM toklist,
+         UNNEST(range(1, greatest(len(toks) - {_DECON_N - 1}, 1) + 1))
+             AS t(i)
+), ev AS (
+    SELECT DISTINCT shingle FROM sh
+    WHERE doc_id % 10 = 0 AND shingle <> ''
+), seeds AS (SELECT UNNEST(range(0, {_BLOOM_K})) AS seed),
+pos AS (
+    SELECT DISTINCT
+           ('0x' || substr(md5('bl' || CAST(seed AS VARCHAR) || '|'
+                                || shingle), 1, 15))::BIGINT
+               % {_BLOOM_M} AS p
+    FROM ev CROSS JOIN seeds
+), cand AS (
+    SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0
+), hit AS (
+    SELECT c.doc_id, c.shingle
+    FROM cand c
+    CROSS JOIN seeds s
+    INNER JOIN pos
+       ON pos.p = ('0x' || substr(md5('bl' || CAST(s.seed AS VARCHAR)
+                                      || '|' || c.shingle), 1, 15))
+                  ::BIGINT % {_BLOOM_M}
+    GROUP BY 1, 2 HAVING COUNT(*) = {_BLOOM_K}
+), m AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS matched
+    FROM hit GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(COALESCE(m.matched, 0) AS BIGINT) AS matched_ngrams,
+       COALESCE(m.matched, 0) >= {_DECON_MIN} AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) t
+LEFT JOIN m USING (doc_id)
+"""
+
+
+@query("decontamination_bloom", _BLOOM_ORACLE)
+def q_decontamination_bloom(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-filter decontamination — the scale path when the
+    benchmark shingle set outgrows an exact broadcast set: k bits per
+    shingle in an m-bit filter built distributed (bit_or-packed 64-bit
+    words, bounded m/64-row collect), probed per train document
+    map-side. One-sided error (no false negatives; FPs over-flag —
+    the safe direction). The md5 hash family mirrors into ANSI SQL,
+    so the oracle value-checks even the false positives; xxhash64 is
+    the production default, parity-asserted in
+    ``tests/test_bloom_decon.py``."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    return C.decontaminate_bloom(
+        train,
+        eval_df,
+        "doc_id",
+        "text",
+        n=_DECON_N,
+        min_matches=_DECON_MIN,
+        m_bits=_BLOOM_M,
+        k=_BLOOM_K,
+        hash_fn="md5",
+    )
+
+
+# =====================================================================
 # Segment-level (CCNet line) dedup
 # =====================================================================
 

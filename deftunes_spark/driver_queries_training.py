@@ -555,7 +555,10 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     lie end-to-end in id order and the token stream is cut into
     512-token training sequences (zero padding waste; docs straddle
     cuts). One shard-partitioned window — the only shuffle; shard
-    count scales with the cluster."""
+    count scales with the cluster. Complements ``sequence_packing``
+    (per-bin occupancy stats, modulo shard on integral ids): this one
+    emits the PER-DOCUMENT placement (offset, first sequence, span)
+    and its md5 shard hash carries over to string ids."""
     docs = _t_cpu(spark, sf_dir, "documents")
     return TR.sequence_pack_concat(
         docs, "doc_id", "text", capacity=_PACK_CAP, shards=_PACK_SHARDS

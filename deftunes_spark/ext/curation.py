@@ -100,6 +100,178 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_matches: int = 1,
+    m_bits: int = 1 << 17,
+    k: int = 3,
+    hash_fn: str = "xxhash64",
+    literal_max_words: int = 4096,
+) -> DataFrame:
+    """Bloom-filter decontamination: the scale path of
+    :func:`decontaminate` for benchmark sets too large to broadcast as
+    an exact shingle set. Per-shingle state is ``k`` bits in an
+    ``m_bits`` filter (~1.2 bytes/shingle at 1% FP with k=3 vs ~50+
+    bytes of broadcast string) — one-sided error: every exact match is
+    flagged (no false negatives); false positives OVER-flag at the
+    classic ``(1 − e^{-kn/m})^k`` rate, the safe direction for
+    decontamination.
+
+    Build is distributed: eval shingles hash to ``k`` positions
+    map-side, positions bit-pack into 64-bit words via a
+    ``groupBy(word) ∘ bit_or`` (the only build shuffle carries (word,
+    mask) pairs, ≤ m/64 rows), and the word table collects to the
+    driver BOUNDED at m/64 longs. Probe is per-row over each train
+    document's shingle array — the text never shuffles:
+
+    - ≤ ``literal_max_words``: the filter rides the plan as one
+      constant-folded array literal referenced through a temp column
+      (the `ivf_assign` expression-tree discipline) — pure codegen.
+    - above: a numpy uint64 bitset inside ``mapInPandas`` —
+      Arrow-batched, O(1) per probe, no expression-tree blowup (the
+      same auto-switch shape as ``segment_dedup``'s hot set).
+
+    ``hash_fn="md5"`` mirrors bit-for-bit into ANSI SQL (15 hex chars
+    → BIGINT), so even the false positives are value-hash-checkable
+    cross-engine; xxhash64 is the production default. Output schema
+    matches :func:`decontaminate`.
+    """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash fn {hash_fn!r}")
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from deftunes_spark.ext.dedup import shingles
+
+    m_words = m_bits // 64
+
+    def _pos_sql(seed: int, s: str) -> str:
+        prefix = f"bl{seed}|"
+        if hash_fn == "xxhash64":
+            h = f"xxhash64(concat('{prefix}', {s}))"
+        else:
+            h = (
+                f"cast(conv(substr(md5(concat('{prefix}', {s})), 1, 15),"
+                " 16, 10) as bigint)"
+            )
+        return f"pmod({h}, {m_bits})"
+
+    eval_sh = (
+        shingles(eval_df, id_col, text_col, n)
+        .filter(F.col("shingle") != "")
+        .select("shingle")
+        .distinct()
+    )
+    positions = eval_sh.select(
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(_pos_sql(i, "shingle") for i in range(k))
+                + ")"
+            )
+        ).alias("p")
+    )
+    words = (
+        positions.select(
+            F.expr("cast(p div 64 as int)").alias("w"),
+            # F.shiftleft only takes a literal shift count — the
+            # column-shift spelling must go through SQL.
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(p % 64 as int))"
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+        .collect()
+    )
+    masks = {r["w"]: r["mask"] for r in words}
+
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    sh_expr = (
+        f"array_distinct(transform(sequence(1, greatest(size(_toks) "
+        f"- {n - 1}, 1)), i -> array_join(slice(_toks, i, {n}), ' ')))"
+    )
+    base = train.select(
+        F.col(id_col), toks.alias("_toks")
+    ).select(id_col, F.expr(sh_expr).alias("_sh"))
+
+    if m_words <= literal_max_words:
+        arr = "array(" + ", ".join(
+            f"{masks.get(w, 0)}L" for w in range(m_words)
+        ) + ")"
+        # Bind the k positions once per shingle (hash computed once),
+        # then test bits over the bound array.
+        pos_arr = "array(" + ", ".join(
+            _pos_sql(i, "s") for i in range(k)
+        ) + ")"
+        pred = " AND ".join(
+            f"(element_at(_bl, cast(element_at(ps, {j + 1}) div 64 "
+            f"as int) + 1) & shiftleft(cast(1 as bigint), "
+            f"cast(element_at(ps, {j + 1}) % 64 as int))) != 0"
+            for j in range(k)
+        )
+        flagged = (
+            base.withColumn("_bl", F.expr(arr))
+            .select(
+                id_col,
+                F.expr(
+                    f"size(filter(transform(_sh, s -> {pos_arr}), "
+                    f"ps -> {pred}))"
+                ).cast("bigint").alias("matched_ngrams"),
+            )
+        )
+    else:
+        import numpy as np
+        import pandas as pd
+
+        bits = np.zeros(m_words, dtype=np.uint64)
+        for w, mk in masks.items():
+            bits[w] = np.uint64(mk & 0xFFFFFFFFFFFFFFFF)
+        spark = train.sparkSession
+        b_bits = spark.sparkContext.broadcast(bits)
+        id_type = dict(base.dtypes)[id_col]
+        # Positions are computed JVM-side (so xxhash64 — which Python
+        # cannot reproduce — works identically on both paths); the
+        # Arrow stage only tests bits against the broadcast bitset.
+        pos_arr = (
+            "transform(_sh, s -> array("
+            + ", ".join(_pos_sql(i, "s") for i in range(k))
+            + "))"
+        )
+        staged = base.select(id_col, F.expr(pos_arr).alias("_pos"))
+
+        def probe(it):
+            bl = b_bits.value
+            for pdf in it:
+                out_cnt = []
+                for plist in pdf["_pos"]:
+                    cnt = 0
+                    for ps in plist:
+                        if all(
+                            (int(bl[int(p) // 64]) >> (int(p) % 64)) & 1
+                            for p in ps
+                        ):
+                            cnt += 1
+                    out_cnt.append(cnt)
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "matched_ngrams": out_cnt}
+                )
+
+        flagged = staged.mapInPandas(
+            probe, schema=f"{id_col} {id_type}, matched_ngrams long"
+        )
+    return flagged.select(
+        id_col,
+        "matched_ngrams",
+        (F.col("matched_ngrams") >= min_matches).alias("contaminated"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Segment-level dedup (CCNet line dedup, generalized segmenter)
 # ---------------------------------------------------------------------
