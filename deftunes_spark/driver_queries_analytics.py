@@ -942,3 +942,76 @@ def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_error_bursts"),
     )
+
+
+# =====================================================================
+# Count-min heavy hitters (ext.profile.heavy_hitters_cms)
+# =====================================================================
+
+_CMS_D = 3
+_CMS_W = 1024
+_CMS_SAMPLE = "33333333"  # md5-hex threshold ~ 20% of documents
+
+_CMS_ORACLE = f"""
+WITH toklist AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i:i+2], ' ') AS shingle
+    FROM toklist,
+         UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS t(i)
+), samp AS (
+    SELECT shingle, COUNT(*) AS c FROM sh
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_CMS_SAMPLE}'
+    GROUP BY 1 ORDER BY c DESC, shingle LIMIT 40
+), seeds AS (SELECT UNNEST(range(0, {_CMS_D})) AS seed),
+cells AS (
+    SELECT s.seed,
+           ('0x' || substr(md5('cms' || CAST(s.seed AS VARCHAR) || '|'
+                                || sh.shingle), 1, 15))::BIGINT
+               % {_CMS_W} AS cell,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM sh CROSS JOIN seeds s
+    GROUP BY 1, 2
+), est AS (
+    SELECT c.shingle,
+           CAST(MIN(COALESCE(ce.cnt, 0)) AS BIGINT) AS est_count
+    FROM samp c
+    CROSS JOIN seeds s
+    LEFT JOIN cells ce
+      ON ce.seed = s.seed
+     AND ce.cell = ('0x' || substr(md5('cms' || CAST(s.seed AS VARCHAR)
+                                       || '|' || c.shingle), 1, 15))
+                   ::BIGINT % {_CMS_W}
+    GROUP BY 1
+)
+SELECT shingle, est_count FROM est
+ORDER BY est_count DESC, shingle LIMIT 20
+"""
+
+
+@query("hot_ngrams_cms", _CMS_ORACLE)
+def q_hot_ngrams_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`hot_ngrams` without the corpus-sized distinct-shingle shuffle:
+    candidates from a 20% md5 doc-sample (heavy hitters survive any
+    constant-rate sample), document frequencies re-estimated over the
+    FULL corpus by a 3×1024 count-min sketch whose only full-corpus
+    shuffle carries (seed, cell) keys — bounded state at any scale,
+    estimates never undercount. All md5 arithmetic, so the oracle
+    value-checks the sketch's collision overcounts too."""
+    from deftunes_spark.ext.dedup import shingles
+    from deftunes_spark.ext.profile import heavy_hitters_cms
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", n=3)
+    return heavy_hitters_cms(
+        sh,
+        "doc_id",
+        "shingle",
+        k=20,
+        sample_hex_threshold=_CMS_SAMPLE,
+        candidate_factor=2,
+        depth=_CMS_D,
+        width=_CMS_W,
+    )

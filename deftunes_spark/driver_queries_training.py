@@ -581,3 +581,38 @@ def q_sequence_pack_bestfit(
     return TR.sequence_pack_bestfit(
         docs, "doc_id", "text", capacity=_PACK_CAP, shards=_PACK_SHARDS
     )
+
+
+# =====================================================================
+# Weighted sampling without replacement (ext.sampling.weighted_sample)
+# =====================================================================
+
+_WS_K = 25
+
+_WS_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           CAST(n_chars AS DOUBLE) AS weight,
+           round(-ln((('0x' || substr(md5('ws-v1|'
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                      + 1.0) / {float(1 << 60)!r})
+                 / CAST(n_chars AS DOUBLE), 6) AS sample_key
+    FROM documents
+    WHERE CAST(n_chars AS DOUBLE) > 0
+)
+SELECT doc_id, weight, sample_key
+FROM keyed ORDER BY sample_key, doc_id LIMIT {_WS_K}
+"""
+
+
+@query("weighted_sample", _WS_ORACLE)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES), weights = document length: deterministic md5-derived
+    exponential clocks, k smallest win. One codegen projection +
+    TakeOrderedAndProject — no RNG state, no global sort, identical
+    sample under retries and across engines."""
+    from deftunes_spark.ext.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", k=_WS_K)

@@ -197,3 +197,126 @@ def psi_drift(
             F.round((p_a - p_b) * F.log(p_a / p_b), 6).alias("psi_term"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------
+
+
+def _cms_pos_sql(seed: int, s: str, width: int) -> str:
+    """md5-derived CMS cell index — engine-portable (mirrors into
+    ANSI SQL hex arithmetic), deterministic under retries."""
+    return (
+        f"pmod(cast(conv(substr(md5(concat('cms{seed}|', {s})), 1, 15),"
+        f" 16, 10) as bigint), {width})"
+    )
+
+
+def cms_build(
+    items: DataFrame,
+    item_col: str,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch over an item stream: ``depth × width``
+    counters, cell (d, pos_d(item)) summing occurrences. The ONLY
+    shuffle carries (seed, cell) pairs — at most depth×width distinct
+    keys regardless of corpus size, partial-aggregated map-side, so
+    the sketch state is O(d·w) while the exact distinct-item table is
+    corpus-sized. Returns (seed, cell, cnt)."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    cells = items.select(
+        F.posexplode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    _cms_pos_sql(d, item_col, width) for d in range(depth)
+                )
+                + ")"
+            )
+        ).alias("seed", "cell")
+    )
+    return cells.groupBy("seed", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def cms_estimate(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    item_col: str,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Point estimates from a count-min sketch: for each candidate,
+    min over the depth rows of its cell counts — the classic CMS
+    upper-bound estimator (never undercounts; overcounts by collision
+    mass ≤ e·N/width with prob 1−e^{−depth}). The sketch side is
+    d×w rows — broadcast; candidates join it d times via their cell
+    index, never touching the item stream again."""
+    cand = candidates.select(
+        F.col(item_col),
+        F.posexplode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    _cms_pos_sql(d, item_col, width) for d in range(depth)
+                )
+                + ")"
+            )
+        ).alias("seed", "cell"),
+    )
+    return (
+        cand.join(F.broadcast(sketch), ["seed", "cell"], "left")
+        .groupBy(item_col)
+        .agg(
+            F.min(F.coalesce("cnt", F.lit(0)))
+            .cast("bigint")
+            .alias("est_count")
+        )
+    )
+
+
+def heavy_hitters_cms(
+    df: DataFrame,
+    id_col: str,
+    item_col: str,
+    k: int = 20,
+    sample_hex_threshold: str = "33333333",
+    candidate_factor: int = 2,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Top-k heavy hitters without a corpus-sized distinct table:
+
+    1. CANDIDATES from an md5 hash-sample of documents (deterministic
+       ``md5(id) < threshold`` membership — heavy hitters survive any
+       constant-rate sample), exact-counted within the sample and cut
+       to ``candidate_factor·k``;
+    2. ESTIMATES for those candidates from a count-min sketch built
+       over the FULL corpus (one d×w-keyed shuffle);
+    3. top-k by (estimate desc, item) — deterministic.
+
+    The full corpus is touched twice, both times map-side (sketch
+    build, nothing else); only sample rows hit an item-keyed shuffle.
+    ``est_count`` never undercounts the true document frequency.
+    ``df`` must already be one row per (doc, item) occurrence to
+    count — dedupe upstream for document frequency semantics."""
+    if k < 1 or candidate_factor < 1:
+        raise ValueError("k and candidate_factor must be >= 1")
+    sampled = df.filter(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+        < F.lit(sample_hex_threshold)
+    )
+    cand = (
+        sampled.groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("_sample_cnt"))
+        .orderBy(F.col("_sample_cnt").desc(), item_col)
+        .limit(candidate_factor * k)
+        .select(item_col)
+    )
+    sketch = cms_build(df.select(item_col), item_col, depth, width)
+    est = cms_estimate(cand, sketch, item_col, depth, width)
+    return est.orderBy(F.col("est_count").desc(), item_col).limit(k)

@@ -197,3 +197,55 @@ def reservoir_per_group(
         .filter(F.col("sample_rank") <= k)
         .withColumn("sample_rank", F.col("sample_rank").cast("bigint"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 25,
+    tag: str = "ws-v1",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): each row draws a deterministic uniform u from
+    ``md5(tag|id)`` and scores ``key = −ln(u)/w``; the k SMALLEST keys
+    are the sample — inclusion probability proportional to weight,
+    exactly the exponential-clocks argument. Non-positive or NULL
+    weights are excluded (they can never win a clock race).
+
+    Deterministic under retries and across engines (md5-derived u, no
+    RNG state — the same reasoning as ``hash_sample``); the plan is
+    one codegen projection plus TakeOrderedAndProject (per-partition
+    heaps, no global sort), so the sample costs one scan at any
+    corpus size. Keys are rounded to 6 dp before the (key, id)
+    ordering, the repo-wide idiom that keeps float ordering identical
+    cross-engine."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{tag}|"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("double").alias("weight"),
+            F.round(key, 6).alias("sample_key"),
+        )
+        .orderBy("sample_key", id_col)
+        .limit(k)
+    )
