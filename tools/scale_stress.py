@@ -38,6 +38,14 @@ QUERIES = [
     "ann_ivfpq_topk",
     "semantic_dedup",
     "semantic_dedup_auto",
+    # r6 scale-path additions: sketch overlap (per-group KMV state),
+    # Bloom benchmark screen (d×w bit state), count-min heavy hitters
+    # (d×w counter state), and the packing window (shard-partitioned
+    # cumsum) — each claims bounded state; the 10× ratio checks it.
+    "source_overlap_minhash",
+    "decontamination_bloom",
+    "hot_ngrams_cms",
+    "sequence_pack",
 ]
 
 
