@@ -844,7 +844,8 @@ WITH m AS (
     SELECT event_type,
            chr(96 + CAST(row_number() OVER (ORDER BY event_type) AS INT))
                AS ch
-    FROM (SELECT DISTINCT event_type FROM events)
+    FROM (SELECT DISTINCT event_type FROM events
+          WHERE event_type IS NOT NULL)
 ),
 p AS (
     SELECT coalesce((SELECT ch FROM m WHERE event_type = 'view'),
@@ -891,54 +892,77 @@ def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable. Journey length is bounded by per-user activity,
     the only cardinality that matters at 100 TB (a per-user cap
     upstream is the guard for pathological keys)."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .filter(F.col("event_type").isNotNull())
     )
-    types = sorted(
-        r[0] for r in ev.select("event_type").distinct().collect()
-    )
-    if len(types) > 26:
-        raise ValueError(
-            f"event alphabet has {len(types)} types; single-char "
-            "journey encoding supports at most 26"
-        )
-    mapping = {t: chr(ord("a") + i) for i, t in enumerate(types)}
-    char_map = F.create_map(
-        *[x for t, c in mapping.items() for x in (F.lit(t), F.lit(c))]
-    )
-    # \x01 never occurs in a journey: a missing semantic type makes
-    # its pattern unmatchable instead of matching a wrong event.
-    v, c, pu, er = (
-        mapping.get(t, "\x01")
-        for t in ("view", "click", "purchase", "error")
-    )
-    journeys = ev.groupBy("user_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("ts"),
-                            F.col("event_id"),
-                            F.element_at(
-                                char_map, F.col("event_type")
-                            ).alias("ch"),
-                        )
-                    )
-                ),
-                lambda s: s["ch"],
+    # Alphabet built INSIDE the plan (no job at query-construction
+    # time — every registry builder must stay lazy for plan-lint /
+    # bench): distinct event types ranked by a window that is
+    # single-partition but ALPHABET-bounded (dozens of rows at any
+    # corpus scale; audited in plan_lint). assert_true keeps the
+    # >26-types case a loud distributed failure, not silent regex
+    # metacharacters; NULL event types are dropped on BOTH engines
+    # (inner join here, the oracle's m-join there).
+    alpha_w = Window.orderBy("event_type")
+    m = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("rn", F.row_number().over(alpha_w))
+        .withColumn(
+            "ch",
+            F.expr(
+                "if(assert_true(rn <= 26, 'event alphabet exceeds 26 "
+                "single-char codes') is null, chr(96 + rn), null)"
             ),
-            "",
-        ).alias("journey"),
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
     )
-    return journeys.select(
+
+    def _sem(t: str):
+        # \x01 never occurs in a journey: a missing semantic type
+        # makes its pattern unmatchable, never wrongly matched.
+        return F.coalesce(
+            F.max(F.when(F.col("event_type") == t, F.col("ch"))),
+            F.lit("\x01"),
+        )
+
+    er = _sem("error")
+    pat = m.agg(
+        F.concat(
+            _sem("view"), _sem("click"), F.lit("*"), _sem("purchase")
+        ).alias("conv_pat"),
+        F.concat(er, er, F.lit("+")).alias("err_pat"),
+    )
+    journeys = (
+        ev.join(F.broadcast(m.select("event_type", "ch")), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts"),
+                                F.col("event_id"),
+                                F.col("ch"),
+                            )
+                        )
+                    ),
+                    lambda s: s["ch"],
+                ),
+                "",
+            ).alias("journey"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    return journeys.join(F.broadcast(pat)).select(
         "user_id",
         "n_events",
-        F.regexp_count("journey", F.lit(f"{v}{c}*{pu}"))
+        F.regexp_count("journey", F.col("conv_pat"))
         .cast("bigint")
         .alias("n_conversions"),
-        F.regexp_count("journey", F.lit(f"{er}{er}+"))
+        F.regexp_count("journey", F.col("err_pat"))
         .cast("bigint")
         .alias("n_error_bursts"),
     )

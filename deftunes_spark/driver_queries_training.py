@@ -593,15 +593,15 @@ _WS_ORACLE = f"""
 WITH keyed AS (
     SELECT doc_id,
            CAST(n_chars AS DOUBLE) AS weight,
-           round(-ln((('0x' || substr(md5('ws-v1|'
-                        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                      + 1.0) / {float(1 << 60)!r})
-                 / CAST(n_chars AS DOUBLE), 6) AS sample_key
+           -ln((('0x' || substr(md5('ws-v1|'
+                 || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                + 1.0) / {float(1 << 60)!r})
+               / CAST(n_chars AS DOUBLE) AS k
     FROM documents
     WHERE CAST(n_chars AS DOUBLE) > 0
 )
-SELECT doc_id, weight, sample_key
-FROM keyed ORDER BY sample_key, doc_id LIMIT {_WS_K}
+SELECT doc_id, weight, round(k, 6) AS sample_key
+FROM keyed ORDER BY k, doc_id LIMIT {_WS_K}
 """
 
 

@@ -191,11 +191,10 @@ def decontaminate_bloom(
     )
     masks = {r["w"]: r["mask"] for r in words}
 
+    from deftunes_spark.ext.dedup import shingle_array_sql
+
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-    sh_expr = (
-        f"array_distinct(transform(sequence(1, greatest(size(_toks) "
-        f"- {n - 1}, 1)), i -> array_join(slice(_toks, i, {n}), ' ')))"
-    )
+    sh_expr = f"array_distinct({shingle_array_sql(n)})"
     base = train.select(
         F.col(id_col), toks.alias("_toks")
     ).select(id_col, F.expr(sh_expr).alias("_sh"))
@@ -798,11 +797,10 @@ def source_overlap_minhash(
         raise ValueError("k must be >= 2 (KMV needs a k-th minimum)")
     from pyspark.sql import Window
 
+    from deftunes_spark.ext.dedup import shingle_array_sql
+
     toks = F.split(F.trim(F.col(text_col)), "\\s+")
-    sh_expr = (
-        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)), "
-        f"i -> array_join(slice(_toks, i, {n}), ' '))"
-    )
+    sh_expr = shingle_array_sql(n)
     # One hash per DISTINCT shingle (unseeded — KMV wants one uniform
     # permutation, not the banded k-seed family), bottom-k per doc:
     # the group bottom-k is a subset of its docs' bottom-k unions, so

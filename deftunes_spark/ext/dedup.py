@@ -57,6 +57,20 @@ def exact_dedup(
 # ---------------------------------------------------------------------
 
 
+def shingle_array_sql(n: int, toks: str = "_toks") -> str:
+    """The canonical per-document word-n-gram array expression (SQL
+    string over a tokenized ``{toks}`` array column). ONE definition —
+    ``shingles``, the map-side minhash signatures, the KMV overlap
+    sketch, and the Bloom decontamination probe all build from it, so
+    a tokenization change can never desynchronize them (or their SQL
+    oracles, which mirror this exact slice/join algebra). Documents
+    shorter than ``n`` tokens contribute the full token string."""
+    return (
+        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+        f"i -> array_join(slice({toks}, i, {n}), ' '))"
+    )
+
+
 def shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
@@ -67,10 +81,7 @@ def shingles(
     ``n`` tokens contribute their full token string as one shingle.
     """
     toks = F.split(F.trim(F.col(text_col)), "\\s+")
-    sh = F.expr(
-        f"transform(sequence(1, greatest(size({'_toks'}) - {n - 1}, 1)), "
-        f"i -> array_join(slice(_toks, i, {n}), ' '))"
-    )
+    sh = F.expr(shingle_array_sql(n))
     return (
         df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
         .select("_id", F.explode(sh).alias("shingle"))
@@ -155,10 +166,7 @@ def minhash_signatures_mapside(
     if hash_fn not in ("xxhash64", "md5"):
         raise ValueError(f"unknown hash fn {hash_fn!r}")
     toks = F.split(F.trim(F.col(text_col)), "\\s+")
-    sh_expr = (
-        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)), "
-        f"i -> array_join(slice(_toks, i, {n}), ' '))"
-    )
+    sh_expr = shingle_array_sql(n)
     hfmt = (
         "xxhash64(concat('{seed}|', s))"
         if hash_fn == "xxhash64"

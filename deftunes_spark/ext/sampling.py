@@ -217,9 +217,14 @@ def weighted_sample(
     RNG state — the same reasoning as ``hash_sample``); the plan is
     one codegen projection plus TakeOrderedAndProject (per-partition
     heaps, no global sort), so the sample costs one scan at any
-    corpus size. Keys are rounded to 6 dp before the (key, id)
-    ordering, the repo-wide idiom that keeps float ordering identical
-    cross-engine."""
+    corpus size. Selection orders on the UNROUNDED key — a fixed-dp
+    rounding would collapse all large-weight keys (median 0.69/w,
+    < 1e-6 for w ≥ 1e6) into one tie bucket and degrade selection to
+    ascending-id order, silently breaking proportionality exactly
+    where weights differ most. Distinct md5-derived uniforms keep
+    keys apart by far more than any libm ulp, so the float ordering
+    is engine-stable; only the EMITTED key is rounded (6 dp) for the
+    cross-engine value hash."""
     if k < 1:
         raise ValueError("k must be >= 1")
     u = (
@@ -244,8 +249,13 @@ def weighted_sample(
         .select(
             F.col(id_col),
             F.col(weight_col).cast("double").alias("weight"),
-            F.round(key, 6).alias("sample_key"),
+            key.alias("_key"),
         )
-        .orderBy("sample_key", id_col)
+        .orderBy("_key", id_col)
         .limit(k)
+        .select(
+            id_col,
+            "weight",
+            F.round("_key", 6).alias("sample_key"),
+        )
     )

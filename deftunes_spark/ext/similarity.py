@@ -281,16 +281,36 @@ def ivf_index(
     with_vec = df.withColumn(
         "_ivf_feat", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
+    if isinstance(n_lists, str) and n_lists != "auto":
+        raise ValueError(
+            f"n_lists must be an int or 'auto', got {n_lists!r}"
+        )
+    if target_list_rows < 1:
+        raise ValueError("target_list_rows must be >= 1")
     n: int | None = None
     if n_lists == "auto" or fit_max_rows is not None:
         n = with_vec.count()
     if isinstance(n_lists, str):
-        if n_lists != "auto":
-            raise ValueError(f"n_lists must be an int or 'auto', got {n_lists!r}")
-        if target_list_rows < 1:
-            raise ValueError("target_list_rows must be >= 1")
         n_lists = max(8, -(-n // target_list_rows))
-        n_lists = max(1, min(n, n_lists))  # k-means needs k <= rows
+        # k-means needs k <= TRAINING points — and the quantizer is
+        # fit on a fit_max_rows-capped sample, so clamping against the
+        # full row count is wrong at scale: past n ≈ fit_max_rows ×
+        # target_list_rows the ask would exceed the sample and list
+        # sizes would silently go linear again. Bound by the sample.
+        fit_cap = n if fit_max_rows is None else min(n, fit_max_rows)
+        if n_lists > fit_cap:
+            if fit_cap < n:
+                # Sample-bound, not corpus-bound: silently returning
+                # fewer clusters would make list sizes linear again —
+                # a config error, raised loudly.
+                raise ValueError(
+                    f"n_lists='auto' needs {n_lists} clusters for "
+                    f"{n} rows at target_list_rows="
+                    f"{target_list_rows}, but the k-means fit sample "
+                    f"is capped at {fit_cap}; raise fit_max_rows or "
+                    "target_list_rows"
+                )
+            n_lists = max(1, fit_cap)  # corpus smaller than the floor
     train = with_vec
     if fit_max_rows is not None:
         if n > fit_max_rows:

@@ -100,6 +100,32 @@ def chunk_documents(
     )
 
 
+def _counted_with_shard(
+    docs: DataFrame, id_col: str, text_col: str, shards: int
+) -> DataFrame:
+    """(id, shard, token_count) — the shared front half of both
+    packers. ONE definition so the whitespace-token rule and the
+    md5-derived shard hash (engine-portable, mirrored in the SQL
+    oracle) can never drift between the concat and best-fit paths."""
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % shards
+    ).cast("int")
+    return docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        F.size(toks).cast("long").alias("token_count"),
+    )
+
+
 def sequence_pack_concat(
     docs: DataFrame,
     id_col: str,
@@ -127,24 +153,8 @@ def sequence_pack_concat(
         raise ValueError("capacity and shards must be >= 1")
     from pyspark.sql import Window
 
-    toks = F.filter(
-        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda t: t != "",
-    )
-    shard = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % shards
-    ).cast("int")
     w = Window.partitionBy("shard").orderBy(id_col)
-    counted = docs.select(
-        F.col(id_col),
-        shard.alias("shard"),
-        F.size(toks).cast("long").alias("token_count"),
-    )
+    counted = _counted_with_shard(docs, id_col, text_col, shards)
     packed = counted.withColumn(
         "start_offset",
         F.coalesce(
@@ -197,23 +207,7 @@ def sequence_pack_bestfit(
         raise ValueError("capacity and shards must be >= 1")
     import pandas as pd
 
-    toks = F.filter(
-        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda t: t != "",
-    )
-    shard = (
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % shards
-    ).cast("int")
-    counted = docs.select(
-        F.col(id_col),
-        shard.alias("shard"),
-        F.size(toks).cast("long").alias("token_count"),
-    )
+    counted = _counted_with_shard(docs, id_col, text_col, shards)
     id_type = dict(counted.dtypes)[id_col]
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

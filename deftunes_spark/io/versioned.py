@@ -258,11 +258,14 @@ class ConditionalPutCommitProtocol(CommitProtocol):
                 jvm.java.nio.file.Files.write(p, payload, opts)
                 return True
             except Exception as exc:
-                msg = str(exc)
-                if (
-                    "FileAlreadyExists" in msg
-                    or "exists" in msg.lower()
-                ):
+                # Lost race ⇔ the CREATE_NEW open itself failed with
+                # FileAlreadyExistsException — match the exception
+                # CLASS, not a loose "exists" substring: a post-create
+                # write failure (disk full) whose message merely
+                # CONTAINS "exists" (e.g. the table path) must NOT be
+                # misread as a lost race, or the partial manifest
+                # stays visible and the contract breaks.
+                if "FileAlreadyExistsException" in str(exc):
                     return False  # lost the race — loser, not error
                 # CREATE_NEW succeeded but the payload didn't land
                 # whole: delete the partial before surfacing, per the
