@@ -132,3 +132,69 @@ def test_validation(spark):
         sequence_pack_concat(_docs(spark), "doc_id", "text", capacity=0)
     with pytest.raises(ValueError):
         sequence_pack_bestfit(_docs(spark), "doc_id", "text", shards=0)
+
+
+# ---------------------------------------------------------------------
+# Property-based: packing invariants over arbitrary corpora
+# ---------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_doc_texts = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.sampled_from(" abcdef"), min_size=0, max_size=60
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_doc_texts, cap=st.integers(min_value=1, max_value=12))
+def test_packing_invariants_hold_for_any_corpus(spark, texts, cap):
+    from deftunes_spark.ext.training import (
+        sequence_pack_bestfit,
+        sequence_pack_concat,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    concat = sequence_pack_concat(
+        df, "doc_id", "text", capacity=cap, shards=2
+    ).collect()
+    assert {r.doc_id for r in concat} == set(range(len(texts)))
+    by_shard: dict[int, list] = {}
+    for r in concat:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rows:
+            assert r.start_offset == off
+            off += r.token_count
+            assert r.n_seqs >= 1
+
+    best = sequence_pack_bestfit(
+        df, "doc_id", "text", capacity=cap, shards=2
+    ).collect()
+    assert {r.doc_id for r in best} == set(range(len(texts)))
+    assert sum(r.token_count for r in best) == sum(
+        r.token_count for r in concat
+    )  # same tokenization on both paths (shared helper)
+    bins: dict[tuple, list] = {}
+    for r in best:
+        bins.setdefault((r.shard, r.bin_id), []).append(r)
+    for members in bins.values():
+        if any(m.oversize for m in members):
+            assert len(members) == 1
+        else:
+            assert sum(m.token_count for m in members) <= cap
