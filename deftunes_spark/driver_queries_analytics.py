@@ -1039,3 +1039,93 @@ def q_hot_ngrams_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         depth=_CMS_D,
         width=_CMS_W,
     )
+
+
+# =====================================================================
+# Embedding drift (PSI over cosine-to-anchor distribution)
+# =====================================================================
+
+from deftunes_spark.driver_queries_ext import (  # noqa: E402
+    _ANN_QUERY,
+    _ANN_QUERY_NORM,
+    _sql_vec,
+)
+
+_EPSI_BINS = 12
+_EPSI_WIDTH = 2.0 / _EPSI_BINS
+
+_EPSI_ORACLE = f"""
+WITH scored AS (
+    SELECT vec_id,
+           CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[]))
+                     * {_ANN_QUERY_NORM!r} != 0
+                THEN list_dot_product(embedding::DOUBLE[],
+                                      {_sql_vec(_ANN_QUERY)})
+                     / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))
+                        * {_ANN_QUERY_NORM!r})
+           END + 1.0 AS shifted
+    FROM embeddings
+), spine AS (
+    SELECT CAST(unnest(range(0, {_EPSI_BINS})) AS INT) AS bin
+), a AS (
+    SELECT CAST(least(greatest(CAST(floor(shifted / {_EPSI_WIDTH!r})
+                                    AS BIGINT), 0),
+                      {_EPSI_BINS - 1}) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_a
+    FROM scored WHERE shifted IS NOT NULL AND vec_id % 2 != 0
+    GROUP BY 1
+), b AS (
+    SELECT CAST(least(greatest(CAST(floor(shifted / {_EPSI_WIDTH!r})
+                                    AS BIGINT), 0),
+                      {_EPSI_BINS - 1}) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_b
+    FROM scored WHERE shifted IS NOT NULL AND vec_id % 2 = 0
+    GROUP BY 1
+), j AS (
+    SELECT spine.bin,
+           COALESCE(n_a, 0) AS n_a,
+           COALESCE(n_b, 0) AS n_b
+    FROM spine LEFT JOIN a USING (bin) LEFT JOIN b USING (bin)
+), t AS (
+    SELECT CAST(sum(n_a) AS DOUBLE) AS ta,
+           CAST(sum(n_b) AS DOUBLE) AS tb
+    FROM j
+)
+SELECT bin, n_a, n_b,
+       round((n_a + 0.5) / (ta + {_EPSI_BINS * 0.5!r}), 6) AS p_a,
+       round((n_b + 0.5) / (tb + {_EPSI_BINS * 0.5!r}), 6) AS p_b,
+       round(((n_a + 0.5) / (ta + {_EPSI_BINS * 0.5!r})
+              - (n_b + 0.5) / (tb + {_EPSI_BINS * 0.5!r}))
+             * ln(((n_a + 0.5) / (ta + {_EPSI_BINS * 0.5!r}))
+                  / ((n_b + 0.5) / (tb + {_EPSI_BINS * 0.5!r}))), 6)
+           AS psi_term
+FROM j CROSS JOIN t
+"""
+
+
+@query("embedding_drift_psi", _EPSI_ORACLE)
+def q_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: PSI between two snapshot halves
+    of the corpus over each vector's cosine to a FIXED anchor vector —
+    the 1-D projection that catches encoder swaps, normalization
+    regressions, and domain shift without pairwise comparisons. Scan
+    shape: one codegen cosine per row (zero-norm → NULL → excluded on
+    both engines), then the standard fixed-grid PSI (two n_bins-row
+    aggregates + bin-spine join + 1-row totals broadcast)."""
+    from deftunes_spark.ext.profile import psi_drift
+    from deftunes_spark.ext.similarity import cosine_to_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = cosine_to_query(emb, _ANN_QUERY).select(
+        "vec_id",
+        (F.col("cosine_sim") + F.lit(1.0)).alias("shifted"),
+    )
+    return psi_drift(
+        scored.filter(F.col("vec_id") % 2 != 0),
+        scored.filter(F.col("vec_id") % 2 == 0),
+        "shifted",
+        bin_width=_EPSI_WIDTH,
+        n_bins=_EPSI_BINS,
+    )

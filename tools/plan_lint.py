@@ -52,6 +52,9 @@ ALLOW_BNLJ = {
     "snapshot_drift_psi": (
         "1-row totals grid join onto the n_bins-row bin table"
     ),
+    "embedding_drift_psi": (
+        "1-row totals grid join onto the n_bins-row bin table"
+    ),
     "dataset_card": "1-row corpus-total join for share computation",
     "mixture_sample_sources": "1-row total join for rate computation",
     "mixture_temperature_sample": "1-row total join for rate computation",
