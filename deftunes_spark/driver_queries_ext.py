@@ -2200,3 +2200,127 @@ def q_events_stream_scd2_enrich(
         _enrich,
         query_name="deftunes_scd2_enrich_stream",
     )
+
+
+# =====================================================================
+# HTML stripping + readability (ext.text)
+# =====================================================================
+
+_HTML_WRAP_SQL = """
+    '<html><head><style>p {color: red}</style>'
+    || '<script>if (1<2) { track("' || CAST(doc_id AS VARCHAR)
+    || '"); }</script></head>'
+    || '<body class="doc"><!-- header --><p id="d'
+    || CAST(doc_id AS VARCHAR) || '">' || text
+    || '</p>&nbsp;&amp; &lt;tail&gt; &quot;end&quot; &#39;.</body></html>'
+"""
+
+_HTML_ORACLE = f"""
+WITH wrapped AS (
+    SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents
+), stripped AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(html, '(?s)<[^>]+>')) AS BIGINT)
+               AS n_tags,
+           trim(regexp_replace(
+             regexp_replace(
+              regexp_replace(
+               regexp_replace(
+                regexp_replace(
+                 regexp_replace(
+                  regexp_replace(
+                   regexp_replace(
+                    regexp_replace(
+                     regexp_replace(
+                      regexp_replace(html,
+                        '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                     '(?is)<!--.*?-->', ' ', 'g'),
+                    '(?s)<[^>]+>', ' ', 'g'),
+                   '&nbsp;', ' ', 'g'),
+                  '&amp;', '&', 'g'),
+                 '&lt;', '<', 'g'),
+                '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'),
+              '&#39;', '''', 'g'),
+             '\\s+', ' ', 'g')) AS text_clean
+    FROM wrapped
+)
+SELECT doc_id, n_tags, text_clean FROM stripped
+"""
+
+
+@query("text_html_strip", _HTML_ORACLE)
+def q_text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl markup cleaning (the C4 shape): each document is
+    wrapped in deterministic synthetic HTML (script + style + comment
+    blocks, attributes, the five common entities) so every strip rule
+    provably fires, then ``with_html_stripped`` removes blocks, tags,
+    and entities and collapses whitespace — one chained-regexp codegen
+    projection; the oracle mirrors every replacement in order, so the
+    full cleaned strings value-hash match."""
+    from deftunes_spark.ext.text import with_html_stripped
+
+    docs = _t_cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><style>p {color: red}</style>'),
+            F.lit('<script>if (1<2) { track("'),
+            F.col("doc_id").cast("string"),
+            F.lit('"); }</script></head>'),
+            F.lit('<body class="doc"><!-- header --><p id="d'),
+            F.col("doc_id").cast("string"),
+            F.lit('">'),
+            F.col("text"),
+            F.lit(
+                "</p>&nbsp;&amp; &lt;tail&gt; &quot;end&quot; "
+                "&#39;.</body></html>"
+            ),
+        ).alias("text"),
+    )
+    out = with_html_stripped(docs)
+    return out.select("doc_id", "n_tags", "text_clean")
+
+
+_READABILITY_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(
+               trim(coalesce(text, '')), '\\s+'), x -> x <> '') AS toks,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(list_sum(list_transform(toks,
+                x -> greatest(len(regexp_extract_all(lower(x),
+                                                     '[aeiouy]+')), 1)))
+            AS BIGINT) AS n_syllables,
+       CASE WHEN len(toks) > 0 THEN
+           round(206.835
+                 - 1.015 * (CAST(len(toks) AS DOUBLE)
+                            / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(list_sum(list_transform(toks,
+                       x -> greatest(len(regexp_extract_all(lower(x),
+                                                            '[aeiouy]+')),
+                                     1))) AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE)), 6)
+       END AS flesch_score
+FROM t
+"""
+
+
+@query("text_readability", _READABILITY_ORACLE)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease from regex proxies (words, [.!?]+ sentence
+    runs, vowel-group syllables) — a scan-speed quality signal like
+    the Gopher rules; one codegen projection, arithmetic mirrored
+    term-for-term in the oracle."""
+    from deftunes_spark.ext.text import with_readability
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return with_readability(docs).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch_score"
+    )

@@ -578,3 +578,86 @@ def char_entropy(
             ).alias("char_entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# HTML stripping (C4/CCNet-style markup cleaning)
+# ---------------------------------------------------------------------
+
+# Order matters: script/style BLOCKS go first (their text content is
+# code, not prose), then remaining tags, then entity unescapes. RE2-
+# compatible (no lookarounds) so the SQL oracle mirrors each step.
+HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?is)<!--.*?-->", " "),
+    (r"(?s)<[^>]+>", " "),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+)
+
+_TAG_PATTERN = r"(?s)<[^>]+>"
+
+
+def with_html_stripped(
+    df: DataFrame, col: str = "text", out_col: str = "text_clean"
+) -> DataFrame:
+    """Markup removal — the first cleaning pass of web-crawl curation
+    (C4 ran exactly this shape over Common Crawl): drop script/style
+    blocks wholesale, strip remaining tags, unescape the common
+    entities, collapse whitespace. Pure chained ``regexp_replace`` —
+    one codegen projection, no shuffle, linear in corpus size.
+    Emits ``n_tags`` (tag count BEFORE stripping — the markup-density
+    signal used to route documents to HTML vs plain-text pipelines).
+    """
+    cleaned = F.col(col)
+    for pat, repl in HTML_STRIP_STEPS:
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return df.withColumn(
+        "n_tags", F.regexp_count(F.col(col), F.lit(_TAG_PATTERN)).cast("bigint")
+    ).withColumn(out_col, cleaned)
+
+
+def with_readability(df: DataFrame, col: str = "text") -> DataFrame:
+    """Flesch reading-ease per document from regex-countable proxies:
+    words = non-empty whitespace tokens, sentences = [.!?]+ runs
+    (min 1), syllables ≈ vowel-group runs per word (min 1/word — the
+    standard heuristic under ±10% of dictionary syllabification on
+    English prose). 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words); NULL for empty documents. One codegen
+    projection — readability is a scan-speed quality signal, like the
+    Gopher rules."""
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    words = F.size(toks)
+    sentences = F.greatest(
+        F.regexp_count(F.col(col), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    # Vowel-group count, floored at one syllable per word.
+    syl = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.greatest(
+            F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+")), F.lit(1)
+        ).cast("long"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syl.cast("double") / words.cast("double"))
+    )
+    return df.select(
+        *df.columns,
+        words.cast("bigint").alias("n_words"),
+        sentences.cast("bigint").alias("n_sentences"),
+        syl.cast("bigint").alias("n_syllables"),
+        F.when(words > 0, F.round(score, 6)).alias("flesch_score"),
+    )

@@ -142,3 +142,43 @@ def test_extended_rules(spark):
     assert not res['Mean "v" between 0 and 1'].passed
     assert res["CustomSql [max_v] = 10"].passed
     assert res["CustomSql [neg] = 0"].passed
+
+
+# ---------------------------------------------------------------------
+# HTML stripping + readability (r6)
+# ---------------------------------------------------------------------
+
+
+def test_html_strip_removes_blocks_tags_entities(spark):
+    from deftunes_spark.ext.text import with_html_stripped
+
+    html = (
+        '<html><head><style>p {color: red}</style>'
+        '<script>if (1<2) { alert("x"); }</script></head>'
+        '<body class="c"><!-- note --><p>Hello &amp; goodbye</p>'
+        '<B>bold</B> &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], ["doc_id", "text"])
+    r = with_html_stripped(df).collect()[0]
+    assert r.text_clean == (
+        "Hello & goodbye bold <tag> \"q\" 's' end"
+    )
+    assert r.n_tags > 0
+    # Script/style CONTENT is gone, not just the tags.
+    assert "alert" not in r.text_clean and "color" not in r.text_clean
+
+
+def test_readability_known_values(spark):
+    from deftunes_spark.ext.text import with_readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in with_readability(df).collect()}
+    r = rows[1]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (6, 2, 6)
+    expected = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert r.flesch_score == pytest.approx(expected, abs=1e-6)
+    assert rows[2].flesch_score is None and rows[3].flesch_score is None
