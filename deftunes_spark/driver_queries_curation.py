@@ -575,3 +575,69 @@ def q_source_overlap_minhash(
     return C.source_overlap_minhash(
         docs, "source", "text", n=_OVERLAP_N, k=256
     )
+
+
+# =====================================================================
+# k-NN self-join (ext.similarity.knn_join)
+# =====================================================================
+
+_KNN_K = 3
+
+
+def _knn_oracle() -> str:
+    import numpy as np
+
+    d_exprs = ", ".join(
+        f"list_dot_product(v, v) - 2.0 * list_dot_product(v, "
+        f"{_sql_vec(c)}) + {float(np.dot(c, c))!r}"
+        for c in _IVF_CENTROIDS
+    )
+    pair_cos = (
+        "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v))"
+        " * sqrt(list_dot_product(y.v, y.v)))"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), d AS (
+        SELECT vec_id, v, [{d_exprs}] AS dl FROM e
+    ), a AS (
+        SELECT vec_id, v,
+               CAST(list_position(dl, list_min(dl)) - 1 AS INT)
+                   AS cluster
+        FROM d
+    ), p AS (
+        SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id,
+               round({pair_cos}, 6) AS cosine_sim
+        FROM a x JOIN a y
+          ON x.cluster = y.cluster AND x.vec_id != y.vec_id
+        WHERE sqrt(list_dot_product(x.v, x.v))
+              * sqrt(list_dot_product(y.v, y.v)) != 0
+    ), r AS (
+        SELECT vec_id, neighbor_id, cosine_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY cosine_sim DESC, neighbor_id
+               ) AS BIGINT) AS rank
+        FROM p
+    )
+    SELECT vec_id, neighbor_id, cosine_sim, rank
+    FROM r WHERE rank <= {_KNN_K}
+    """
+
+
+@query("ann_knn_join", _knn_oracle())
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN self-join: every vector's top-3 cosine neighbors within
+    its coarse IVF cluster (same fixed literal quantizer as
+    ann_ivf_topk / semantic_dedup) — the retrieval join behind
+    recommendation candidates and hard-negative mining. Pairs come
+    from the cluster equi-join (never a cross join); per-left-id
+    window rank, sim rounded before ordering so both engines break
+    ties identically."""
+    from deftunes_spark.ext.similarity import knn_join
+
+    emb = _t_cpu(spark, sf_dir, "embeddings")
+    return knn_join(emb, _IVF_CENTROIDS, k=_KNN_K).select(
+        "vec_id", "neighbor_id", "cosine_sim", "rank"
+    )

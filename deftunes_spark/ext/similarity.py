@@ -708,3 +708,70 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def knn_join(
+    df: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-NN self-join: each vector's top-k cosine neighbors among the
+    vectors sharing its coarse IVF cluster — the retrieval-side join
+    (link prediction, recommendation candidates, hard-negative mining)
+    that complements the threshold-pair dedup shape.
+
+    Never a cross join: the pair space is the cluster equi-join, so
+    per-task work is O(cluster²) and the ``nlist ∝ corpus`` rule
+    (``ivf_index(n_lists="auto")``) holds it O(1) in corpus size.
+    Norms compute once per ROW; zero-norm vectors have undefined
+    cosine and drop out of both sides' candidate lists. The top-k is
+    a per-left-id window rank (sim rounded to 6 dp BEFORE ordering —
+    the engine-portable tie discipline), partition-parallel by id.
+    Boundary caveat shared with every single-probe IVF scheme: a true
+    neighbor in an adjacent cluster is unseen; raise recall by
+    multi-assigning probes upstream."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(df, centroids, vec_col, "cluster").select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cluster"),
+        norm_expr(F.col(vec_col)).alias("_norm"),
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    denom = F.col("a._norm") * F.col("b._norm")
+    sim = F.round(
+        F.when(
+            denom != 0.0,
+            dot_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+            / denom,
+        ),
+        6,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(id_col),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim").isNotNull())
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine_sim").desc(), "neighbor_id"
+    )
+    return (
+        pairs.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("rank") <= k)
+    )

@@ -85,3 +85,36 @@ def test_semantic_dedup_auto_end_to_end(spark):
     # distances), so each dup pair keeps exactly the lower id.
     for i in range(10):
         assert i in kept and (100 + i) not in kept
+
+
+def test_knn_join_finds_identical_vectors_first(spark):
+    """Identical vectors share a cluster and rank each other #1 with
+    cosine 1.0; zero-norm rows never appear on either side."""
+    from deftunes_spark.ext.similarity import knn_join
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    cents = [[float(x) for x in rng.randn(4)] for _ in range(2)]
+    base = [[float(x) for x in rng.randn(4)] for _ in range(20)]
+    rows = [(i, base[i]) for i in range(20)]
+    rows.append((100, base[0]))  # exact twin of vec 0
+    rows.append((200, [0.0, 0.0, 0.0, 0.0]))  # zero norm
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = knn_join(df, cents, k=2)
+    rows_out = out.collect()
+    ids = {r.vec_id for r in rows_out}
+    neigh = {r.neighbor_id for r in rows_out}
+    assert 200 not in ids and 200 not in neigh
+    top = {
+        r.vec_id: r.neighbor_id for r in rows_out if r.rank == 1
+    }
+    assert top[0] == 100 and top[100] == 0
+    import pytest as _pt
+
+    sim1 = {
+        (r.vec_id, r.neighbor_id): r.cosine_sim for r in rows_out
+    }
+    assert sim1[(0, 100)] == _pt.approx(1.0, abs=1e-6)
+    with _pt.raises(ValueError):
+        knn_join(df, cents, k=0)
