@@ -641,3 +641,19 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(emb, _IVF_CENTROIDS, k=_KNN_K).select(
         "vec_id", "neighbor_id", "cosine_sim", "rank"
     )
+
+
+@query("ann_knn_join_fast")
+def q_ann_knn_join_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of ``ann_knn_join``: the same cluster-local
+    top-k neighbor lists via the grouped-vectorized BLAS kernel (one
+    applyInPandas per cluster) instead of per-pair interpreted HOF
+    dots — the substrate that scales the pair matrix at 100 TB.
+    Rows-only; neighbor-set parity with the expr path is
+    pytest-asserted (``tests/test_nlist_auto.py``)."""
+    from deftunes_spark.ext.similarity import knn_join_grouped
+
+    emb = _t_cpu(spark, sf_dir, "embeddings")
+    return knn_join_grouped(emb, _IVF_CENTROIDS, k=_KNN_K).select(
+        "vec_id", "neighbor_id", "cosine_sim", "rank"
+    )

@@ -775,3 +775,94 @@ def knn_join(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_join_grouped(
+    df: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production kernel for :func:`knn_join`: one ``applyInPandas``
+    per coarse cluster, the pair cosine matrix as a blocked BLAS
+    matmul, per-row top-k via partial selection — the same
+    grouped-vectorized substrate as SemDeDup's kernel (84× over
+    per-pair interpreted HOF dots, measured there). Identical
+    neighbor sets up to float summation order; the expr path stays
+    the SQL-oracle mirror, ties broken by (rounded sim desc, id) on
+    both. Zero-norm vectors drop from both sides."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    import pandas as pd
+
+    assigned = ivf_assign(df, centroids, vec_col, "cluster").select(
+        F.col(id_col), F.col(vec_col), F.col("cluster")
+    )
+    id_type = dict(assigned.dtypes)[id_col]
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.array(
+            [
+                np.asarray(v, dtype=np.float64)
+                for v in pdf[vec_col].iloc[order]
+            ]
+        )
+        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        valid = norms != 0.0
+        ids, V, norms = ids[valid], V[valid], norms[valid]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    id_col: ids[:0],
+                    "neighbor_id": ids[:0],
+                    "cosine_sim": np.zeros(0),
+                    "rank": np.zeros(0, dtype=np.int64),
+                }
+            )
+        out_i, out_j, out_s, out_r = [], [], [], []
+        block = 2048
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            sims = (V[i0:i1] @ V.T) / np.outer(
+                norms[i0:i1], norms
+            )
+            sims = np.round(sims, 6)
+            for r, i in enumerate(range(i0, i1)):
+                row = sims[r].copy()
+                row[i] = -np.inf  # no self-match
+                kk = min(k, n - 1)
+                # Ties: (sim desc, neighbor id asc) — matches the
+                # expr path's window ordering on rounded sims. The
+                # candidate set is EVERY element ≥ the kk-th sim
+                # (argpartition's tail ordering is arbitrary, so a
+                # boundary tie with a smaller id could otherwise be
+                # dropped).
+                kth = np.partition(row, n - kk)[n - kk]
+                cand = np.nonzero(row >= kth)[0]
+                cand = sorted(cand, key=lambda j: (-row[j], ids[j]))[:kk]
+                for rank, j in enumerate(cand, start=1):
+                    out_i.append(ids[i])
+                    out_j.append(ids[j])
+                    out_s.append(row[j])
+                    out_r.append(rank)
+        return pd.DataFrame(
+            {
+                id_col: out_i,
+                "neighbor_id": out_j,
+                "cosine_sim": out_s,
+                "rank": np.asarray(out_r, dtype=np.int64),
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        topk,
+        schema=(
+            f"{id_col} {id_type}, neighbor_id {id_type}, "
+            "cosine_sim double, rank long"
+        ),
+    )

@@ -118,3 +118,21 @@ def test_knn_join_finds_identical_vectors_first(spark):
     assert sim1[(0, 100)] == _pt.approx(1.0, abs=1e-6)
     with _pt.raises(ValueError):
         knn_join(df, cents, k=0)
+
+
+def test_knn_grouped_matches_expr_path(spark):
+    """The BLAS kernel and the expr/oracle path must produce the same
+    (id, neighbor, rounded sim, rank) rows on separated vectors."""
+    from deftunes_spark.ext.similarity import knn_join, knn_join_grouped
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    cents = [[float(x) for x in rng.randn(6)] for _ in range(3)]
+    rows = [
+        (i, [float(x) for x in rng.randn(6)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = sorted(map(tuple, knn_join(df, cents, k=3).collect()))
+    b = sorted(map(tuple, knn_join_grouped(df, cents, k=3).collect()))
+    assert a == b
