@@ -95,6 +95,9 @@ HEADLINE = [
     # 100 TB-shaped variants of semantic_dedup / source_overlap:
     "semantic_dedup_auto",
     "source_overlap_minhash",
+    # Grouped-BLAS k-NN self-join (the production retrieval join;
+    # 3.1× over the expr/oracle path at sf0.1):
+    "ann_knn_join_fast",
 ]
 
 WARMUP_RUNS = 2
