@@ -1065,8 +1065,10 @@ WITH scored AS (
                      / (sqrt(list_dot_product(embedding::DOUBLE[],
                                               embedding::DOUBLE[]))
                         * {_ANN_QUERY_NORM!r})
-           END + 1.0 AS shifted
+           END + 1.0 AS shifted_raw
     FROM embeddings
+), rounded AS (
+    SELECT vec_id, round(shifted_raw, 6) AS shifted FROM scored
 ), spine AS (
     SELECT CAST(unnest(range(0, {_EPSI_BINS})) AS INT) AS bin
 ), a AS (
@@ -1074,14 +1076,14 @@ WITH scored AS (
                                     AS BIGINT), 0),
                       {_EPSI_BINS - 1}) AS INT) AS bin,
            CAST(count(*) AS BIGINT) AS n_a
-    FROM scored WHERE shifted IS NOT NULL AND vec_id % 2 != 0
+    FROM rounded WHERE shifted IS NOT NULL AND vec_id % 2 != 0
     GROUP BY 1
 ), b AS (
     SELECT CAST(least(greatest(CAST(floor(shifted / {_EPSI_WIDTH!r})
                                     AS BIGINT), 0),
                       {_EPSI_BINS - 1}) AS INT) AS bin,
            CAST(count(*) AS BIGINT) AS n_b
-    FROM scored WHERE shifted IS NOT NULL AND vec_id % 2 = 0
+    FROM rounded WHERE shifted IS NOT NULL AND vec_id % 2 = 0
     GROUP BY 1
 ), j AS (
     SELECT spine.bin,
@@ -1117,10 +1119,10 @@ def q_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deftunes_spark.ext.profile import psi_drift
     from deftunes_spark.ext.similarity import cosine_to_query
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_cpu(spark, sf_dir, "embeddings")
     scored = cosine_to_query(emb, _ANN_QUERY).select(
         "vec_id",
-        (F.col("cosine_sim") + F.lit(1.0)).alias("shifted"),
+        F.round(F.col("cosine_sim") + F.lit(1.0), 6).alias("shifted"),
     )
     return psi_drift(
         scored.filter(F.col("vec_id") % 2 != 0),

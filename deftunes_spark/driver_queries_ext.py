@@ -2215,38 +2215,30 @@ _HTML_WRAP_SQL = """
     || '</p>&nbsp;&amp; &lt;tail&gt; &quot;end&quot; &#39;.</body></html>'
 """
 
+def _html_strip_sql(col: str) -> str:
+    """DuckDB mirror of ``with_html_stripped`` generated from the SAME
+    ``HTML_STRIP_STEPS`` tuple — one definition, two engines; a rule
+    reorder (e.g. the &amp;-last fix) can never desynchronize them."""
+    from deftunes_spark.ext.text import HTML_STRIP_STEPS
+
+    expr = col
+    for pat, repl in HTML_STRIP_STEPS:
+        expr = (
+            f"regexp_replace({expr}, '{pat}', "
+            f"'{repl.replace(chr(39), chr(39) * 2)}', 'g')"
+        )
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+
 _HTML_ORACLE = f"""
 WITH wrapped AS (
     SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents
-), stripped AS (
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(html, '(?s)<[^>]+>')) AS BIGINT)
-               AS n_tags,
-           trim(regexp_replace(
-             regexp_replace(
-              regexp_replace(
-               regexp_replace(
-                regexp_replace(
-                 regexp_replace(
-                  regexp_replace(
-                   regexp_replace(
-                    regexp_replace(
-                     regexp_replace(
-                      regexp_replace(html,
-                        '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-                      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-                     '(?is)<!--.*?-->', ' ', 'g'),
-                    '(?s)<[^>]+>', ' ', 'g'),
-                   '&nbsp;', ' ', 'g'),
-                  '&amp;', '&', 'g'),
-                 '&lt;', '<', 'g'),
-                '&gt;', '>', 'g'),
-               '&quot;', '"', 'g'),
-              '&#39;', '''', 'g'),
-             '\\s+', ' ', 'g')) AS text_clean
-    FROM wrapped
 )
-SELECT doc_id, n_tags, text_clean FROM stripped
+SELECT doc_id,
+       CAST(len(regexp_extract_all(html, '(?s)<[^>]+>')) AS BIGINT)
+           AS n_tags,
+       {_html_strip_sql("html")} AS text_clean
+FROM wrapped
 """
 
 
@@ -2294,9 +2286,10 @@ WITH t AS (
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_words,
        CAST(n_sentences AS BIGINT) AS n_sentences,
-       CAST(list_sum(list_transform(toks,
+       CAST(COALESCE(list_sum(list_transform(toks,
                 x -> greatest(len(regexp_extract_all(lower(x),
-                                                     '[aeiouy]+')), 1)))
+                                                     '[aeiouy]+')), 1))),
+                     0)
             AS BIGINT) AS n_syllables,
        CASE WHEN len(toks) > 0 THEN
            round(206.835

@@ -831,10 +831,19 @@ def knn_join_grouped(
             sims = (V[i0:i1] @ V.T) / np.outer(
                 norms[i0:i1], norms
             )
-            sims = np.round(sims, 6)
+            # HALF-AWAY-FROM-ZERO to 6 dp — Spark's F.round / DuckDB
+            # round semantics; np.round is half-to-even and would
+            # disagree with the expr/oracle twin on exact .5 digits.
+            sims = np.sign(sims) * np.floor(
+                np.abs(sims) * 1e6 + 0.5
+            ) / 1e6
             for r, i in enumerate(range(i0, i1)):
                 row = sims[r].copy()
-                row[i] = -np.inf  # no self-match
+                # Exclude EVERY equal-id pair, not just this row's own
+                # index — the expr path's a.id != b.id drops duplicate-
+                # id cross-pairs too, and a doc must never be its own
+                # neighbor.
+                row[ids == ids[i]] = -np.inf
                 kk = min(k, n - 1)
                 # Ties: (sim desc, neighbor id asc) — matches the
                 # expr path's window ordering on rounded sims. The

@@ -593,11 +593,15 @@ HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
     (r"(?is)<!--.*?-->", " "),
     (r"(?s)<[^>]+>", " "),
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;", "'"),
+    # &amp; must decode LAST (standard unescape order): decoding it
+    # first would double-decode double-escaped text — the author-
+    # visible literal '&lt;b&gt;' arrives serialized as
+    # '&amp;lt;b&amp;gt;' and must surface as '&lt;b&gt;', not '<b>'.
+    (r"&amp;", "&"),
 )
 
 _TAG_PATTERN = r"(?s)<[^>]+>"

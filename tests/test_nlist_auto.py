@@ -136,3 +136,21 @@ def test_knn_grouped_matches_expr_path(spark):
     a = sorted(map(tuple, knn_join(df, cents, k=3).collect()))
     b = sorted(map(tuple, knn_join_grouped(df, cents, k=3).collect()))
     assert a == b
+
+
+def test_knn_grouped_never_self_matches_duplicate_ids(spark):
+    """Two rows sharing a vec_id must not become each other's (or
+    their own) neighbor on EITHER path — the expr join's id != id
+    drops them; the grouped kernel masks all equal-id columns."""
+    from deftunes_spark.ext.similarity import knn_join, knn_join_grouped
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    cents = [[0.0] * 4]
+    rows = [(i, [float(x) for x in rng.randn(4)]) for i in range(8)]
+    rows.append((3, [float(x) for x in rng.randn(4)]))  # dup id 3
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    for fn in (knn_join, knn_join_grouped):
+        out = fn(df, cents, k=2).collect()
+        assert all(r.vec_id != r.neighbor_id for r in out), fn.__name__

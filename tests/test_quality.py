@@ -182,3 +182,52 @@ def test_readability_known_values(spark):
     expected = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
     assert r.flesch_score == pytest.approx(expected, abs=1e-6)
     assert rows[2].flesch_score is None and rows[3].flesch_score is None
+
+
+def test_html_double_escaped_entities_not_double_decoded(spark):
+    """'&amp;lt;b&amp;gt;' is the serialization of author-visible
+    '&lt;b&gt;' — decoding &amp; FIRST would collapse it to '<b>'."""
+    from deftunes_spark.ext.text import with_html_stripped
+
+    df = spark.createDataFrame(
+        [(1, "<p>&amp;lt;b&amp;gt; and &amp; alone</p>")],
+        ["doc_id", "text"],
+    )
+    r = with_html_stripped(df).collect()[0]
+    assert r.text_clean == "&lt;b&gt; and & alone"
+
+
+def test_readability_oracle_handles_empty_docs(spark, tmp_path):
+    """DuckDB list_sum over an empty token list is NULL; the oracle
+    must coalesce to 0 to match Spark's fold — pinned by running both
+    engines on a fixture WITH empty/null/whitespace docs."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from deftunes_spark.driver_queries_ext import q_text_readability
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["The cat sat.", "", "   ", None],
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet", index=False)
+    got = sorted(
+        map(tuple, q_text_readability(spark, str(tmp_path)).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                entry.oracle_sql()["text_readability"]
+            ).fetchall(),
+        )
+    )
+    assert got == want
