@@ -761,6 +761,18 @@ def source_overlap(
     )
 
 
+def kmv_uniform(h):
+    """Signed 64-bit hash → uniform double, clamped strictly positive.
+
+    The raw map ``h/2^64 + 0.5`` is [0, 1): ``h == -2^63`` lands
+    exactly on 0 and an estimator dividing by it — KMV's (k-1)/u_k —
+    returns Infinity. Floor at 2^-64 so the range is (0, 1]."""
+    return F.greatest(
+        h.cast("double") / F.lit(float(2**64)) + F.lit(0.5),
+        F.lit(2.0**-64),
+    )
+
+
 def source_overlap_minhash(
     df: DataFrame,
     group_col: str,
@@ -822,10 +834,7 @@ def source_overlap_minhash(
         .groupBy("g")
         .agg(F.sort_array(F.collect_list("h")).alias("sk"))
     )
-    # Signed 64-bit hash → uniform (0, 1]; double's 53-bit mantissa is
-    # ample for an estimator with 1/√k relative error.
-    def _u(h):
-        return h.cast("double") / F.lit(float(2**64)) + F.lit(0.5)
+    _u = kmv_uniform
 
     def _card(sk):
         sz = F.size(sk)

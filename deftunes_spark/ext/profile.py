@@ -306,6 +306,16 @@ def heavy_hitters_cms(
     count — dedupe upstream for document frequency semantics."""
     if k < 1 or candidate_factor < 1:
         raise ValueError("k and candidate_factor must be >= 1")
+    # The threshold compares against lowercase md5 hex as a RAW string:
+    # an uppercase or wrong-length value silently shifts the sample
+    # rate (e.g. '3333' ~0%) instead of erring — validate up front.
+    import re
+
+    if not re.fullmatch(r"[0-9a-f]{8}", sample_hex_threshold):
+        raise ValueError(
+            "sample_hex_threshold must be exactly 8 lowercase hex "
+            f"chars, got {sample_hex_threshold!r}"
+        )
     sampled = df.filter(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
         < F.lit(sample_hex_threshold)

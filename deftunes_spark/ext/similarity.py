@@ -853,6 +853,12 @@ def knn_join_grouped(
                 # dropped).
                 kth = np.partition(row, n - kk)[n - kk]
                 cand = np.nonzero(row >= kth)[0]
+                # Masked (equal-id) entries sit at -inf; when kk >= the
+                # number of FINITE candidates the kth value itself is
+                # -inf and they'd pass `row >= kth` — drop them so the
+                # output never carries -inf/self rows (the expr path's
+                # isNotNull + a.id != b.id drops them too).
+                cand = [j for j in cand if np.isfinite(row[j])]
                 cand = sorted(cand, key=lambda j: (-row[j], ids[j]))[:kk]
                 for rank, j in enumerate(cand, start=1):
                     out_i.append(ids[i])

@@ -259,13 +259,15 @@ class ConditionalPutCommitProtocol(CommitProtocol):
                 return True
             except Exception as exc:
                 # Lost race ⇔ the CREATE_NEW open itself failed with
-                # FileAlreadyExistsException — match the exception
-                # CLASS, not a loose "exists" substring: a post-create
-                # write failure (disk full) whose message merely
-                # CONTAINS "exists" (e.g. the table path) must NOT be
-                # misread as a lost race, or the partial manifest
-                # stays visible and the contract breaks.
-                if "FileAlreadyExistsException" in str(exc):
+                # FileAlreadyExistsException — match the JAVA CLASS by
+                # walking the cause chain, never the rendered message:
+                # Py4J strings embed whole stack traces, so an
+                # unrelated failure whose trace merely MENTIONS the
+                # class name must NOT be misread as a lost race, or
+                # the manifest write is silently dropped.
+                if _java_exc_is(
+                    exc, "java.nio.file.FileAlreadyExistsException"
+                ):
                     return False  # lost the race — loser, not error
                 # CREATE_NEW succeeded but the payload didn't land
                 # whole: delete the partial before surfacing, per the
@@ -331,6 +333,25 @@ def _excl_create(spark, fs, path) -> bool:
         return bool(fs.createNewFile(path))
     except Exception:
         return False  # exists / concurrent creator / IO — claim lost
+
+
+def _java_exc_is(exc: Exception, class_name: str) -> bool:
+    """True iff ``exc`` is a Py4J-surfaced Java exception whose class
+    — or any class along its getCause() chain — is exactly
+    ``class_name``. Message substrings are never consulted: Py4J
+    renders full stack traces into ``str(exc)``, so an unrelated
+    failure that merely MENTIONS the class name must not match."""
+    je = getattr(exc, "java_exception", None)
+    seen = 0
+    while je is not None and seen < 16:  # cause chains are short
+        try:
+            if je.getClass().getName() == class_name:
+                return True
+            je = je.getCause()
+        except Exception:
+            return False
+        seen += 1
+    return False
 
 
 def _read_small(fs, p) -> bytes | None:
