@@ -840,36 +840,21 @@ def q_snapshot_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 _SEQ_ORACLE = """
-WITH m AS (
-    SELECT event_type,
-           chr(96 + CAST(row_number() OVER (ORDER BY event_type) AS INT))
-               AS ch
-    FROM (SELECT DISTINCT event_type FROM events
-          WHERE event_type IS NOT NULL)
-),
-p AS (
-    SELECT coalesce((SELECT ch FROM m WHERE event_type = 'view'),
-                    chr(1)) AS v,
-           coalesce((SELECT ch FROM m WHERE event_type = 'click'),
-                    chr(1)) AS c,
-           coalesce((SELECT ch FROM m WHERE event_type = 'purchase'),
-                    chr(1)) AS pu,
-           coalesce((SELECT ch FROM m WHERE event_type = 'error'),
-                    chr(1)) AS er
-),
-j AS (
-    SELECT e.user_id,
-           string_agg(m.ch, '' ORDER BY e.ts, e.event_id) AS journey,
+WITH j AS (
+    SELECT user_id,
+           string_agg('<' || event_type || '>', ''
+                      ORDER BY ts, event_id) AS journey,
            CAST(count(*) AS BIGINT) AS n_events
-    FROM events e JOIN m ON e.event_type = m.event_type
+    FROM events
+    WHERE event_type IS NOT NULL
     GROUP BY 1
 )
 SELECT user_id, n_events,
-       CAST(len(regexp_extract_all(journey, v || c || '*' || pu))
-            AS BIGINT) AS n_conversions,
-       CAST(len(regexp_extract_all(journey, er || er || '+'))
-            AS BIGINT) AS n_error_bursts
-FROM j, p
+       CAST(len(regexp_extract_all(journey,
+            '<view>(<click>)*<purchase>')) AS BIGINT) AS n_conversions,
+       CAST(len(regexp_extract_all(journey,
+            '(<error>){2,}')) AS BIGINT) AS n_error_bursts
+FROM j
 """
 
 
@@ -877,17 +862,22 @@ FROM j, p
 def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL MATCH_RECOGNIZE re-expressed Spark-first: per user, the
     time-ordered event-type sequence collapses to a journey string
-    (one char per event) and patterns become regexes counted over it —
+    and patterns become LITERAL regexes counted over it —
     conversions = view (clicks)* purchase contiguous, error bursts =
-    two-plus consecutive errors. The char alphabet is built
-    DETERMINISTICALLY from distinct(event_type) (sorted → 'a'+i), not
-    from first letters — two event types sharing an initial (e.g.
-    ``purchase``/``pause``) must not silently alias. The distinct
-    collect is bounded by the event-type alphabet (dozens, never
-    corpus-sized); >26 types needs a wider encoding and raises
-    loudly rather than emitting regex metacharacters. One groupBy
-    with an array_sort(collect_list(struct)) — the standard Spark
-    idiom for ordered per-key sequence analysis; both engines count
+    two-plus consecutive errors. Each event encodes as its own
+    delimiter-wrapped name (``<view><click>…``) — the event type IS
+    its code, so the encoding is trivially deterministic, alias-proof
+    (r5's ``purchase``/``pause`` first-letter hazard cannot exist),
+    unbounded in alphabet size, and needs NO alphabet aggregate, NO
+    broadcast, and no >26-types assert (r6 verdict #4: the previous
+    deterministic char alphabet cost a distinct + single-partition
+    window + two broadcast joins; a 1-row-agg variant still paid a
+    second events scan plus a BNLJ stage). The patterns are literals
+    on both engines; token delimiters make cross-token regex matches
+    impossible (types are identifier-like — a type containing ``<``
+    or ``>`` would need sanitizing upstream). One groupBy with an
+    array_sort(collect_list(struct)) — the standard Spark idiom for
+    ordered per-key sequence analysis; both engines count
     non-overlapping leftmost greedy matches, so the result is
     engine-portable. Journey length is bounded by per-user activity,
     the only cardinality that matters at 100 TB (a per-user cap
@@ -897,72 +887,35 @@ def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts", "event_id", "event_type")
         .filter(F.col("event_type").isNotNull())
     )
-    # Alphabet built INSIDE the plan (no job at query-construction
-    # time — every registry builder must stay lazy for plan-lint /
-    # bench): distinct event types ranked by a window that is
-    # single-partition but ALPHABET-bounded (dozens of rows at any
-    # corpus scale; audited in plan_lint). assert_true keeps the
-    # >26-types case a loud distributed failure, not silent regex
-    # metacharacters; NULL event types are dropped on BOTH engines
-    # (inner join here, the oracle's m-join there).
-    alpha_w = Window.orderBy("event_type")
-    m = (
-        ev.select("event_type")
-        .distinct()
-        .withColumn("rn", F.row_number().over(alpha_w))
-        .withColumn(
-            "ch",
-            F.expr(
-                "if(assert_true(rn <= 26, 'event alphabet exceeds 26 "
-                "single-char codes') is null, chr(96 + rn), null)"
-            ),
-        )
-    )
-
-    def _sem(t: str):
-        # \x01 never occurs in a journey: a missing semantic type
-        # makes its pattern unmatchable, never wrongly matched.
-        return F.coalesce(
-            F.max(F.when(F.col("event_type") == t, F.col("ch"))),
-            F.lit("\x01"),
-        )
-
-    er = _sem("error")
-    pat = m.agg(
-        F.concat(
-            _sem("view"), _sem("click"), F.lit("*"), _sem("purchase")
-        ).alias("conv_pat"),
-        F.concat(er, er, F.lit("+")).alias("err_pat"),
-    )
-    journeys = (
-        ev.join(F.broadcast(m.select("event_type", "ch")), "event_type")
-        .groupBy("user_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("ts"),
-                                F.col("event_id"),
-                                F.col("ch"),
-                            )
+    journeys = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.col("event_type"),
                         )
-                    ),
-                    lambda s: s["ch"],
+                    )
                 ),
-                "",
-            ).alias("journey"),
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        )
+                # Wrap AFTER the agg: the shuffle carries the bare
+                # type, the <> delimiters are added per sorted element.
+                lambda s: F.concat(
+                    F.lit("<"), s["event_type"], F.lit(">")
+                ),
+            ),
+            "",
+        ).alias("journey"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
-    return journeys.join(F.broadcast(pat)).select(
+    return journeys.select(
         "user_id",
         "n_events",
-        F.regexp_count("journey", F.col("conv_pat"))
+        F.regexp_count("journey", F.lit("<view>(<click>)*<purchase>"))
         .cast("bigint")
         .alias("n_conversions"),
-        F.regexp_count("journey", F.col("err_pat"))
+        F.regexp_count("journey", F.lit("(<error>){2,}"))
         .cast("bigint")
         .alias("n_error_bursts"),
     )

@@ -475,6 +475,7 @@ def semantic_dedup(
     method: str = "grouped",
     target_cluster_rows: int = 2_000,
     seed: int = 42,
+    max_cluster_rows: int = 50_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): assign embeddings to coarse
     clusters, then inside each cluster drop every vector that has a
@@ -504,7 +505,11 @@ def semantic_dedup(
       keep/drop DECISIONS are bit-identical to the
       expression engine and the cross-engine oracle even though the
       fast path's summation order is not. Measured 84× on an 81 M-pair
-      cluster set (37 s → 0.44 s kernel time).
+      cluster set (37 s → 0.44 s kernel time). Clusters over
+      ``max_cluster_rows`` — the duplicate-mass shape k-means cannot
+      split, where nlist ∝ corpus stops bounding the group — are
+      salted into bounded pair blocks whose dominated sets union
+      exactly (see ``_semantic_dominated_grouped``).
     - ``"expr"``: pure column expressions (HOF fold per pair). Exact
       sim VALUES, but higher-order lambdas are CodegenFallback —
       interpreted per element, ~15 µs per 64-dim pair dot; use only
@@ -543,7 +548,11 @@ def semantic_dedup(
             F.col(id_col), F.col(vec_col), F.col("cluster")
         )
         dominated = _semantic_dominated_grouped(
-            assigned, id_col, vec_col, float(threshold)
+            assigned,
+            id_col,
+            vec_col,
+            float(threshold),
+            max_cluster_rows=max_cluster_rows,
         )
     else:
         # Norms once per ROW, not per pair: three HOF folds per pair
@@ -605,12 +614,20 @@ def _semantic_dominated_grouped(
     vec_col: str,
     threshold: float,
     block: int = 2048,
+    max_cluster_rows: int = 50_000,
 ) -> DataFrame:
     """Dominated ids per cluster via a blocked vectorized kernel.
 
-    For each cluster (one Arrow group): sort rows by id, compute the
-    strict-upper-triangle cosine matrix in column blocks with BLAS
-    (``V @ V_blk.T``), mark any j with an i<j neighbor ≥ threshold.
+    For each cluster pair-block (one Arrow group — clusters over
+    ``max_cluster_rows`` are salted into bounded LEFT×RIGHT blocks by
+    :func:`deftunes_spark.ext.similarity._salted_pair_blocks`, the
+    duplicate-mass hot-cluster guard; at ns == 1 a cluster is a
+    single diagonal block, the pre-guard shape): sort each side by
+    id, compute the id-ordered cosine matrix in column blocks with
+    BLAS (``L @ R_blk.T``), mark any candidate with a LOWER-id
+    dominator ≥ threshold. Domination is a pure pair predicate
+    (∃ i: id_i < id_j ∧ sim ≥ t), so the union of per-block dominated
+    sets IS the cluster's dominated set — merge is a ``distinct``.
     Pairs inside the ±1e-9 guard band around the threshold are
     re-evaluated with ``_seq_cosine`` — a PLAIN PYTHON left-to-right
     fold for the dot and both norms, the expression engine's exact op
@@ -624,10 +641,13 @@ def _semantic_dominated_grouped(
     exact.
 
     Memory per task: n·block doubles (the sim block) + the group's
-    vectors — bounded by cluster size, which the nlist ∝ corpus rule
-    keeps O(corpus/nlist). Ids must be integral (cast upstream)."""
+    vectors — ≤ 2·max_cluster_rows rows even when the nlist ∝ corpus
+    rule fails on duplicate mass. Ids must be integral (cast
+    upstream)."""
 
     import math
+
+    from deftunes_spark.ext.similarity import _salted_pair_blocks
 
     def _seq_cosine(x, y):
         """Cosine with strict left-to-right float summation — the
@@ -646,49 +666,71 @@ def _semantic_dominated_grouped(
         return d / (math.sqrt(nx) * math.sqrt(ny))
 
     def fold(pdf):
-        n = len(pdf)
-        ids = pdf[id_col].to_numpy()
-        if n < 2:
-            return pd.DataFrame({id_col: ids[:0]})
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        V = np.array(
-            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].iloc[order]]
-        )
+        roles = pdf["_role"].to_numpy()
+        l_pdf = pdf[(roles == 0) | (roles == 2)]  # potential dominators
+        r_pdf = pdf[(roles == 1) | (roles == 2)]  # candidates
+        empty = pd.DataFrame({id_col: pdf[id_col].iloc[:0]})
+        if len(l_pdf) == 0 or len(r_pdf) == 0:
+            return empty
+
+        def _mat(side):
+            ids = side[id_col].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            V = np.array(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    for v in side[vec_col].iloc[order]
+                ]
+            )
+            return ids, V
+
+        l_ids, L = _mat(l_pdf)
+        r_ids, R = _mat(r_pdf)
         # Fast-path norms (vectorized; ~1e-15 relative off the
         # sequential fold — absorbed by the guard band, whose members
         # recompute everything sequentially).
-        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
-        dom = np.zeros(n, dtype=bool)
+        l_norms = np.sqrt(np.einsum("ij,ij->i", L, L))
+        r_norms = np.sqrt(np.einsum("ij,ij->i", R, R))
+        nr = len(r_ids)
+        dom = np.zeros(nr, dtype=bool)
         guard = 1e-9
-        for j0 in range(0, n, block):
-            j1 = min(j0 + block, n)
+        for j0 in range(0, nr, block):
+            j1 = min(j0 + block, nr)
             # errstate: zero-norm rows produce NaN sims (undefined
             # cosine) — deliberately kept, never flagged dominated.
             with np.errstate(divide="ignore", invalid="ignore"):
-                sims = (V @ V[j0:j1].T) / np.outer(norms, norms[j0:j1])
-            # Strict upper triangle: i < j (ids sorted, so index order
-            # IS id order; equal ids cannot happen twice per cluster —
-            # and if they did, i<j on indices matches id_a < id_b
-            # evaluating False for the duplicate pair either way).
-            ii = np.arange(n)[:, None]
-            jj = np.arange(j0, j1)[None, :]
-            upper = ii < jj
+                sims = (L @ R[j0:j1].T) / np.outer(
+                    l_norms, r_norms[j0:j1]
+                )
+            # Strict id order, not index order: in a diagonal block
+            # (role 2, L == R) this is exactly the old upper triangle;
+            # in a cross block it sees every l<r pair once. Equal ids
+            # compare False either way.
+            lower = l_ids[:, None] < r_ids[None, j0:j1]
             # Certain hits decide vectorized; ONLY guard-band pairs
             # (and only for columns not already dominated) pay the
             # exact-order Python recheck.
-            dom_blk = (upper & (sims >= threshold + guard)).any(axis=0)
-            band = upper & (np.abs(sims - threshold) <= guard)
+            dom_blk = (lower & (sims >= threshold + guard)).any(axis=0)
+            band = lower & (np.abs(sims - threshold) <= guard)
             band[:, dom_blk] = False
             for i, j in zip(*np.nonzero(band)):
-                if _seq_cosine(V[i], V[j0 + j]) >= threshold:
+                if _seq_cosine(L[i], R[j0 + j]) >= threshold:
                     dom_blk[j] = True
             dom[j0:j1] |= dom_blk
-        return pd.DataFrame({id_col: ids[dom]})
+        return pd.DataFrame({id_col: r_ids[dom]})
 
     id_type = dict(assigned.dtypes)[id_col]
-    return assigned.groupBy("cluster").applyInPandas(
-        fold, schema=f"{id_col} {id_type}"
+    blocks = _salted_pair_blocks(
+        assigned, id_col, vec_col, max_cluster_rows
+    )
+    # distinct: under a sub-split, a candidate can be dominated in
+    # several blocks (its dominators are spread over salts); the
+    # downstream kept-flag LEFT join must see each dominated id once.
+    return (
+        blocks.groupBy("cluster", "_gl", "_gr")
+        .applyInPandas(fold, schema=f"{id_col} {id_type}")
+        .distinct()
     )
 
 

@@ -777,59 +777,158 @@ def knn_join(
     )
 
 
+def _salted_pair_blocks(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_cluster_rows: int,
+) -> DataFrame:
+    """Fan a cluster-assigned relation out into bounded pair blocks.
+
+    Guard for the duplicate-mass hot cluster: ``nlist ∝ corpus``
+    bounds the EXPECTED cluster size, but k-means cannot split
+    identical/near-identical points — a boilerplate-heavy corpus (the
+    canonical dedup input) lands its whole duplicate mass in ONE
+    cluster, and one ``applyInPandas`` worker would hold the entire
+    (c × d) matrix no matter how nlist scales. So each cluster is
+    sub-split by a salt ``hash(id) % ns`` with
+    ``ns = ceil(cluster_rows / max_cluster_rows)`` (a LAZY per-cluster
+    column off a broadcast count join — no driver action at build
+    time), and the quadratic pair space becomes ns² ordered block
+    pairs ``(cluster, _gl, _gr)``: LEFT rows (salt == _gl) × RIGHT
+    rows (salt == _gr). Every cross-block pair is seen exactly once;
+    per-task rows are ≤ 2·max_cluster_rows regardless of skew. AQE
+    cannot do this — it never splits ``applyInPandas`` groups.
+
+    Each input row is emitted once per block it participates in, with
+    ``_role``: 2 = both sides (the diagonal block — exactly one row
+    per input when ns == 1, so the unsalted shape pays zero extra
+    transfer), 0 = left only, 1 = right only. Equal-id rows share a
+    salt, so equal-id masking inside the diagonal block still sees
+    every equal-id pair."""
+    counts = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("_crows")
+    )
+    ns = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("_crows") / F.lit(float(max_cluster_rows))),
+    ).cast("int")
+    salted = (
+        assigned.join(F.broadcast(counts), "cluster")
+        .withColumn("_ns", ns)
+        .withColumn(
+            "_my",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("_ns")).cast("int"),
+        )
+        .drop("_crows")
+    )
+    fan = salted.withColumn(
+        "_other", F.explode(F.sequence(F.lit(0), F.col("_ns") - 1))
+    )
+    left = fan.select(
+        "cluster",
+        F.col("_my").alias("_gl"),
+        F.col("_other").alias("_gr"),
+        F.col(id_col),
+        F.col(vec_col),
+        F.when(F.col("_other") == F.col("_my"), F.lit(2))
+        .otherwise(F.lit(0))
+        .cast("tinyint")
+        .alias("_role"),
+    )
+    right = fan.filter(F.col("_other") != F.col("_my")).select(
+        "cluster",
+        F.col("_other").alias("_gl"),
+        F.col("_my").alias("_gr"),
+        F.col(id_col),
+        F.col(vec_col),
+        F.lit(1).cast("tinyint").alias("_role"),
+    )
+    return left.unionByName(right)
+
+
 def knn_join_grouped(
     df: DataFrame,
     centroids: list[list[float]],
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_rows: int = 50_000,
 ) -> DataFrame:
-    """Production kernel for :func:`knn_join`: one ``applyInPandas``
-    per coarse cluster, the pair cosine matrix as a blocked BLAS
-    matmul, per-row top-k via partial selection — the same
-    grouped-vectorized substrate as SemDeDup's kernel (84× over
-    per-pair interpreted HOF dots, measured there). Identical
-    neighbor sets up to float summation order; the expr path stays
-    the SQL-oracle mirror, ties broken by (rounded sim desc, id) on
-    both. Zero-norm vectors drop from both sides."""
+    """Production kernel for :func:`knn_join`: ``applyInPandas`` over
+    coarse clusters, the pair cosine matrix as a blocked BLAS matmul,
+    per-row top-k via partial selection — the same grouped-vectorized
+    substrate as SemDeDup's kernel (84× over per-pair interpreted HOF
+    dots, measured there). Identical neighbor sets up to float
+    summation order; the expr path stays the SQL-oracle mirror, ties
+    broken by (rounded sim desc, id) on both. Zero-norm vectors drop
+    from both sides.
+
+    Hot-cluster guard: clusters over ``max_cluster_rows`` are salted
+    into bounded pair blocks (:func:`_salted_pair_blocks`) and the
+    per-block local top-k lists are merged by a global per-query
+    window rank over the SAME (rounded sim desc, neighbor id) order —
+    exact two-stage top-k, since each query's global top-k is a
+    subset of the union of its per-block top-k and each (query,
+    neighbor) pair occurs in exactly one block. Per-task memory is
+    ≤ 2·max_cluster_rows vectors regardless of duplicate-mass skew.
+    Under ns == 1 every cluster is a single diagonal block — the
+    exact pre-guard kernel shape and transfer volume."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    if max_cluster_rows < 2:
+        raise ValueError("max_cluster_rows must be >= 2")
     import pandas as pd
+
+    from pyspark.sql import Window
 
     assigned = ivf_assign(df, centroids, vec_col, "cluster").select(
         F.col(id_col), F.col(vec_col), F.col("cluster")
     )
     id_type = dict(assigned.dtypes)[id_col]
+    blocks = _salted_pair_blocks(
+        assigned, id_col, vec_col, max_cluster_rows
+    )
 
     def topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        V = np.array(
-            [
-                np.asarray(v, dtype=np.float64)
-                for v in pdf[vec_col].iloc[order]
-            ]
+        empty = pd.DataFrame(
+            {
+                id_col: pdf[id_col].iloc[:0],
+                "neighbor_id": pdf[id_col].iloc[:0],
+                "cosine_sim": np.zeros(0),
+            }
         )
-        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
-        valid = norms != 0.0
-        ids, V, norms = ids[valid], V[valid], norms[valid]
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame(
-                {
-                    id_col: ids[:0],
-                    "neighbor_id": ids[:0],
-                    "cosine_sim": np.zeros(0),
-                    "rank": np.zeros(0, dtype=np.int64),
-                }
+        roles = pdf["_role"].to_numpy()
+        q_pdf = pdf[(roles == 0) | (roles == 2)]
+        c_pdf = pdf[(roles == 1) | (roles == 2)]
+        if len(q_pdf) == 0 or len(c_pdf) == 0:
+            return empty
+
+        def _mat(side: pd.DataFrame):
+            ids = side[id_col].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            V = np.array(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    for v in side[vec_col].iloc[order]
+                ]
             )
-        out_i, out_j, out_s, out_r = [], [], [], []
+            norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+            valid = norms != 0.0
+            return ids[valid], V[valid], norms[valid]
+
+        q_ids, Q, q_norms = _mat(q_pdf)
+        c_ids, C, c_norms = _mat(c_pdf)
+        if len(q_ids) == 0 or len(c_ids) == 0:
+            return empty
+        nc = len(c_ids)
+        out_i, out_j, out_s = [], [], []
         block = 2048
-        for i0 in range(0, n, block):
-            i1 = min(i0 + block, n)
-            sims = (V[i0:i1] @ V.T) / np.outer(
-                norms[i0:i1], norms
+        for i0 in range(0, len(q_ids), block):
+            i1 = min(i0 + block, len(q_ids))
+            sims = (Q[i0:i1] @ C.T) / np.outer(
+                q_norms[i0:i1], c_norms
             )
             # HALF-AWAY-FROM-ZERO to 6 dp — Spark's F.round / DuckDB
             # round semantics; np.round is half-to-even and would
@@ -842,16 +941,17 @@ def knn_join_grouped(
                 # Exclude EVERY equal-id pair, not just this row's own
                 # index — the expr path's a.id != b.id drops duplicate-
                 # id cross-pairs too, and a doc must never be its own
-                # neighbor.
-                row[ids == ids[i]] = -np.inf
-                kk = min(k, n - 1)
+                # neighbor. (Equal-id rows share a salt, so they are
+                # all present in this block whenever any is.)
+                row[c_ids == q_ids[i]] = -np.inf
+                kk = min(k, nc)
                 # Ties: (sim desc, neighbor id asc) — matches the
                 # expr path's window ordering on rounded sims. The
                 # candidate set is EVERY element ≥ the kk-th sim
                 # (argpartition's tail ordering is arbitrary, so a
                 # boundary tie with a smaller id could otherwise be
                 # dropped).
-                kth = np.partition(row, n - kk)[n - kk]
+                kth = np.partition(row, nc - kk)[nc - kk]
                 cand = np.nonzero(row >= kth)[0]
                 # Masked (equal-id) entries sit at -inf; when kk >= the
                 # number of FINITE candidates the kth value itself is
@@ -859,25 +959,35 @@ def knn_join_grouped(
                 # output never carries -inf/self rows (the expr path's
                 # isNotNull + a.id != b.id drops them too).
                 cand = [j for j in cand if np.isfinite(row[j])]
-                cand = sorted(cand, key=lambda j: (-row[j], ids[j]))[:kk]
-                for rank, j in enumerate(cand, start=1):
-                    out_i.append(ids[i])
-                    out_j.append(ids[j])
+                cand = sorted(
+                    cand, key=lambda j: (-row[j], c_ids[j])
+                )[:kk]
+                for j in cand:
+                    out_i.append(q_ids[i])
+                    out_j.append(c_ids[j])
                     out_s.append(row[j])
-                    out_r.append(rank)
         return pd.DataFrame(
             {
                 id_col: out_i,
                 "neighbor_id": out_j,
                 "cosine_sim": out_s,
-                "rank": np.asarray(out_r, dtype=np.int64),
             }
         )
 
-    return assigned.groupBy("cluster").applyInPandas(
+    partial = blocks.groupBy("cluster", "_gl", "_gr").applyInPandas(
         topk,
         schema=(
             f"{id_col} {id_type}, neighbor_id {id_type}, "
-            "cosine_sim double, rank long"
+            "cosine_sim double"
         ),
     )
+    # Stage-2 merge: exact global top-k from the per-block lists.
+    # Each (query, neighbor) pair occurs in exactly one block, so no
+    # dedup is needed; the window re-ranks with the kernel's own tie
+    # discipline. Input is ≤ ns·k rows per query — bounded.
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine_sim").desc(), "neighbor_id"
+    )
+    return partial.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rank") <= k)
