@@ -104,6 +104,40 @@ WARMUP_RUNS = 2
 TIMED_RUNS = 4        # minimum timed runs
 MAX_TIMED_RUNS = 8    # adaptive cap when the min keeps improving
 
+# --- Noise floor (r6 verdict #2) -------------------------------------
+# Two consecutive rounds of "the 1.1-1.3x drift is host noise" is one
+# too many to leave unmeasured. Every per-query subprocess times a
+# CONSTANT-PLAN sentinel (fixed 32-task codegen-only aggregate over an
+# in-memory range: no IO, no shuffle width, no plan that can change
+# round-over-round) right before its timed runs. Movement of the
+# sentinel IS host noise by construction; `sentinel.scale` =
+# median(sentinel)/SENTINEL_REF_SEC is the batch's noise multiplier,
+# and a query move that tracks the sentinel is steal/contention, not a
+# plan regression. The parent also IDLE-GATES the sweep: waits
+# (bounded) for the 1-min load average to drop below the gate so the
+# batch doesn't start on top of a test run or stale executor.
+SENTINEL_ROWS = 2_000_000_000
+SENTINEL_RUNS = 3
+SENTINEL_REF_SEC = 0.12   # quiet-host min, measured r7 (load_1m 1.3)
+IDLE_LOAD_GATE = 4.0      # 1-min load; 32-core box
+IDLE_GATE_TIMEOUT_SEC = 180
+
+
+def _sentinel_times(spark) -> list[float]:
+    """Min-of-N timing of the constant-plan sentinel (see above)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, SENTINEL_ROWS, 1, 32).select(
+        F.sum((F.col("id") % 7) * 3 + 1).alias("s")
+    )
+    df.collect()  # warm codegen/JIT
+    times = []
+    for _ in range(SENTINEL_RUNS):
+        t0 = time.perf_counter()
+        df.collect()
+        times.append(round(time.perf_counter() - t0, 4))
+    return times
+
 
 def _release_run_state(spark) -> None:
     """Unpersist every persistent RDD left by the PREVIOUS execution.
@@ -152,6 +186,7 @@ def _run_one(name: str, sf_dir: str) -> None:
         extra_conf={"spark.sql.files.maxPartitionBytes": "2MB"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    sentinel = _sentinel_times(spark)
     for _ in range(WARMUP_RUNS):  # codegen + JIT + file listing
         fn(spark, sf_dir).collect()
         _release_run_state(spark)
@@ -180,6 +215,7 @@ def _run_one(name: str, sf_dir: str) -> None:
     print(json.dumps({
         "name": name,
         "runs": runs,
+        "sentinel": sentinel,
         "load_avg_1m": round(os.getloadavg()[0], 2),
     }))
 
@@ -201,8 +237,21 @@ def main() -> None:
         _run_one(sys.argv[2], sf_dir)
         return
 
+    # Idle-gate: don't start the sweep on a busy host (a concurrent
+    # pytest/Spark session poisons every subprocess equally and reads
+    # as a uniform "regression round"). Bounded wait, recorded.
+    gate_t0 = time.time()
+    while (
+        os.getloadavg()[0] > IDLE_LOAD_GATE
+        and time.time() - gate_t0 < IDLE_GATE_TIMEOUT_SEC
+    ):
+        time.sleep(10)
+    gate_wait = round(time.time() - gate_t0, 1)
+    load_at_start = round(os.getloadavg()[0], 2)
+
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    sentinels: list[float] = []
     errors: dict[str, str] = {}
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     here = os.path.abspath(__file__)
@@ -231,8 +280,11 @@ def main() -> None:
             continue
         all_runs[name] = {
             "runs": rec["runs"],
+            "sentinel": rec.get("sentinel"),
             "load_avg_1m": rec.get("load_avg_1m"),
         }
+        if rec.get("sentinel"):
+            sentinels.append(min(rec["sentinel"]))
         timings[name] = round(min(rec["runs"]), 3)
 
     # The consuming harness keeps only a short TAIL of stdout (r4's
@@ -248,6 +300,19 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if sentinels:
+        s_sorted = sorted(sentinels)
+        s_med = s_sorted[len(s_sorted) // 2]
+        out["sentinel"] = {
+            "min": round(min(sentinels), 3),
+            "median": round(s_med, 3),
+            "max": round(max(sentinels), 3),
+            "ref": SENTINEL_REF_SEC,
+            # Batch noise multiplier: how much slower this host ran
+            # the CONSTANT plan vs the quiet-host reference. Divide a
+            # query's time by this before calling it a regression.
+            "scale": round(s_med / SENTINEL_REF_SEC, 3),
+        }
     if errors:
         out["errors"] = {k: v[:60] for k, v in errors.items()}
     sidecar = {
@@ -272,8 +337,15 @@ def main() -> None:
         # on these two as noise unless reproduced in isolation.
         "variance_notes": (
             "r5 dedup_minhash_fast/dedup_incremental_fast regressions "
-            "re-timed at r6: noise (1.62 s; 4.34 s < md5 4.71 s)"
+            "re-timed at r6: noise (1.62 s; 4.34 s < md5 4.71 s). "
+            "r7 adds the per-subprocess constant-plan sentinel: "
+            "query moves that track sentinel.scale are host noise."
         ),
+        "idle_gate": {
+            "gate_load": IDLE_LOAD_GATE,
+            "waited_sec": gate_wait,
+            "load_at_start": load_at_start,
+        },
     }
     sidecar_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"
