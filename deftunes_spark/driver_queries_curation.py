@@ -279,13 +279,37 @@ def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-mirrorable); its value-hash twin is ``semantic_dedup``, whose
     fixed-centroid path exercises the identical pair/keep machinery.
     Output shape: one row per vector with its cluster and keep flag —
-    row count is corpus-deterministic."""
+    row count is corpus-deterministic. Self-evidencing audit columns
+    (r6 verdict #6 — the driver's rows-only check pins them via row
+    identity): ``cluster_rows``/``cluster_kept`` per-cluster stats and
+    ``audit_ok`` = every cluster keeps ≥1 vector AND the cluster's
+    min-id vector is always kept (it has no lower-id dominator by
+    construction) — violations would flip rows the driver records."""
+    from pyspark.sql import Window
+
     emb = _t_cpu(spark, sf_dir, "embeddings")
-    return C.semantic_dedup(
+    out = C.semantic_dedup(
         emb,
         "auto",
         threshold=_SEM_THRESHOLD,
         target_cluster_rows=500,
+    )
+    w = Window.partitionBy("cluster")
+    return (
+        out.withColumn(
+            "cluster_rows", F.count(F.lit(1)).over(w).cast("bigint")
+        )
+        .withColumn(
+            "cluster_kept",
+            F.sum(F.col("kept").cast("int")).over(w).cast("bigint"),
+        )
+        .withColumn("_cmin", F.min("vec_id").over(w))
+        .withColumn(
+            "audit_ok",
+            (F.col("cluster_kept") >= 1)
+            & ((F.col("vec_id") != F.col("_cmin")) | F.col("kept")),
+        )
+        .drop("_cmin")
     )
 
 
@@ -570,10 +594,22 @@ def q_source_overlap_minhash(
     never materializes — the 100 TB path. Rows-only (the hash-order
     sketch is not worth mirroring in SQL); its value-hash twin is
     ``source_overlap``, and ε-closeness of every estimate to the
-    exact operator is pytest-asserted (``tests/test_overlap_sketch``)."""
+    exact operator is pytest-asserted (``tests/test_overlap_sketch``).
+    ``audit_ok`` (r6 verdict #6) pins the estimator invariants in the
+    recorded rows: ordered pair, containment/jaccard in [0, 1],
+    non-negative shared count, positive set sizes."""
     docs = _t_cpu(spark, sf_dir, "documents")
-    return C.source_overlap_minhash(
+    out = C.source_overlap_minhash(
         docs, "source", "text", n=_OVERLAP_N, k=256
+    )
+    return out.withColumn(
+        "audit_ok",
+        (F.col("group_a") < F.col("group_b"))
+        & F.col("containment").between(0.0, 1.0)
+        & F.col("jaccard").between(0.0, 1.0)
+        & (F.col("n_shared") >= 0)
+        & (F.col("n_a") > 0)
+        & (F.col("n_b") > 0),
     )
 
 
@@ -650,10 +686,19 @@ def q_ann_knn_join_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas per cluster) instead of per-pair interpreted HOF
     dots — the substrate that scales the pair matrix at 100 TB.
     Rows-only; neighbor-set parity with the expr path is
-    pytest-asserted (``tests/test_nlist_auto.py``)."""
+    pytest-asserted (``tests/test_nlist_auto.py``). ``audit_ok``
+    (r6 verdict #6) pins the kernel invariants in the recorded rows:
+    rank within [1, k], never a self-neighbor, cosine within
+    [-1, 1] (no -inf tail fill)."""
     from deftunes_spark.ext.similarity import knn_join_grouped
 
     emb = _t_cpu(spark, sf_dir, "embeddings")
-    return knn_join_grouped(emb, _IVF_CENTROIDS, k=_KNN_K).select(
+    out = knn_join_grouped(emb, _IVF_CENTROIDS, k=_KNN_K).select(
         "vec_id", "neighbor_id", "cosine_sim", "rank"
+    )
+    return out.withColumn(
+        "audit_ok",
+        F.col("rank").between(1, _KNN_K)
+        & (F.col("vec_id") != F.col("neighbor_id"))
+        & F.col("cosine_sim").between(-1.000001, 1.000001),
     )

@@ -176,10 +176,12 @@ def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     IMMEDIATELY above so both rotate into the same driver sample —
     carries the full value-hash oracle for the identical pipeline
     shape, and recall/precision vs planted duplicates is asserted in
-    tests/test_dedup.py.
+    tests/test_dedup.py. ``audit_ok`` (r6 verdict #6) pins the pair
+    invariants in the recorded rows: ordered pair, estimate within
+    [threshold, 1].
     """
     docs = _t_cpu(spark, sf_dir, "documents")
-    return D.minhash_dedup_pairs(
+    out = D.minhash_dedup_pairs(
         docs,
         "doc_id",
         "text",
@@ -190,6 +192,11 @@ def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_fn="xxhash64",
         hash_band_key=True,
         dict_hashes=True,
+    )
+    return out.withColumn(
+        "audit_ok",
+        (F.col("id_a") < F.col("id_b"))
+        & F.col("est_jaccard").between(0.3, 1.0),
     )
 
 
@@ -390,7 +397,10 @@ def q_dedup_incremental_fast(
     fast path users actually run — benched so the 100 TB plan's cost
     is tracked, while the md5 twin above carries the value-hash
     oracle. Rows-only check; signature/band algebra parity with the
-    oracle path is pytest-asserted (tests/test_dedup.py)."""
+    oracle path is pytest-asserted (tests/test_dedup.py). ``audit_ok``
+    (r6 verdict #6) pins the incremental-pair invariants: estimate in
+    [threshold, 1] and the pair is genuinely cross-batch or in-batch
+    ordered (id_a != id_b)."""
     import tempfile as _tf
 
     docs = _t_cpu(spark, sf_dir, "documents").filter(
@@ -409,7 +419,11 @@ def q_dedup_incremental_fast(
     pairs, _v = D.incremental_minhash_dedup(
         spark, new, store, "doc_id", "text", **kw
     )
-    return pairs
+    return pairs.withColumn(
+        "audit_ok",
+        (F.col("id_a") != F.col("id_b"))
+        & F.col("est_jaccard").between(0.3, 1.0),
+    )
 
 
 def _simhash_oracle(max_hamming: int = 8) -> str:

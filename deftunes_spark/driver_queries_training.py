@@ -254,7 +254,9 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible, so this carries the driver's rows-only check;
     exact parity with a plain-Python BPE reference (merge choices,
     tiebreaks, and resulting segmentations) is pinned in
-    tests/test_tokenizer.py.
+    tests/test_tokenizer.py. ``audit_ok`` (r6 verdict #6) pins the
+    trainer invariants in the recorded rows: contiguous ranks,
+    frequency at or above min_freq, non-empty symbols.
     """
     from deftunes_spark.ext.tokenizer import bpe_train
 
@@ -262,10 +264,11 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_train(docs, num_merges=8, min_freq=2)
     return spark.createDataFrame(
         [
-            (i, a, b, n)
+            (i, a, b, n, 0 <= i < 8 and n >= 2 and bool(a) and bool(b))
             for i, (a, b, n) in enumerate(merges)
         ],
-        "merge_rank int, left string, right string, pair_freq bigint",
+        "merge_rank int, left string, right string, "
+        "pair_freq bigint, audit_ok boolean",
     )
 
 
@@ -437,14 +440,18 @@ def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_train). Scores are EM-derived floats with no SQL mirror, so
     this is a rows-only entry; exactness is pinned by the
     deterministic-training and segmentation-coverage pytest suite
-    (tests/test_tokenizer.py)."""
+    (tests/test_tokenizer.py). ``audit_ok`` (r6 verdict #6) pins the
+    vocabulary invariants: non-empty piece, log-probability ≤ 0."""
     from deftunes_spark.ext.tokenizer import unigram_train
 
     docs = _t(spark, sf_dir, "documents")
     vocab = unigram_train(docs, vocab_size=80, seed_size=400)
     return spark.createDataFrame(
-        [(p, float(round(s, 6))) for p, s in vocab],
-        "piece string, log_prob double",
+        [
+            (p, float(round(s, 6)), bool(p) and s <= 0.0)
+            for p, s in vocab
+        ],
+        "piece string, log_prob double, audit_ok boolean",
     )
 
 
@@ -576,10 +583,37 @@ def q_sequence_pack_bestfit(
     its value-hash twin is ``sequence_pack`` (same shard hash + token
     counts), and the packing invariants — every bin within capacity,
     no doc dropped, waste bounded — are pytest-asserted in
-    ``tests/test_packing.py``."""
+    ``tests/test_packing.py``. Self-evidencing audit columns
+    (r6 verdict #6): per-row ``bin_tokens`` (the row's bin's total)
+    and ``capacity_violation`` — 1 iff a non-oversize bin exceeds
+    capacity OR an oversize doc shares its bin — always 0."""
+    from pyspark.sql import Window
+
     docs = _t_cpu(spark, sf_dir, "documents")
-    return TR.sequence_pack_bestfit(
+    out = TR.sequence_pack_bestfit(
         docs, "doc_id", "text", capacity=_PACK_CAP, shards=_PACK_SHARDS
+    )
+    w = Window.partitionBy("shard", "bin_id")
+    return (
+        out.withColumn(
+            "bin_tokens",
+            F.sum("token_count").over(w).cast("bigint"),
+        )
+        .withColumn("_bin_docs", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "capacity_violation",
+            F.when(
+                (
+                    ~F.col("oversize")
+                    & (F.col("bin_tokens") > _PACK_CAP)
+                )
+                | (F.col("oversize") & (F.col("_bin_docs") > 1)),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("_bin_docs")
     )
 
 
