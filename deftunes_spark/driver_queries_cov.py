@@ -906,3 +906,49 @@ def q_versioned_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "key_sum",
     )
+
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+@query("bucketed_join_colocated", _BUCKETED_JOIN_ORACLE)
+def q_bucketed_join_colocated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shuffle-free fact×dim join off bucketed catalog tables: orders
+    and customer land bucketed (and sorted) on the join key, so the
+    join and its downstream aggregate plan with the bucket layout
+    instead of an Exchange on the fact side — the pay-the-shuffle-
+    once-at-write 100 TB strategy for repeated joins on one key
+    (io/writers.write_bucketed_table; plan asserted Exchange-free in
+    tests/test_bucketing.py). The oracle recomputes the same join
+    from the raw parquet — bucketing must never change results."""
+    from deftunes_spark.io.writers import write_bucketed_table
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    write_bucketed_table(o, "bktq_orders", "o_custkey", 8, "o_custkey")
+    write_bucketed_table(
+        c, "bktq_customer", "c_custkey", 8, "c_custkey"
+    )
+    ob = spark.table("bktq_orders")
+    cb = spark.table("bktq_customer")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -552,7 +552,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_oracle() -> str:
+def _lang_scored_parts() -> tuple[str, str]:
+    """(scored-CTE column list, lang_pred CASE) of the marker-word
+    language ID — shared by the ``text_lang_id`` oracle and the
+    ``lang_mismatch_audit`` oracle so both mirror the identical
+    heuristic."""
     score = {
         lang: (
             "CAST(len(regexp_extract_all(text, '(?i)\\b("
@@ -571,6 +575,11 @@ def _lang_oracle() -> str:
         f"WHEN {best} > 0 AND s_{lang} = {best} THEN '{lang}'"
         for lang in score
     ) + " ELSE 'und' END"
+    return cols, case
+
+
+def _lang_oracle() -> str:
+    cols, case = _lang_scored_parts()
     return (
         f"WITH scored AS (SELECT doc_id, {cols} FROM documents) "
         f"SELECT doc_id, {case} AS lang_pred FROM scored"
@@ -583,6 +592,100 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate language)."""
     docs = X.with_lang_id(_t_cpu(spark, sf_dir, "documents"))
     return docs.select("doc_id", "lang_pred")
+
+
+def _lang_mismatch_oracle() -> str:
+    cols, case = _lang_scored_parts()
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, source, lang, {cols} FROM documents
+    ), pred AS (
+        SELECT source, lang, {case} AS lang_pred FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lang != lang_pred THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatch,
+           round(sum(CASE WHEN lang != lang_pred THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS mismatch_rate
+    FROM pred GROUP BY 1
+    """
+
+
+@query("lang_mismatch_audit", _lang_mismatch_oracle())
+def q_lang_mismatch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-content language audit: per source, how often the
+    declared ``lang`` column disagrees with the marker-word language
+    ID — the corpus-governance number that catches mislabeled
+    partitions and wrong-language spillover BEFORE a lang-filtered
+    training mix is built on the metadata. Scan-speed lang ID (pure
+    codegen projection) + one source-keyed aggregate; output is
+    |sources| rows."""
+    docs = X.with_lang_id(_t_cpu(spark, sf_dir, "documents"))
+    mism = F.when(F.col("lang") != F.col("lang_pred"), 1).otherwise(0)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(mism).cast("bigint").alias("n_mismatch"),
+        F.round(
+            F.sum(mism) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mismatch_rate"),
+    )
+
+
+def _script_profile_oracle() -> str:
+    import re as _re
+
+    def _re2(cls: str) -> str:
+        # Java \uXXXX escapes → RE2 \x{XXXX} for DuckDB.
+        return _re.sub(
+            r"\\u([0-9a-fA-F]{4})", r"\\x{\1}", cls
+        )
+
+    counts = ", ".join(
+        "length(t) - length(regexp_replace(t, '"
+        + _re2(cls)
+        + f"', '', 'g')) AS n_{name}"
+        for name, cls in X.SCRIPT_CLASSES.items()
+    )
+    names = list(X.SCRIPT_CLASSES)
+    best = "greatest(" + ", ".join(f"n_{k}" for k in names) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND n_{k} = {best} THEN '{k}'" for k in names
+    ) + " ELSE 'other' END"
+    ratios = ", ".join(
+        f"n_{k}, CASE WHEN ns > 0 THEN round(n_{k} / CAST(ns AS "
+        f"DOUBLE), 6) END AS ratio_{k}"
+        for k in names
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ), c AS (
+        SELECT doc_id,
+               length(regexp_replace(t, '\\s', '', 'g')) AS ns,
+               {counts}
+        FROM base
+    )
+    SELECT doc_id, CAST(ns AS BIGINT) AS n_chars_nonspace, {ratios},
+           {case} AS dominant_script
+    FROM c
+    """
+
+
+@query("text_script_profile", _script_profile_oracle())
+def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script character profile (ext.text.with_script_profile):
+    per-script char counts + non-whitespace ratios + dominant script —
+    the script-mix cut (mojibake, mixed-script spam, wrong-script
+    spillover) a multilingual pipeline applies before any model-based
+    language ID. One codegen projection, explicit codepoint-range
+    classes so Java regex and RE2 evaluate the identical pattern."""
+    docs = X.with_script_profile(_t_cpu(spark, sf_dir, "documents"))
+    cols = ["doc_id", "n_chars_nonspace"]
+    for name in X.SCRIPT_CLASSES:
+        cols += [f"n_{name}", f"ratio_{name}"]
+    cols.append("dominant_script")
+    return docs.select(*cols)
 
 
 @query(

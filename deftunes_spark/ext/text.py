@@ -665,3 +665,60 @@ def with_readability(df: DataFrame, col: str = "text") -> DataFrame:
         syl.cast("bigint").alias("n_syllables"),
         F.when(words > 0, F.round(score, 6)).alias("flesch_score"),
     )
+
+
+# Unicode-script character classes, written as explicit codepoint
+# ranges so the SAME class text works in Java regex (Spark) and RE2
+# (DuckDB) — \p{Script=...} names differ between engines.
+SCRIPT_CLASSES: dict[str, str] = {
+    "latin": "[A-Za-z\\u00c0-\\u024f]",
+    "cyrillic": "[\\u0400-\\u04ff]",
+    "han": "[\\u4e00-\\u9fff]",
+    "arabic": "[\\u0600-\\u06ff]",
+    "digit": "[0-9]",
+}
+
+
+def with_script_profile(df: DataFrame, col: str = "text") -> DataFrame:
+    """Unicode-script character profile per document: for each script
+    class the character count and its ratio of non-whitespace
+    characters, plus the dominant script (fixed preference order on
+    ties, 'other' when nothing matches) — the script-mix signal a
+    multilingual curation pipeline cuts on before any model-based
+    language ID (mixed-script spam, mojibake, wrong-script spillover
+    inside a lang partition).
+
+    Counts are length-minus-length-removed (RE2-compatible — no
+    lookahead), one regexp pass per script class, all codegen: a
+    scan-speed projection with no shuffle, like the Gopher rules.
+    Ratios round to 6 dp for cross-engine hashing; empty/whitespace
+    documents profile as NULL ratios and dominant 'other'."""
+    c = F.coalesce(F.col(col), F.lit(""))
+    nonspace = F.length(F.regexp_replace(c, "\\s", ""))
+    counts = {
+        name: (
+            F.length(c) - F.length(F.regexp_replace(c, cls, ""))
+        ).cast("long")
+        for name, cls in SCRIPT_CLASSES.items()
+    }
+    out_cols = list(df.columns) + [
+        nonspace.cast("bigint").alias("n_chars_nonspace")
+    ]
+    for name in SCRIPT_CLASSES:
+        out_cols.append(counts[name].alias(f"n_{name}"))
+        out_cols.append(
+            F.when(
+                nonspace > 0,
+                F.round(counts[name] / nonspace.cast("double"), 6),
+            ).alias(f"ratio_{name}")
+        )
+    best = F.greatest(*counts.values())
+    dominant = F.lit("other")
+    # Reverse preference order so earlier scripts win ties — the same
+    # first-wins CASE discipline as with_lang_id.
+    for name in reversed(list(SCRIPT_CLASSES)):
+        dominant = F.when(
+            (best > 0) & (counts[name] == best), F.lit(name)
+        ).otherwise(dominant)
+    out_cols.append(dominant.alias("dominant_script"))
+    return df.select(*out_cols)

@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALE_DIR = "/tmp/deftunes_scale10"
+SCALE_DIR_100 = "/tmp/deftunes_scale100"
 REPLICAS = 10
 
 QUERIES = [
@@ -48,13 +49,45 @@ QUERIES = [
     "sequence_pack",
 ]
 
+# r6 verdict #3: a second decade. The 100× tier runs the flagship
+# SCALE-PATH operators only (the md5/fixed-literal oracle-mirror
+# configs are deliberately excluded — their quantizers/hashes exist
+# for the DuckDB twin, not for 100 TB). `ann_knn_auto` is the
+# production retrieval-join configuration (auto-sized quantizer +
+# grouped-BLAS kernel + hot-cluster guard) registered stress-locally
+# below; the fixed-literal `ann_knn_join_fast` would put ~all rows in
+# a handful of clusters — quadratic by construction, the exact shape
+# the nlist ∝ corpus rule exists to forbid.
+FLAGSHIP_100X = [
+    "dedup_minhash_fast",
+    "semantic_dedup_auto",
+    "ann_knn_auto",
+    "decontamination_bloom",
+    "hot_ngrams_cms",
+    "sequence_pack",
+]
 
-def build_scale_dir(spark) -> None:
+
+def _ann_knn_auto(spark, sf_dir: str):
+    """Production k-NN self-join: corpus-proportional quantizer
+    (target 500 rows/list) + grouped-BLAS kernel with the hot-cluster
+    cap. The stress-tier twin of `ann_knn_join_fast`, whose fixed
+    literal centroids are the oracle mirror, not the scale path."""
+    from deftunes_spark.ext.similarity import ivf_index, knn_join_grouped
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, cents = ivf_index(emb, n_lists="auto", target_list_rows=500)
+    return knn_join_grouped(emb, cents, k=3)
+
+
+def build_scale_dir(
+    spark, scale_dir: str = SCALE_DIR, replicas: int = REPLICAS
+) -> None:
     from pyspark.sql import functions as F
 
-    os.makedirs(SCALE_DIR, exist_ok=True)
+    os.makedirs(scale_dir, exist_ok=True)
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
-    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    reps = spark.range(replicas).select(F.col("id").alias("rep"))
     scaled = (
         docs.crossJoin(F.broadcast(reps))
         .select(
@@ -77,7 +110,7 @@ def build_scale_dir(spark) -> None:
         .withColumn("n_chars", F.length("text").cast("long"))
     )
     scaled.repartition(32).write.mode("overwrite").parquet(
-        f"{SCALE_DIR}/documents.parquet"
+        f"{scale_dir}/documents.parquet"
     )
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     scaled_e = (
@@ -94,13 +127,13 @@ def build_scale_dir(spark) -> None:
         )
     )
     scaled_e.repartition(32).write.mode("overwrite").parquet(
-        f"{SCALE_DIR}/embeddings.parquet"
+        f"{scale_dir}/embeddings.parquet"
     )
     # The harness loaders resolve sibling tables from the same dir.
     for t in (
         "region nation customer supplier part orders lineitem events"
     ).split():
-        dst = f"{SCALE_DIR}/{t}.parquet"
+        dst = f"{scale_dir}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{BASE}/{t}.parquet", dst)
 
@@ -197,11 +230,17 @@ def main() -> None:
         build_scale_dir(spark)
         print(f"built {SCALE_DIR} in {time.perf_counter() - t0:.1f}s")
 
+    def _resolve(name):
+        return _ann_knn_auto if name == "ann_knn_auto" else REG[name]
+
     out: dict = {"load_avg": [round(x, 2) for x in os.getloadavg()]}
     for label, sf_dir in (("1x", BASE), ("10x", SCALE_DIR)):
         out[label] = {"buckets": bucket_maxima(spark, sf_dir)}
-        for name in QUERIES:
-            fn = REG[name]
+        names = QUERIES + (
+            ["ann_knn_auto"] if "--100x" in sys.argv else []
+        )
+        for name in names:
+            fn = _resolve(name)
             fn(spark, sf_dir).collect()  # warm
             best = None
             for _ in range(2):
@@ -212,6 +251,29 @@ def main() -> None:
             out[label][name] = {"sec": round(best, 2), "rows": rows}
             print(f"{label:>4} {name:28s} {best:7.2f}s {rows:>8} rows")
 
+    if "--100x" in sys.argv:
+        # The second decade (r6 verdict #3): flagship scale-path
+        # operators only, ONE timed run each (at 30-s+ walls the
+        # codegen warm-up is noise and a second run doubles an
+        # hour-scale sweep for nothing).
+        if "--rebuild" in sys.argv or not os.path.exists(
+            f"{SCALE_DIR_100}/documents.parquet"
+        ):
+            t0 = time.perf_counter()
+            build_scale_dir(spark, SCALE_DIR_100, 100)
+            print(
+                f"built {SCALE_DIR_100} in "
+                f"{time.perf_counter() - t0:.1f}s"
+            )
+        out["100x"] = {"buckets": bucket_maxima(spark, SCALE_DIR_100)}
+        for name in FLAGSHIP_100X:
+            fn = _resolve(name)
+            t0 = time.perf_counter()
+            rows = len(fn(spark, SCALE_DIR_100).collect())
+            dt = time.perf_counter() - t0
+            out["100x"][name] = {"sec": round(dt, 2), "rows": rows}
+            print(f"100x {name:28s} {dt:7.2f}s {rows:>8} rows")
+
     print("\n| query | 1x sec | 10x sec | ratio | 1x rows | 10x rows |")
     print("|---|---|---|---|---|---|")
     for name in QUERIES:
@@ -221,6 +283,23 @@ def main() -> None:
             f"{b['sec'] / max(a['sec'], 1e-9):.1f}x | {a['rows']} | "
             f"{b['rows']} |"
         )
+    if "100x" in out:
+        print(
+            "\n| query | 10x sec | 100x sec | ratio (decade) "
+            "| 100x rows |"
+        )
+        print("|---|---|---|---|---|")
+        for name in FLAGSHIP_100X:
+            a = out["10x"].get(name)
+            b = out["100x"][name]
+            a_sec = a["sec"] if a else float("nan")
+            ratio = (
+                f"{b['sec'] / max(a_sec, 1e-9):.1f}x" if a else "n/a"
+            )
+            print(
+                f"| {name} | {a_sec if a else 'n/a'} | {b['sec']} | "
+                f"{ratio} | {b['rows']} |"
+            )
     print(json.dumps(out))
 
 
