@@ -822,29 +822,26 @@ def _salted_pair_blocks(
         )
         .drop("_crows")
     )
-    fan = salted.withColumn(
-        "_other", F.explode(F.sequence(F.lit(0), F.col("_ns") - 1))
+    # ONE explode emits every (block, role) assignment for the row —
+    # a two-branch union would re-scan the (fat) vector column twice;
+    # this keeps the whole fan-out on a single pass.
+    blocks_arr = F.expr(
+        "concat("
+        "transform(sequence(0, _ns - 1), o -> named_struct("
+        "'gl', _my, 'gr', o,"
+        " 'role', CAST(IF(o = _my, 2, 0) AS TINYINT))),"
+        " filter(transform(sequence(0, _ns - 1), o -> named_struct("
+        "'gl', o, 'gr', _my, 'role', CAST(1 AS TINYINT))),"
+        " x -> x.gl != _my))"
     )
-    left = fan.select(
+    return salted.withColumn("_b", F.explode(blocks_arr)).select(
         "cluster",
-        F.col("_my").alias("_gl"),
-        F.col("_other").alias("_gr"),
+        F.col("_b.gl").alias("_gl"),
+        F.col("_b.gr").alias("_gr"),
         F.col(id_col),
         F.col(vec_col),
-        F.when(F.col("_other") == F.col("_my"), F.lit(2))
-        .otherwise(F.lit(0))
-        .cast("tinyint")
-        .alias("_role"),
+        F.col("_b.role").alias("_role"),
     )
-    right = fan.filter(F.col("_other") != F.col("_my")).select(
-        "cluster",
-        F.col("_other").alias("_gl"),
-        F.col("_my").alias("_gr"),
-        F.col(id_col),
-        F.col(vec_col),
-        F.lit(1).cast("tinyint").alias("_role"),
-    )
-    return left.unionByName(right)
 
 
 def knn_join_grouped(
