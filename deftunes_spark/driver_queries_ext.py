@@ -662,7 +662,7 @@ def _script_profile_oracle() -> str:
         SELECT doc_id, coalesce(text, '') AS t FROM documents
     ), c AS (
         SELECT doc_id,
-               length(regexp_replace(t, '\\s', '', 'g')) AS ns,
+               length(regexp_replace(t, '{X.WS_CLASS}', '', 'g')) AS ns,
                {counts}
         FROM base
     )

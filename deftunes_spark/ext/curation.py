@@ -544,8 +544,17 @@ def semantic_dedup(
         )
 
     if method == "grouped":
-        assigned = ivf_assign(df, centroids, vec_col, "cluster").select(
-            F.col(id_col), F.col(vec_col), F.col("cluster")
+        from pyspark import StorageLevel
+
+        # persist: the assignment feeds the hot-cluster guard's count
+        # aggregate, the salted fan-out join, AND the final kept-flag
+        # join — three consumers of the same scan + nlist×d distance
+        # compute. Lazy marker (builder stays lazy); spills, never
+        # recomputes.
+        assigned = (
+            ivf_assign(df, centroids, vec_col, "cluster")
+            .select(F.col(id_col), F.col(vec_col), F.col("cluster"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         dominated = _semantic_dominated_grouped(
             assigned,
@@ -558,11 +567,19 @@ def semantic_dedup(
         # Norms once per ROW, not per pair: three HOF folds per pair
         # (dot + both norms) tripled interpreted-eval and allocation
         # cost (observed 14-47 s GC spikes at sf0.1 before the split).
-        assigned = ivf_assign(df, centroids, vec_col, "cluster").select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("cluster"),
-            norm_expr(F.col(vec_col)).alias("_norm"),
+        from pyspark import StorageLevel
+
+        assigned = (
+            ivf_assign(df, centroids, vec_col, "cluster")
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.col("cluster"),
+                norm_expr(F.col(vec_col)).alias("_norm"),
+            )
+            # same three-consumer shape as the grouped branch: both
+            # self-join sides plus the kept-flag join read this.
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         a = assigned.withColumn(
             "_salt",
@@ -641,7 +658,9 @@ def _semantic_dominated_grouped(
     exact.
 
     Memory per task: n·block doubles (the sim block) + the group's
-    vectors — ≤ 2·max_cluster_rows rows even when the nlist ∝ corpus
+    vectors — ~2·max_cluster_rows rows in expectation (hash-salt
+    balance is statistical; the tested ceiling is 3× — see
+    ``similarity._salted_pair_blocks``) even when the nlist ∝ corpus
     rule fails on duplicate mass. Ids must be integral (cast
     upstream)."""
 

@@ -667,6 +667,11 @@ def with_readability(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+# Java \s and RE2 \s disagree on vertical tab (U+000B: Java includes
+# it, RE2 does not) — spell the whitespace class out so both engines
+# evaluate the identical character set.
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+
 # Unicode-script character classes, written as explicit codepoint
 # ranges so the SAME class text works in Java regex (Spark) and RE2
 # (DuckDB) — \p{Script=...} names differ between engines.
@@ -694,7 +699,7 @@ def with_script_profile(df: DataFrame, col: str = "text") -> DataFrame:
     Ratios round to 6 dp for cross-engine hashing; empty/whitespace
     documents profile as NULL ratios and dominant 'other'."""
     c = F.coalesce(F.col(col), F.lit(""))
-    nonspace = F.length(F.regexp_replace(c, "\\s", ""))
+    nonspace = F.length(F.regexp_replace(c, WS_CLASS, ""))
     counts = {
         name: (
             F.length(c) - F.length(F.regexp_replace(c, cls, ""))

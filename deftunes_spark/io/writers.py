@@ -174,6 +174,7 @@ def write_bucketed_table(
     bucket_col: str,
     n_buckets: int = 32,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
     """Bucketed catalog table (Hive-style bucketing).
 
@@ -182,8 +183,13 @@ def write_bucketed_table(
     join key co-locate matching keys in the same bucket file, so the
     join plans with ZERO Exchange — pre-shuffled at write time, paid
     once, amortized over every subsequent join/aggregate on that key
-    (see tests/test_bucketing.py for the plan assertion)."""
+    (see tests/test_bucketing.py for the plan assertion). With
+    ``path`` the table is EXTERNAL at that location (data outside the
+    shared warehouse — callers that create throwaway demo tables use a
+    tempdir so the warehouse never accumulates their files)."""
     w = df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        w = w.option("path", path)
     w = w.bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         w = w.sortBy(sort_col)

@@ -46,6 +46,26 @@ def test_script_profile_classifies_scripts(spark):
     assert abs(total - 1.0) < 1e-6
 
 
+def test_script_profile_vertical_tab_matches_duckdb(spark):
+    """Java \\s includes U+000B (vertical tab), RE2 \\s does not —
+    the whitespace class is spelled out (text.WS_CLASS) so both
+    engines count the same n_chars_nonspace on \\x0B-bearing docs."""
+    import duckdb
+
+    from deftunes_spark.ext.text import WS_CLASS, with_script_profile
+
+    txt = "ab\x0bcd \x0b\t"
+    r = with_script_profile(
+        spark.createDataFrame([(1, txt)], ["doc_id", "text"])
+    ).first()
+    want = duckdb.sql(
+        "SELECT length(regexp_replace(?, '" + WS_CLASS + "', '', 'g'))"
+        " AS ns",
+        params=[txt],
+    ).fetchone()[0]
+    assert r.n_chars_nonspace == want == 4  # a b c d; \x0b is space
+
+
 def test_script_profile_tie_prefers_declaration_order(spark):
     from deftunes_spark.ext.text import with_script_profile
 

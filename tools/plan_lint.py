@@ -70,11 +70,6 @@ ALLOW_BNLJ = {
         "(one ~2 KB bottom-k array per group), broadcast — fan-out "
         "bounded by (groups choose 2), never corpus-sized"
     ),
-    "event_pattern_match": (
-        "1-row pattern-string aggregate broadcast onto the per-user "
-        "journey table (regex patterns derived lazily from the "
-        "alphabet map)"
-    ),
 }
 ALLOW_SINGLE_PARTITION_WINDOW = {
     "scd2_user_state": (
@@ -85,11 +80,6 @@ ALLOW_SINGLE_PARTITION_WINDOW = {
         "cumulative distribution over the POST-AGGREGATION bin table "
         "— bounded by #bins (hundreds of rows at any corpus scale), "
         "never the corpus"
-    ),
-    "event_pattern_match": (
-        "alphabet-ranking window over distinct(event_type) — bounded "
-        "by the event-type alphabet (dozens of rows at any corpus "
-        "scale), never the corpus"
     ),
 }
 
