@@ -995,6 +995,66 @@ def q_hot_ngrams_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Zipf rank-frequency fit (ext.profile.zipf_fit)
+# =====================================================================
+
+_ZIPF_K = 10_000
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(list_filter(
+        regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+        x -> x <> '')) AS tok
+    FROM documents
+), vocab AS (
+    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1
+), corpus AS (
+    SELECT COUNT(*) AS vocab, SUM(cnt) AS total FROM vocab
+), head AS (
+    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+    FROM vocab ORDER BY cnt DESC, tok LIMIT {_ZIPF_K}
+), pts AS (
+    SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 6)
+                AS DECIMAL(18,6)) AS x,
+           CAST(round(ln(CAST(cnt AS DOUBLE)), 6)
+                AS DECIMAL(18,6)) AS y
+    FROM head
+), m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(x * y) AS DOUBLE) AS sxy,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx
+    FROM pts
+)
+SELECT CAST(c.vocab AS BIGINT) AS vocab_size,
+       CAST(c.total AS BIGINT) AS total_tokens,
+       CAST(m.n AS BIGINT) AS fitted_ranks,
+       round((m.n * m.sxy - m.sx * m.sy)
+             / (m.n * m.sxx - m.sx * m.sx), 6) AS zipf_slope,
+       round((m.sy - ((m.n * m.sxy - m.sx * m.sy)
+                      / (m.n * m.sxx - m.sx * m.sx)) * m.sx)
+             / m.n, 6) AS zipf_intercept
+FROM m, corpus c
+"""
+
+
+@query("zipf_rank_frequency", _ZIPF_ORACLE)
+def q_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit (ext.profile.zipf_fit): log-log slope +
+    intercept of the top-10k token frequencies, full vocab size and
+    token total — the corpus-health panel that flags boilerplate
+    floods and templated text before training. Head selection is a
+    distributed TakeOrdered; the rank window runs over ≤ max_rank
+    rows (a constant); regression moments are exact decimal sums."""
+    from deftunes_spark.ext.profile import zipf_fit
+
+    return zipf_fit(
+        _t_cpu(spark, sf_dir, "documents"), "text", max_rank=_ZIPF_K
+    )
+
+
+# =====================================================================
 # Embedding drift (PSI over cosine-to-anchor distribution)
 # =====================================================================
 

@@ -369,6 +369,68 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# DSIR importance weights (hashed-n-gram importance resampling)
+# =====================================================================
+
+_DSIR_B = 1024
+
+_DSIR_ORACLE = f"""
+WITH toklist AS (
+    SELECT doc_id, lang = 'en' AS is_t,
+           regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents
+), bf AS (
+    SELECT doc_id, is_t,
+           ('0x' || substr(md5('dsir|' || u.sh), 1, 15))::BIGINT
+               % {_DSIR_B} AS bkt
+    FROM toklist,
+         UNNEST(list_transform(
+             range(1, greatest(len(toks) - 1, 1) + 1),
+             i -> array_to_string(toks[i:i+1], ' '))) AS u(sh)
+), model AS (
+    SELECT bkt, COUNT(*) AS cr,
+           COUNT(*) FILTER (is_t) AS ct
+    FROM bf GROUP BY 1
+), tot AS (
+    SELECT SUM(cr) AS r, SUM(ct) AS t FROM model
+), lr AS (
+    SELECT bkt,
+           CAST(round(ln(
+               (CAST(ct + 1 AS DOUBLE) * CAST(t.r + {_DSIR_B} AS DOUBLE))
+             / (CAST(cr + 1 AS DOUBLE) * CAST(t.t + {_DSIR_B} AS DOUBLE))
+           ), 6) AS DECIMAL(18,6)) AS lr
+    FROM model, tot t
+), docf AS (
+    SELECT doc_id, bkt, COUNT(*) AS k FROM bf GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_feats,
+       CAST(SUM(CAST(k AS DECIMAL(10,0)) * lr) AS DOUBLE)
+           AS dsir_logweight
+FROM docf JOIN lr USING (bkt)
+GROUP BY 1
+"""
+
+
+@query("dsir_importance", _DSIR_ORACLE)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (ext.curation.dsir_logweights):
+    hashed-bigram bucket models for the target (lang='en') vs the raw
+    corpus, per-doc Σ log(p_target/p_raw) — the importance-resampling
+    score that, fed to weighted_sample, tilts a crawl toward a target
+    domain. Log-ratios round to DECIMAL(18,6) BEFORE the per-doc sum
+    (exact, order-independent), models are n_buckets-row broadcasts,
+    and only (doc, bucket) pairs ever shuffle."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return C.dsir_logweights(
+        docs,
+        F.col("lang") == "en",
+        n=2,
+        n_buckets=_DSIR_B,
+    )
+
+
+# =====================================================================
 # Exact substring dedup (sliding k-gram repeats)
 # =====================================================================
 

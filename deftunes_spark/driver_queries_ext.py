@@ -1592,6 +1592,48 @@ def q_dedup_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deliberately NOT a mirror of the prefix-filter algorithm: a
+# brute-force all-pairs list_intersect, so the value-hash check also
+# proves the pruning is lossless (prefix filtering is exact — any
+# dropped candidate would show up as a row-count mismatch here).
+_PREFIX_FILTER_ORACLE = """
+WITH toklist AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents
+), sets AS (
+    SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(toks) - 1, 1) + 1),
+        i -> array_to_string(toks[i:i+1], ' '))) AS ss
+    FROM toklist
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.ss, b.ss)) AS o,
+           len(a.ss) AS sa, len(b.ss) AS sb
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(o AS DOUBLE) / CAST(sa + sb - o AS DOUBLE), 6)
+           AS jaccard
+FROM pairs
+WHERE CAST(o AS DOUBLE) / CAST(sa + sb - o AS DOUBLE) >= 0.5
+"""
+
+
+@query("dedup_prefix_filter", _PREFIX_FILTER_ORACLE)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-Jaccard pairs via AllPairs/PPJoin prefix filtering
+    (ext.dedup.prefix_filter_pairs): candidates come only from shared
+    RAREST-prefix shingles (rarity = global document frequency), then
+    verify exactly on the full sets — the lossless alternative to the
+    df-cap approximation when the answer must not change. The oracle
+    is an independent O(n²) brute force, so the hash check proves the
+    pruning drops nothing."""
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return D.prefix_filter_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.5
+    )
+
+
 _REPETITION_ORACLE = """
 WITH t AS (
     SELECT doc_id, text,

@@ -953,6 +953,104 @@ def source_overlap_minhash(
     )
 
 
+def dsir_logweights(
+    df: DataFrame,
+    target_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al., NeurIPS'23 — "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how much more likely its hashed-n-gram features
+    are under the TARGET distribution (rows matching
+    ``target_filter``) than under the raw corpus, as
+    ``Σ_features log(p_target(bucket) / p_raw(bucket))`` with
+    add-one-smoothed bucket unigram models. Feed the weights to
+    ``weighted_sample`` to resample the raw corpus toward the target —
+    the published recipe for "make CommonCrawl look like Wikipedia".
+
+    Shape at 100 TB: features hash to ``n_buckets`` ids md5-derived
+    (engine-portable, deterministic under retries); both models are
+    ONE aggregate over (bucket) — n_buckets rows total — and the
+    per-doc scoring joins the broadcast model onto per-(doc, bucket)
+    counts, so nothing corpus-sized shuffles except the (doc, bucket)
+    pre-aggregation. The corpus-total join is a 1-row broadcast.
+
+    Cross-engine determinism: the log-ratio is rounded to 6 dp and
+    cast DECIMAL(18,6) BEFORE the per-doc sum, so the sum is exact
+    integer-scaled arithmetic — engine and partition-order
+    independent (the repo-wide float-sum discipline)."""
+    from deftunes_spark.ext.dedup import shingle_array_sql
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    bucket = F.pmod(
+        F.expr(
+            "cast(conv(substr(md5(concat('dsir|', _sh)), 1, 15),"
+            " 16, 10) as bigint)"
+        ),
+        F.lit(n_buckets),
+    )
+    bf = (
+        df.select(
+            F.col(id_col),
+            target_filter.alias("_is_target"),
+            toks.alias("_toks"),
+        )
+        .select(
+            id_col,
+            "_is_target",
+            F.explode(F.expr(shingle_array_sql(n))).alias("_sh"),
+        )
+        .select(id_col, "_is_target", bucket.alias("_bkt"))
+    )
+    model = bf.groupBy("_bkt").agg(
+        F.count(F.lit(1)).alias("_cr"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("_ct"),
+    )
+    totals = model.agg(
+        F.sum("_cr").alias("_r"), F.sum("_ct").alias("_t")
+    )
+    b = F.lit(n_buckets)
+    # One multiply per side, one divide, then ln — the identical
+    # expression tree mirrors into the SQL oracle, so the double is
+    # bit-equal before the 6-dp round.
+    lr = F.round(
+        F.log(
+            (
+                (F.col("_ct") + 1).cast("double")
+                * (F.col("_r") + b).cast("double")
+            )
+            / (
+                (F.col("_cr") + 1).cast("double")
+                * (F.col("_t") + b).cast("double")
+            )
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    ratios = model.join(F.broadcast(totals)).select(
+        "_bkt", lr.alias("_lr")
+    )
+    docf = bf.groupBy(id_col, "_bkt").agg(
+        F.count(F.lit(1)).alias("_k")
+    )
+    return (
+        docf.join(F.broadcast(ratios), "_bkt")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_k").cast("bigint").alias("n_feats"),
+            F.sum(
+                F.col("_k").cast("decimal(10,0)") * F.col("_lr")
+            )
+            .cast("double")
+            .alias("dsir_logweight"),
+        )
+    )
+
+
 def mixture_rates(
     counts: Mapping[str, int], target_weights: Mapping[str, float]
 ) -> dict[str, float]:

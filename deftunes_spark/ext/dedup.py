@@ -428,6 +428,110 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join via prefix filtering — the
+    AllPairs/PPJoin candidate strategy (Bayardo et al., WWW'07; Xiao
+    et al., WWW'08). Unlike ``ngram_jaccard_pairs`` (joins on EVERY
+    shared shingle, candidate space Σ df²) or its ``max_doc_freq``
+    variant (exact only on the truncated sets), this prunes the
+    candidate space WITHOUT changing the answer.
+
+    Order each document's shingle set by global rarity (document
+    frequency asc, shingle asc — one total order corpus-wide). For
+    Jaccard ≥ t, the overlap obeys o ≥ t·|x|, so the globally
+    smallest common shingle of any qualifying pair must sit inside
+    BOTH documents' first ``|s| - floor(t·|s|) + 1`` shingles (were it
+    outside x's prefix, all common shingles would fit in x's suffix
+    of floor(t·|x|) − 1 < o positions). Candidates therefore come
+    from an equi-join on PREFIX shingles only — the rarest ones, so
+    per-shingle fan-out is small by construction where df² would
+    explode — and each candidate is verified exactly on the full sets
+    (``array_intersect`` on the pair row). The floor() form
+    over-lengthens the prefix by ≤1 vs the textbook ceil(), buying
+    immunity to float rounding in t·|s| at the cost of a few extra
+    candidates, never a missed pair.
+
+    Shape at 100 TB: one shingle+df shuffle, one bounded prefix
+    equi-join, one verify join carrying arrays only for candidate
+    pairs. The ordered-set relation feeds three branches (prefix
+    explode + both verify sides) — persisted, computed once."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    from pyspark import StorageLevel
+
+    sh = shingles(df, id_col, text_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    arrs = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_df", "shingle"))
+            ).alias("_ord")
+        )
+        .select(
+            id_col,
+            F.expr("transform(_ord, s -> s.shingle)").alias("_set"),
+            F.size("_ord").alias("_sz"),
+        )
+        .withColumn(
+            "_plen",
+            (
+                F.col("_sz")
+                - F.floor(F.lit(threshold) * F.col("_sz"))
+                + 1
+            ).cast("int"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pref = arrs.select(
+        F.col(id_col),
+        F.explode(
+            F.slice("_set", F.lit(1), F.col("_plen"))
+        ).alias("_ptok"),
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._ptok") == F.col("b._ptok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = arrs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_set").alias("_seta"),
+        F.col("_sz").alias("_sza"),
+    )
+    vb = arrs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_set").alias("_setb"),
+        F.col("_sz").alias("_szb"),
+    )
+    common = F.size(F.array_intersect("_seta", "_setb"))
+    jac = common.cast("double") / (
+        F.col("_sza") + F.col("_szb") - common
+    ).cast("double")
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------

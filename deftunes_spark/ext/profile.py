@@ -330,3 +330,78 @@ def heavy_hitters_cms(
     sketch = cms_build(df.select(item_col), item_col, depth, width)
     est = cms_estimate(cand, sketch, item_col, depth, width)
     return est.orderBy(F.col("est_count").desc(), item_col).limit(k)
+
+
+# ---------------------------------------------------------------------
+# Zipf rank-frequency fit
+# ---------------------------------------------------------------------
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    max_rank: int = 10_000,
+) -> DataFrame:
+    """Zipf rank-frequency diagnostics over the corpus vocabulary: the
+    log-log slope (and intercept) of frequency vs rank for the top
+    ``max_rank`` tokens, plus full vocabulary size and total token
+    count — the corpus-health numbers that flag boilerplate floods
+    (slope far below −1), tokenizer damage, or synthetic/templated
+    text (slope near 0) before anything trains on it. Fitting only the
+    head is the standard practice (the tail is dominated by hapax
+    noise) AND the scale guard: ranking is a distributed
+    TakeOrderedAndProject over (count desc, token), never a global
+    sort, and the fit's window runs over ≤ max_rank rows — a CONSTANT,
+    not the vocabulary.
+
+    Cross-engine determinism: ln(rank)/ln(count) round to 6 dp and
+    cast DECIMAL(18,6), all four regression moments are exact decimal
+    sums (order-independent), and the closed-form slope/intercept is
+    the identical double expression tree on both engines."""
+    if max_rank < 2:
+        raise ValueError("max_rank must be >= 2")
+    toks = df.select(
+        F.explode(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), "\\s+")
+        ).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    vocab = toks.groupBy("_tok").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    corpus = vocab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_vocab"),
+        F.sum("_cnt").cast("bigint").alias("_total"),
+    )
+    head = vocab.orderBy(F.col("_cnt").desc(), "_tok").limit(max_rank)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("_cnt").desc(), "_tok")
+    x = F.round(F.log(F.col("_rank").cast("double")), 6).cast(
+        "decimal(18,6)"
+    )
+    y = F.round(F.log(F.col("_cnt").cast("double")), 6).cast(
+        "decimal(18,6)"
+    )
+    pts = head.withColumn("_rank", F.row_number().over(w)).select(
+        x.alias("_x"), y.alias("_y")
+    )
+    moments = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum("_y").cast("double").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("double").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_sxx"),
+    )
+    slope = (
+        F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    ) / (
+        F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / F.col("_n")
+    return moments.join(F.broadcast(corpus)).select(
+        F.col("_vocab").alias("vocab_size"),
+        F.col("_total").alias("total_tokens"),
+        F.col("_n").cast("bigint").alias("fitted_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )

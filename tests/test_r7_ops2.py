@@ -1,0 +1,162 @@
+"""Round-7 second-wave operators: prefix-filter exact similarity
+join, DSIR importance weights, Zipf rank-frequency fit."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_prefix_filter_parity_with_exact_join(spark):
+    """Prefix filtering must be lossless: identical pair set and
+    Jaccard values as the join-on-every-shingle exact operator,
+    across n-gram sizes and thresholds."""
+    from deftunes_spark.ext.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for n, t in [(1, 0.5), (2, 0.4), (3, 0.7)]:
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in prefix_filter_pairs(
+                docs, "doc_id", "text", n=n, threshold=t
+            ).collect()
+        }
+        want = {
+            (r.id_a, r.id_b, round(r.jaccard, 6))
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=n, threshold=t
+            ).collect()
+        }
+        assert got == want, f"n={n} t={t}"
+        assert got, f"n={n} t={t}: fixture should contain near-dups"
+
+
+def test_prefix_filter_finds_planted_duplicate(spark):
+    from deftunes_spark.ext.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = prefix_filter_pairs(
+        df, "doc_id", "text", n=1, threshold=0.5
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+    # 8-distinct-token sets sharing 7: J = 7 / (8 + 8 - 7)
+    assert rows[0].jaccard == round(7 / 9, 6)
+
+
+def test_prefix_filter_threshold_validation(spark):
+    from deftunes_spark.ext.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            prefix_filter_pairs(df, "doc_id", "text", threshold=bad)
+
+
+def test_dsir_separates_target_from_raw(spark):
+    """Importance log-weights must rank the target slice above the
+    rest on average — that is the whole point of the estimator."""
+    from deftunes_spark.ext.curation import dsir_logweights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = dsir_logweights(docs, F.col("lang") == "en", n=2)
+    joined = w.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r.is_t: r.m
+        for r in joined.groupBy(
+            (F.col("lang") == "en").alias("is_t")
+        )
+        .agg(F.avg("dsir_logweight").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+    assert w.count() == docs.count()
+
+
+def test_dsir_weight_is_exact_feature_sum(spark):
+    """Hand-checkable two-bucket-model case: every doc's weight must
+    equal the sum of its features' rounded log-ratios."""
+    from deftunes_spark.ext.curation import dsir_logweights
+
+    df = spark.createDataFrame(
+        [(1, "aa aa bb", True), (2, "bb bb cc", False)],
+        ["doc_id", "text", "is_t"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in dsir_logweights(
+            df, F.col("is_t"), n=1, n_buckets=4
+        ).collect()
+    }
+    # n=1 shingles: doc1 -> aa aa bb (3 feats), doc2 -> bb bb cc.
+    assert rows[1].n_feats == 3 and rows[2].n_feats == 3
+    # Recompute driver-side with the same smoothing/rounding.
+    import hashlib
+
+    def bkt(s):
+        return int(hashlib.md5(f"dsir|{s}".encode()).hexdigest()[:15], 16) % 4
+
+    feats = {1: ["aa", "aa", "bb"], 2: ["bb", "bb", "cc"]}
+    cr, ct = {}, {}
+    for d, fs in feats.items():
+        for s in fs:
+            b = bkt(s)
+            cr[b] = cr.get(b, 0) + 1
+            if d == 1:
+                ct[b] = ct.get(b, 0) + 1
+    r_tot, t_tot = sum(cr.values()), sum(ct.values())
+    for d, fs in feats.items():
+        want = sum(
+            round(
+                math.log(
+                    ((ct.get(bkt(s), 0) + 1) * float(r_tot + 4))
+                    / ((cr[bkt(s)] + 1) * float(t_tot + 4))
+                ),
+                6,
+            )
+            for s in fs
+        )
+        assert abs(rows[d].dsir_logweight - want) < 1e-9
+
+
+def test_zipf_fit_on_known_distribution(spark):
+    """Exact power law cnt = 2^(10-rank_exponent): slope of the log-log
+    fit must recover the exponent."""
+    from deftunes_spark.ext.profile import zipf_fit
+
+    # token w_i repeated floor(1000 / i) times -> slope ~ -1.
+    df = spark.createDataFrame(
+        [
+            (i, (f"w{i:03d} " * max(1000 // i, 1)).strip())
+            for i in range(1, 51)
+        ],
+        ["doc_id", "text"],
+    )
+    r = zipf_fit(df, "text", max_rank=50).first()
+    assert r.vocab_size == 50
+    assert r.fitted_ranks == 50
+    assert -1.05 < r.zipf_slope < -0.95
+    assert r.total_tokens == sum(max(1000 // i, 1) for i in range(1, 51))
+
+
+def test_zipf_max_rank_caps_fit(spark):
+    from deftunes_spark.ext.profile import zipf_fit
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    r = zipf_fit(docs, "text", max_rank=10).first()
+    assert r.fitted_ranks == 10
+    assert r.vocab_size > 10  # full vocab still reported
+    assert r.zipf_slope < 0

@@ -81,6 +81,10 @@ ALLOW_SINGLE_PARTITION_WINDOW = {
         "— bounded by #bins (hundreds of rows at any corpus scale), "
         "never the corpus"
     ),
+    "zipf_rank_frequency": (
+        "rank window over the TakeOrdered top-max_rank head — bounded "
+        "by the constant max_rank (10k), never vocabulary or corpus"
+    ),
 }
 
 
