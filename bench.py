@@ -98,6 +98,13 @@ HEADLINE = [
     # Grouped-BLAS k-NN self-join (the production retrieval join;
     # 3.1× over the expr/oracle path at sf0.1):
     "ann_knn_join_fast",
+    # r7 additions: prefix-filtered EXACT similarity join (candidate
+    # space tracks duplicate density), DSIR importance scoring
+    # (n_buckets-row model state), Zipf head fit (constant-size
+    # TakeOrdered + decimal-moment regression):
+    "dedup_prefix_filter",
+    "dsir_importance",
+    "zipf_rank_frequency",
 ]
 
 WARMUP_RUNS = 2

@@ -188,7 +188,7 @@ def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 _TOK_LOWER = (
-    "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+    "list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
 )
 
 _VOCAB_ORACLE = f"""
@@ -292,7 +292,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACKING_ORACLE = """
 WITH tok AS (
     SELECT doc_id, doc_id % 8 AS shard,
-           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+           CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                                 t -> t <> '')) AS BIGINT) AS token_count
     FROM documents
 ), packed AS (
@@ -327,7 +327,7 @@ _SUBWORD_ORACLE = """
 SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'),
                             t -> t <> ''))
-            + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+            + length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))
             AS BIGINT) AS subword_count
 FROM documents
 """
@@ -438,7 +438,7 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HOT_NGRAMS_ORACLE = """
 WITH toklist AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
     FROM documents
 ), sh AS (
     SELECT DISTINCT doc_id,
@@ -931,7 +931,7 @@ _CMS_SAMPLE = "33333333"  # md5-hex threshold ~ 20% of documents
 
 _CMS_ORACLE = f"""
 WITH toklist AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
     FROM documents
 ), sh AS (
     SELECT DISTINCT doc_id,
@@ -1003,7 +1003,7 @@ _ZIPF_K = 10_000
 _ZIPF_ORACLE = f"""
 WITH toks AS (
     SELECT unnest(list_filter(
-        regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+        regexp_split_to_array(trim(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+'),
         x -> x <> '')) AS tok
     FROM documents
 ), vocab AS (

@@ -927,7 +927,12 @@ GROUP BY 1
 # spark-warehouse, no warehouse accumulation across runs, and a second
 # build with a different sf_dir gets its own pair instead of silently
 # invalidating the first call's still-lazy DataFrame.
-_BKT_TABLES: dict[tuple[int, str], tuple[str, str]] = {}
+# Keyed by applicationId, not id(spark): a stopped session's address
+# can be reused by a new one, silently aliasing it to the dead pair.
+# Catalog lifetime: the engine runs Spark's default IN-MEMORY catalog
+# (no Hive metastore), so the uuid-named table DEFINITIONS die with
+# the process; only the tempdir parquet outlives it (OS-reclaimed).
+_BKT_TABLES: dict[tuple[str, str], tuple[str, str]] = {}
 
 
 def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -936,7 +941,7 @@ def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     from deftunes_spark.io.writers import write_bucketed_table
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BKT_TABLES:
         suf = _uuid.uuid4().hex[:10]
         base = _tf.mkdtemp(prefix="deftunes_bktq_")

@@ -31,7 +31,7 @@ _DECON_MIN = 2
 
 _DECON_ORACLE = f"""
 WITH toklist AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
     FROM documents
 ), sh AS (
     SELECT DISTINCT doc_id,
@@ -82,7 +82,7 @@ _BLOOM_K = 3
 _BLOOM_ORACLE = f"""
 WITH toklist AS (
     SELECT doc_id,
-           regexp_split_to_array(trim(coalesce(text, '')), '\\s+')
+           regexp_split_to_array(trim(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+')
                AS toks
     FROM documents
 ), sh AS (
@@ -164,7 +164,7 @@ _SEG_MAXDF = 2
 _SEGDEDUP_ORACLE = f"""
 WITH toklist AS (
     SELECT doc_id,
-           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+           list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                        t -> t <> '') AS toks
     FROM documents
 ), segs AS (
@@ -377,7 +377,7 @@ _DSIR_B = 1024
 _DSIR_ORACLE = f"""
 WITH toklist AS (
     SELECT doc_id, lang = 'en' AS is_t,
-           regexp_split_to_array(trim(text), '\\s+') AS toks
+           regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
     FROM documents
 ), bf AS (
     SELECT doc_id, is_t,
@@ -440,7 +440,7 @@ _SS_MIN = 2
 _SUBSTRING_ORACLE = f"""
 WITH toklist AS (
     SELECT doc_id,
-           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+           list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                        t -> t != '') AS toks
     FROM documents WHERE text IS NOT NULL
 ), grams AS (
@@ -503,7 +503,7 @@ _CLASSIFY_ORACLE = """
 WITH tok AS (
     SELECT doc_id, lang,
            unnest(list_filter(
-               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                t -> t != '')) AS token
     FROM documents WHERE text IS NOT NULL
 ), tf AS (
@@ -607,7 +607,7 @@ _OVERLAP_N = 3
 _OVERLAP_ORACLE = f"""
 WITH toks AS (
     SELECT source,
-           regexp_split_to_array(trim(text), '\\s+') AS tk
+           regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tk
     FROM documents WHERE text IS NOT NULL
 ), sh AS (
     SELECT DISTINCT source,

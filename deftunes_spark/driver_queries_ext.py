@@ -33,7 +33,7 @@ from deftunes_spark.streaming.windows import (
 @query(
     "dedup_exact",
     """
-    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+    SELECT md5(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
                AS normalized_fingerprint,
            CAST(MIN(doc_id) AS BIGINT) AS keep_id,
            CAST(COUNT(*) AS BIGINT) AS dup_count
@@ -52,7 +52,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
         SELECT DISTINCT doc_id,
-               unnest(regexp_split_to_array(trim(text), '\\s+')) AS shingle
+               unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS shingle
         FROM documents
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS set_size FROM toks GROUP BY 1
@@ -111,7 +111,7 @@ def _minhash_oracle(
     )
     return f"""
     WITH toklist AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
         FROM documents
     ), sh AS (
         SELECT DISTINCT doc_id,
@@ -234,7 +234,7 @@ def _minhash_mapside_oracle(
     )
     return f"""
     WITH toklist AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
         FROM documents WHERE text IS NOT NULL
     ), shlist AS (
         SELECT doc_id,
@@ -324,7 +324,7 @@ def _minhash_incremental_oracle(
     return f"""
     WITH toklist AS (
         SELECT doc_id, doc_id % 3 = 0 AS is_new,
-               regexp_split_to_array(trim(text), '\\s+') AS toks
+               regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
         FROM documents WHERE text IS NOT NULL
     ), shlist AS (
         SELECT doc_id, is_new,
@@ -458,7 +458,7 @@ def _simhash_oracle(max_hamming: int = 8) -> str:
     return f"""
     WITH tok AS (
         SELECT doc_id,
-               unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+               unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS t
         FROM documents
     ), th AS (
         SELECT doc_id, md5(t) AS h FROM tok
@@ -511,7 +511,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared DuckDB expressions mirroring ext/text.py exactly (token count
 # matches Python str.split(): empty tokens filtered out).
 TOK_SQL = (
-    "len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))"
+    "len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''))"
 )
 _ALPHA_SQL = (
     "CASE WHEN length(text) > 0 THEN "
@@ -692,7 +692,7 @@ def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprint",
     """
     SELECT doc_id, md5(text) AS fingerprint,
-           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+           md5(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
                AS normalized_fingerprint
     FROM documents
     """,
@@ -1531,7 +1531,7 @@ def _ngram_jaccard_oracle_n(
         cap_cte = ", toks AS (SELECT doc_id, shingle FROM toks0)"
     return f"""
     WITH toklist AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
         FROM documents
     ), toks0 AS (
         SELECT DISTINCT doc_id,
@@ -1598,12 +1598,12 @@ def q_dedup_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dropped candidate would show up as a row-count mismatch here).
 _PREFIX_FILTER_ORACLE = """
 WITH toklist AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
     FROM documents
 ), sets AS (
     SELECT doc_id, list_distinct(list_transform(
-        range(1, greatest(len(toks) - 1, 1) + 1),
-        i -> array_to_string(toks[i:i+1], ' '))) AS ss
+        range(1, greatest(len(toks) - 3, 1) + 1),
+        i -> array_to_string(toks[i:i+3], ' '))) AS ss
     FROM toklist
 ), pairs AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1615,29 +1615,32 @@ SELECT id_a, id_b,
        round(CAST(o AS DOUBLE) / CAST(sa + sb - o AS DOUBLE), 6)
            AS jaccard
 FROM pairs
-WHERE CAST(o AS DOUBLE) / CAST(sa + sb - o AS DOUBLE) >= 0.5
+WHERE CAST(o AS DOUBLE) / CAST(sa + sb - o AS DOUBLE) >= 0.7
 """
 
 
 @query("dedup_prefix_filter", _PREFIX_FILTER_ORACLE)
 def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact bigram-Jaccard pairs via AllPairs/PPJoin prefix filtering
+    """Exact 4-gram-Jaccard pairs via AllPairs/PPJoin prefix filtering
     (ext.dedup.prefix_filter_pairs): candidates come only from shared
     RAREST-prefix shingles (rarity = global document frequency), then
     verify exactly on the full sets — the lossless alternative to the
-    df-cap approximation when the answer must not change. The oracle
-    is an independent O(n²) brute force, so the hash check proves the
-    pruning drops nothing."""
+    df-cap approximation when the answer must not change. n=4/t=0.7
+    because prefix pruning needs a rich shingle space: at sf0.1 it
+    leaves candidates == true pairs (256 = 256), where bigrams on the
+    40-word synthetic vocabulary make every shingle a stopword. The
+    oracle is an independent O(n²) brute force, so the hash check
+    proves the pruning drops nothing."""
     docs = _t_cpu(spark, sf_dir, "documents")
     return D.prefix_filter_pairs(
-        docs, "doc_id", "text", n=2, threshold=0.5
+        docs, "doc_id", "text", n=4, threshold=0.7
     )
 
 
 _REPETITION_ORACLE = """
 WITH t AS (
     SELECT doc_id, text,
-           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+           list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                        x -> x <> '') AS toks
     FROM documents
 )
@@ -1651,7 +1654,7 @@ SELECT doc_id,
                  / len(toks)
             ELSE 0.0 END AS top_token_fraction,
        CASE WHEN len(toks) > 0
-            THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+            THEN length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))
                  / len(toks)
             ELSE 0.0 END AS symbol_token_ratio
 FROM t
@@ -2386,7 +2389,7 @@ def _html_strip_sql(col: str) -> str:
             f"regexp_replace({expr}, '{pat}', "
             f"'{repl.replace(chr(39), chr(39) * 2)}', 'g')"
         )
-    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace({expr}, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 
 
 _HTML_ORACLE = f"""
@@ -2437,7 +2440,7 @@ _READABILITY_ORACLE = """
 WITH t AS (
     SELECT doc_id,
            list_filter(regexp_split_to_array(
-               trim(coalesce(text, '')), '\\s+'), x -> x <> '') AS toks,
+               trim(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks,
            greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
                AS n_sentences
     FROM documents

@@ -149,7 +149,7 @@ def _curation_oracle() -> str:
         SELECT doc_id,
                {QSCORE_SQL} AS quality_score,
                CAST({TOK_SQL} AS BIGINT) AS token_count,
-               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               md5(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
                    AS fp
         FROM documents
     ),

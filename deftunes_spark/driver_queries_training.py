@@ -33,7 +33,7 @@ _STRIDE = 8
 _CHUNK_ORACLE = f"""
 WITH toklist AS (
     SELECT doc_id,
-           list_filter(regexp_split_to_array(trim(text), '\\s+'),
+           list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                        t -> t <> '') AS toks
     FROM documents
 ), n AS (
@@ -224,7 +224,7 @@ _CARD_ORACLE = """
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(len(list_filter(
-           regexp_split_to_array(trim(text), '\\s+'),
+           regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
            t -> t <> ''))) AS BIGINT) AS total_tokens,
        round(AVG(length(text)), 6) AS avg_chars
 FROM documents GROUP BY 1
@@ -276,7 +276,7 @@ _BPE_PAIRS_ORACLE = """
 WITH w AS (
     SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
         SELECT unnest(list_filter(
-            regexp_split_to_array(lower(trim(text)), '\\s+'),
+            regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
             x -> x <> '')) AS word
         FROM documents WHERE text IS NOT NULL
     ) GROUP BY 1 HAVING count(*) >= 2
@@ -364,7 +364,7 @@ _GOPHER_ORACLE = f"""
 WITH t AS (
     SELECT doc_id, text,
            list_filter(
-               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                x -> x <> '') AS toks
     FROM documents
 ), m AS (
@@ -459,7 +459,7 @@ _SEED_ORACLE = """
 WITH w AS (
     SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
         SELECT unnest(list_filter(
-            regexp_split_to_array(lower(trim(text)), '\\s+'),
+            regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
             x -> x <> '')) AS word
         FROM documents WHERE text IS NOT NULL
     ) GROUP BY 1 HAVING count(*) >= 2
@@ -535,7 +535,7 @@ WITH c AS (
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                 ::BIGINT % {_PACK_SHARDS} AS INT) AS shard,
            CAST(len(list_filter(
-                regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                regexp_split_to_array(trim(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+'),
                 t -> t <> '')) AS BIGINT) AS token_count
     FROM documents
 ), p AS (

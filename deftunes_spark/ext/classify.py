@@ -39,7 +39,7 @@ def _doc_term_counts(
 ) -> DataFrame:
     """(id, extra..., token, tf) over lowercased whitespace tokens."""
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), "\\s+"),
+        F.split(F.lower(F.trim(F.col(text_col))), "[ \\t\\n\\x0B\\f\\r]+"),
         lambda t: t != "",
     )
     return (
@@ -57,7 +57,7 @@ def class_term_profiles(
     """Train: per-(label, token) corpus frequency — the integer class
     profile. One map-side-combined aggregation over the corpus."""
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), "\\s+"),
+        F.split(F.lower(F.trim(F.col(text_col))), "[ \\t\\n\\x0B\\f\\r]+"),
         lambda t: t != "",
     )
     return (

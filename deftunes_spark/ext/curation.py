@@ -313,7 +313,7 @@ def segment_dedup(
     ``max_doc_freq`` over huge vocabularies).
     """
     toks = F.filter(
-        F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: t != ""
+        F.split(F.trim(F.col(text_col)), "[ \\t\\n\\x0B\\f\\r]+"), lambda t: t != ""
     )
     n_segs = F.greatest(
         F.ceil(F.size("_toks") / F.lit(seg_tokens)).cast("int"), F.lit(1)
@@ -476,6 +476,7 @@ def semantic_dedup(
     target_cluster_rows: int = 2_000,
     seed: int = 42,
     max_cluster_rows: int = 50_000,
+    cache: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): assign embeddings to coarse
     clusters, then inside each cluster drop every vector that has a
@@ -550,12 +551,13 @@ def semantic_dedup(
         # aggregate, the salted fan-out join, AND the final kept-flag
         # join — three consumers of the same scan + nlist×d distance
         # compute. Lazy marker (builder stays lazy); spills, never
-        # recomputes.
-        assigned = (
-            ivf_assign(df, centroids, vec_col, "cluster")
-            .select(F.col(id_col), F.col(vec_col), F.col("cluster"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        # recomputes. cache=False opts long-lived sessions out of the
+        # pin (CacheManager has no TTL; see prefix_filter_pairs).
+        assigned = ivf_assign(df, centroids, vec_col, "cluster").select(
+            F.col(id_col), F.col(vec_col), F.col("cluster")
         )
+        if cache:
+            assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
         dominated = _semantic_dominated_grouped(
             assigned,
             id_col,
@@ -569,18 +571,16 @@ def semantic_dedup(
         # cost (observed 14-47 s GC spikes at sf0.1 before the split).
         from pyspark import StorageLevel
 
-        assigned = (
-            ivf_assign(df, centroids, vec_col, "cluster")
-            .select(
-                F.col(id_col),
-                F.col(vec_col),
-                F.col("cluster"),
-                norm_expr(F.col(vec_col)).alias("_norm"),
-            )
-            # same three-consumer shape as the grouped branch: both
-            # self-join sides plus the kept-flag join read this.
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        assigned = ivf_assign(df, centroids, vec_col, "cluster").select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cluster"),
+            norm_expr(F.col(vec_col)).alias("_norm"),
         )
+        # same three-consumer shape as the grouped branch: both
+        # self-join sides plus the kept-flag join read this.
+        if cache:
+            assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
         a = assigned.withColumn(
             "_salt",
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)).cast(
@@ -872,7 +872,7 @@ def source_overlap_minhash(
 
     from deftunes_spark.ext.dedup import shingle_array_sql
 
-    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    toks = F.split(F.trim(F.col(text_col)), "[ \\t\\n\\x0B\\f\\r]+")
     sh_expr = shingle_array_sql(n)
     # One hash per DISTINCT shingle (unseeded — KMV wants one uniform
     # permutation, not the banded k-seed family), bottom-k per doc:
@@ -986,7 +986,7 @@ def dsir_logweights(
 
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
-    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    toks = F.split(F.trim(F.col(text_col)), "[ \\t\\n\\x0B\\f\\r]+")
     bucket = F.pmod(
         F.expr(
             "cast(conv(substr(md5(concat('dsir|', _sh)), 1, 15),"
@@ -1206,7 +1206,7 @@ def substring_dedup(
     h = "xxhash64" if hash_fn == "xxhash64" else "md5"
     elem_t = "bigint" if hash_fn == "xxhash64" else "string"
     toks = F.filter(
-        F.split(F.trim(F.col(text_col)), "\\s+"), lambda t: t != ""
+        F.split(F.trim(F.col(text_col)), "[ \\t\\n\\x0B\\f\\r]+"), lambda t: t != ""
     )
     base = df.select(F.col(id_col), toks.alias("_toks"))
     gram_expr = (

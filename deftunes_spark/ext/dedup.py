@@ -80,7 +80,7 @@ def shingles(
     explode) — stays in whole-stage codegen. Documents shorter than
     ``n`` tokens contribute their full token string as one shingle.
     """
-    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    toks = F.split(F.trim(F.col(text_col)), "[ \\t\\n\\x0B\\f\\r]+")
     sh = F.expr(shingle_array_sql(n))
     return (
         df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
@@ -165,7 +165,7 @@ def minhash_signatures_mapside(
     """
     if hash_fn not in ("xxhash64", "md5"):
         raise ValueError(f"unknown hash fn {hash_fn!r}")
-    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    toks = F.split(F.trim(F.col(text_col)), "[ \\t\\n\\x0B\\f\\r]+")
     sh_expr = shingle_array_sql(n)
     hfmt = (
         "xxhash64(concat('{seed}|', s))"
@@ -434,6 +434,7 @@ def prefix_filter_pairs(
     text_col: str,
     n: int = 2,
     threshold: float = 0.5,
+    cache: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard similarity self-join via prefix filtering — the
     AllPairs/PPJoin candidate strategy (Bayardo et al., WWW'07; Xiao
@@ -460,7 +461,12 @@ def prefix_filter_pairs(
     Shape at 100 TB: one shingle+df shuffle, one bounded prefix
     equi-join, one verify join carrying arrays only for candidate
     pairs. The ordered-set relation feeds three branches (prefix
-    explode + both verify sides) — persisted, computed once."""
+    explode + both verify sides) — persisted, computed once.
+    ``cache=False`` skips the pin for long-lived sessions that would
+    otherwise accumulate cached relations call-over-call (Spark's
+    CacheManager holds plans until ``spark.catalog.clearCache()``;
+    there is no TTL), trading up to 3× recompute of the shingle+df
+    pass."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     from pyspark import StorageLevel
@@ -488,8 +494,9 @@ def prefix_filter_pairs(
                 + 1
             ).cast("int"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache:
+        arrs = arrs.persist(StorageLevel.MEMORY_AND_DISK)
     pref = arrs.select(
         F.col(id_col),
         F.explode(
@@ -566,7 +573,8 @@ def simhash64_mapside(
         .select(
             F.col(id_col),
             F.expr(
-                f"transform(split(trim({text_col}), '\\\\s+'), "
+                f"transform(split(trim({text_col}), "
+                "'[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
                 "t -> xxhash64(t))"
             ).alias("_h"),
         )
@@ -611,7 +619,7 @@ def simhash64(
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
-            F.split(F.trim(F.col(text_col)), "\\s+")
+            F.split(F.trim(F.col(text_col)), "[ \\t\\n\\x0B\\f\\r]+")
         ).alias("tok"),
     )
     if hash_fn == "xxhash64":

@@ -362,7 +362,7 @@ def zipf_fit(
         raise ValueError("max_rank must be >= 2")
     toks = df.select(
         F.explode(
-            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), "\\s+")
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), "[ \\t\\n\\x0B\\f\\r]+")
         ).alias("_tok")
     ).filter(F.col("_tok") != "")
     vocab = toks.groupBy("_tok").agg(

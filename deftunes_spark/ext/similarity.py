@@ -858,6 +858,7 @@ def knn_join_grouped(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_rows: int = 50_000,
+    cache: bool = True,
 ) -> DataFrame:
     """Production kernel for :func:`knn_join`: ``applyInPandas`` over
     coarse clusters, the pair cosine matrix as a blocked BLAS matmul,
@@ -895,11 +896,13 @@ def knn_join_grouped(
     # fan-out join inside _salted_pair_blocks — without a cache the
     # dominant compute runs twice per action. Lazy marker, so the
     # builder stays lazy; MEMORY_AND_DISK spills instead of evicting.
-    assigned = (
-        ivf_assign(df, centroids, vec_col, "cluster")
-        .select(F.col(id_col), F.col(vec_col), F.col("cluster"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # cache=False for long-lived sessions: CacheManager has no TTL, so
+    # call-over-call pins accumulate until spark.catalog.clearCache().
+    assigned = ivf_assign(df, centroids, vec_col, "cluster").select(
+        F.col(id_col), F.col(vec_col), F.col("cluster")
     )
+    if cache:
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     id_type = dict(assigned.dtypes)[id_col]
     blocks = _salted_pair_blocks(
         assigned, id_col, vec_col, max_cluster_rows

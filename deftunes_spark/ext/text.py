@@ -27,7 +27,7 @@ ZH_CHAR_CLASS = "[\\u4e00-\\u9fff]"
 
 
 def tokens_col(col: str = "text") -> Column:
-    return F.split(F.trim(F.col(col)), "\\s+")
+    return F.split(F.trim(F.col(col)), "[ \\t\\n\\x0B\\f\\r]+")
 
 
 def with_token_count(df: DataFrame, col: str = "text") -> DataFrame:
@@ -37,7 +37,7 @@ def with_token_count(df: DataFrame, col: str = "text") -> DataFrame:
     return df.withColumn(
         "token_count",
         F.size(
-            F.filter(F.split(F.col(col), "\\s+"), lambda t: t != "")
+            F.filter(F.split(F.col(col), "[ \\t\\n\\x0B\\f\\r]+"), lambda t: t != "")
         ).cast("bigint"),
     )
 
@@ -53,7 +53,7 @@ def with_subword_count(df: DataFrame, col: str = "text") -> DataFrame:
                 lambda t: t != "",
             )
         ).cast("bigint")
-        + F.length(F.regexp_replace(F.col(col), "[A-Za-z0-9\\s]", ""))
+        + F.length(F.regexp_replace(F.col(col), "[A-Za-z0-9 \\t\\n\\x0B\\f\\r]", ""))
         .cast("bigint"),
     )
 
@@ -68,7 +68,7 @@ def with_quality_features(df: DataFrame, col: str = "text") -> DataFrame:
     # Count the full \s class, matching the \s+ tokenizers use — an
     # ASCII-space-only count scores newline/tab-separated text as a
     # whitespace-free blob.
-    space = F.length(F.regexp_replace(c, "[^\\s]", "")).cast("double")
+    space = F.length(F.regexp_replace(c, "[^ \\t\\n\\x0B\\f\\r]", "")).cast("double")
     nz = F.when(n > 0, n)
     return (
         df.withColumn("n_chars_m", n.cast("bigint"))
@@ -138,7 +138,7 @@ def with_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     (lowercased, whitespace-collapsed) whose md5 catches trivially
     reformatted duplicates."""
     c = F.col(col)
-    normalized = F.lower(F.regexp_replace(F.trim(c), "\\s+", " "))
+    normalized = F.lower(F.regexp_replace(F.trim(c), "[ \\t\\n\\x0B\\f\\r]+", " "))
     return df.withColumn("fingerprint", F.md5(c)).withColumn(
         "normalized_fingerprint", F.md5(normalized)
     )
@@ -154,7 +154,7 @@ def term_counts(
         F.col(id_col),
         F.explode(
             F.filter(
-                F.split(F.lower(F.col(col)), "\\s+"), lambda t: t != ""
+                F.split(F.lower(F.col(col)), "[ \\t\\n\\x0B\\f\\r]+"), lambda t: t != ""
             )
         ).alias("term"),
     )
@@ -215,7 +215,7 @@ def bigram_lm_scores(
     value hash.
     """
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col(col))), "\\s+"), lambda t: t != ""
+        F.split(F.lower(F.trim(F.col(col))), "[ \\t\\n\\x0B\\f\\r]+"), lambda t: t != ""
     )
     big = (
         df.select(F.col(id_col), toks.alias("_t"))
@@ -330,7 +330,7 @@ def with_repetition_stats(df: DataFrame, col: str = "text") -> DataFrame:
     and still one codegen stage; for adversarially long documents
     switch to the explode+groupBy form.
     """
-    toks = F.filter(F.split(F.trim(F.col(col)), "\\s+"), lambda t: t != "")
+    toks = F.filter(F.split(F.trim(F.col(col)), "[ \\t\\n\\x0B\\f\\r]+"), lambda t: t != "")
     n = F.size(toks)
     distinct_ratio = F.when(n > 0, F.size(F.array_distinct(toks)) / n)
     top_frac = F.when(
@@ -344,7 +344,7 @@ def with_repetition_stats(df: DataFrame, col: str = "text") -> DataFrame:
         / n,
     )
     symbols = F.length(
-        F.regexp_replace(F.col(col), "[A-Za-z0-9\\s]", "")
+        F.regexp_replace(F.col(col), "[A-Za-z0-9 \\t\\n\\x0B\\f\\r]", "")
     )
     sym_ratio = F.when(n > 0, symbols / n)
     return (
@@ -470,7 +470,7 @@ def gopher_quality_flags(
     downstream can audit WHICH rule dropped a document.
     """
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col(col))), "\\s+"), lambda t: t != ""
+        F.split(F.lower(F.trim(F.col(col))), "[ \\t\\n\\x0B\\f\\r]+"), lambda t: t != ""
     )
     wc = F.size(toks).cast("bigint")
     nz = F.when(wc > 0, wc.cast("double"))

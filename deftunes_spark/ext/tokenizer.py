@@ -42,7 +42,7 @@ def word_vocab(
     toks = df.select(
         F.explode(
             F.filter(
-                F.split(F.lower(F.trim(F.col(text_col))), "\\s+"),
+                F.split(F.lower(F.trim(F.col(text_col))), "[ \\t\\n\\x0B\\f\\r]+"),
                 lambda t: t != "",
             )
         ).alias("word")

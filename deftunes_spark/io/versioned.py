@@ -282,8 +282,14 @@ class ConditionalPutCommitProtocol(CommitProtocol):
         except Exception as exc:
             # Only a lost race (FileAlreadyExistsException) maps to
             # False; genuine IO/permission failures must surface, not
-            # be retried as version bumps.
-            if "exists" in str(exc).lower():
+            # be retried as version bumps. Same class-not-message
+            # discipline as the nio branch: a rendered Py4J trace that
+            # merely MENTIONS 'exists' must not be misread as a loss.
+            if _java_exc_is(
+                exc, "org.apache.hadoop.fs.FileAlreadyExistsException"
+            ) or _java_exc_is(
+                exc, "java.nio.file.FileAlreadyExistsException"
+            ):
                 return False
             raise
         try:

@@ -66,6 +66,36 @@ def test_prefix_filter_threshold_validation(spark):
             prefix_filter_pairs(df, "doc_id", "text", threshold=bad)
 
 
+def test_tokenization_vertical_tab_cross_engine(spark):
+    """Repo-wide tokenization uses the explicit [ \\t\\n\\x0B\\f\\r]+
+    class because Java \\s includes U+000B and RE2 \\s does not. On a
+    vertical-tab document, Spark shingles must equal DuckDB's split
+    with the same class — and both must treat \\x0B as a separator."""
+    import duckdb
+
+    from deftunes_spark.ext.dedup import shingles
+
+    txt = "alpha\x0bbeta gamma"
+    got = sorted(
+        r.shingle
+        for r in shingles(
+            spark.createDataFrame([(1, txt)], ["doc_id", "text"]),
+            "doc_id",
+            "text",
+            n=1,
+        ).collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            "SELECT DISTINCT unnest(regexp_split_to_array(trim(?),"
+            " '[ \\t\\n\\x0B\\f\\r]+')) AS t",
+            params=[txt],
+        ).fetchall()
+    )
+    assert got == want == ["alpha", "beta", "gamma"]
+
+
 def test_dsir_separates_target_from_raw(spark):
     """Importance log-weights must rank the target slice above the
     rest on average — that is the whole point of the estimator."""

@@ -65,6 +65,12 @@ ALLOW_BNLJ = {
     "dedup_substring": "1-row corpus gram-threshold scalar broadcast",
     "corpus_curation": "chains decontamination's broadcast semi-join",
     "negative_sampling": "1-row corpus-size scalar for modulo mining",
+    "dsir_importance": (
+        "1-row corpus-totals join onto the n_buckets-row model table"
+    ),
+    "zipf_rank_frequency": (
+        "1-row regression-moments × 1-row corpus-totals join"
+    ),
     "source_overlap_minhash": (
         "group-pair stage: build side is the G-row sketch table "
         "(one ~2 KB bottom-k array per group), broadcast — fan-out "

@@ -47,6 +47,13 @@ QUERIES = [
     "decontamination_bloom",
     "hot_ngrams_cms",
     "sequence_pack",
+    # r7 additions: prefix-filtered exact similarity join (candidate
+    # space must track duplicate density, not corpus²), DSIR scoring
+    # (model state fixed at n_buckets rows), Zipf fit (head is a
+    # constant-size TakeOrdered).
+    "dedup_prefix_filter",
+    "dsir_importance",
+    "zipf_rank_frequency",
 ]
 
 # r6 verdict #3: a second decade. The 100× tier runs the flagship
@@ -96,7 +103,7 @@ def build_scale_dir(
                 F.col("text").isNotNull(),
                 F.array_join(
                     F.transform(
-                        F.split(F.trim("text"), "\\s+"),
+                        F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+"),
                         lambda x: F.concat(
                             x, F.lit("_r"), F.col("rep").cast("string")
                         ),
