@@ -346,7 +346,13 @@ def main() -> None:
             "r5 dedup_minhash_fast/dedup_incremental_fast regressions "
             "re-timed at r6: noise (1.62 s; 4.34 s < md5 4.71 s). "
             "r7 adds the per-subprocess constant-plan sentinel: "
-            "query moves that track sentinel.scale are host noise."
+            "query moves that track sentinel.scale are host noise. "
+            "r7 structural moves, named (SCALE.md round-7 close): "
+            "ann_knn_join_fast/semantic_dedup/semantic_dedup_auto "
+            "carry the hot-cluster guard (~2x fixed stage cost at "
+            "sf0.1, amortizes at 10x/100x); r7 noise re-times at idle: "
+            "dedup_minhash_mapside_md5 1.88 (r6 1.84), "
+            "dedup_incremental 4.38 (r6 4.75)."
         ),
         "idle_gate": {
             "gate_load": IDLE_LOAD_GATE,

@@ -96,6 +96,76 @@ def test_tokenization_vertical_tab_cross_engine(spark):
     assert got == want == ["alpha", "beta", "gamma"]
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_corpus = st.lists(
+    st.text(
+        alphabet=st.sampled_from(" ab\t\x0bxy"), min_size=0, max_size=40
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+def _brute_force_pairs(texts, n, t):
+    """Driver-side reference: the EXACT engine tokenization (trim
+    ASCII spaces, split on the explicit whitespace class, short-doc
+    full-string shingle) and exact Jaccard — independent of Spark."""
+    import re
+
+    sets = {}
+    for i, txt in enumerate(texts):
+        toks = re.split("[ \t\n\x0b\f\r]+", txt.strip(" "))
+        if len(toks) <= n:
+            sh = {" ".join(toks)}
+        else:
+            sh = {
+                " ".join(toks[j : j + n])
+                for j in range(len(toks) - n + 1)
+            }
+        sets[i] = sh
+    out = set()
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            o = len(sets[a] & sets[b])
+            u = len(sets[a]) + len(sets[b]) - o
+            if u and o / u >= t:
+                out.add((a, b, round(o / u, 6)))
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=_corpus,
+    n=st.integers(min_value=1, max_value=3),
+    t=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_prefix_filter_exact_on_arbitrary_corpora(spark, texts, n, t):
+    """Prefix filtering is EXACT for any corpus — including vertical
+    tabs, empty docs, and all-duplicate corpora — per the AllPairs
+    prefix lemma; verified against a driver-side brute force that
+    shares only the tokenization definition."""
+    from deftunes_spark.ext.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_filter_pairs(
+            df, "doc_id", "text", n=n, threshold=t, cache=False
+        ).collect()
+    }
+    assert got == _brute_force_pairs(texts, n, t)
+
+
 def test_dsir_separates_target_from_raw(spark):
     """Importance log-weights must rank the target slice above the
     rest on average — that is the whole point of the estimator."""
