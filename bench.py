@@ -105,6 +105,7 @@ HEADLINE = [
     "dedup_prefix_filter",
     "dsir_importance",
     "zipf_rank_frequency",
+    "matryoshka_recall",
 ]
 
 WARMUP_RUNS = 2

@@ -751,6 +751,124 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
+_MAT_DIMS = 16
+_MAT_K = 20
+
+_MATRYOSHKA_ORACLE = f"""
+WITH q AS (
+    SELECT embedding::DOUBLE[] AS qv,
+           (embedding::DOUBLE[])[1:{_MAT_DIMS}] AS qt
+    FROM embeddings WHERE vec_id = 0
+), fs AS (
+    SELECT vec_id,
+           round(list_dot_product(embedding::DOUBLE[], (SELECT qv FROM q))
+               / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[]))
+                  * sqrt(list_dot_product((SELECT qv FROM q),
+                                          (SELECT qv FROM q)))), 6) AS c
+    FROM embeddings
+), fr AS (
+    SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id) AS rank_f
+    FROM fs ORDER BY c DESC, vec_id LIMIT {_MAT_K}
+), ts AS (
+    SELECT vec_id,
+           round(list_dot_product((embedding::DOUBLE[])[1:{_MAT_DIMS}],
+                                  (SELECT qt FROM q))
+               / (sqrt(list_dot_product(
+                       (embedding::DOUBLE[])[1:{_MAT_DIMS}],
+                       (embedding::DOUBLE[])[1:{_MAT_DIMS}]))
+                  * sqrt(list_dot_product((SELECT qt FROM q),
+                                          (SELECT qt FROM q)))), 6) AS c
+    FROM embeddings
+), tr AS (
+    SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id) AS rank_t
+    FROM ts ORDER BY c DESC, vec_id LIMIT {_MAT_K}
+), j AS (
+    SELECT coalesce(fr.vec_id, tr.vec_id) AS vec_id, rank_f, rank_t
+    FROM fr FULL OUTER JOIN tr ON fr.vec_id = tr.vec_id
+), o AS (
+    SELECT 5 AS k,
+           count(*) FILTER (rank_f <= 5 AND rank_t <= 5) AS n_overlap
+    FROM j
+    UNION ALL
+    SELECT 10, count(*) FILTER (rank_f <= 10 AND rank_t <= 10) FROM j
+    UNION ALL
+    SELECT {_MAT_K},
+           count(*) FILTER (rank_f <= {_MAT_K} AND rank_t <= {_MAT_K})
+    FROM j
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_overlap AS BIGINT) AS n_overlap,
+       round(n_overlap / CAST(k AS DOUBLE), 6) AS recall
+FROM o
+"""
+
+
+@query("matryoshka_recall", _MATRYOSHKA_ORACLE)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation quality (Kusupati et al. 2022 / MRL):
+    recall@k of brute-force cosine retrieval using only the FIRST 16
+    of 64 embedding dims against the full-dim ranking — the number
+    that decides whether a 4× scan/cache/shuffle saving
+    (ext.similarity.matryoshka_truncate) is affordable for a given
+    corpus. Both rankings are TakeOrdered top-K (never a global
+    sort); the rank windows run over ≤ K rows (a constant). Cosine is
+    normalization-invariant, so the evaluation slices without
+    renormalizing."""
+    from pyspark.sql.window import Window
+
+    emb = _t_cpu(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+
+    def ranked(df, q, vec_col, alias):
+        w = Window.orderBy(F.col("c").desc(), "vec_id")
+        return (
+            S.cosine_to_query(df, q, vec_col)
+            .select(
+                "vec_id", F.round("cosine_sim", 6).alias("c")
+            )
+            .orderBy(F.col("c").desc(), "vec_id")
+            .limit(_MAT_K)
+            .select(
+                "vec_id", F.row_number().over(w).alias(alias)
+            )
+        )
+
+    full = ranked(emb, qv, "embedding", "rank_f")
+    trunc = ranked(
+        emb.withColumn(
+            "_et", F.slice("embedding", 1, _MAT_DIMS)
+        ),
+        qv[:_MAT_DIMS],
+        "_et",
+        "rank_t",
+    )
+    j = full.join(trunc, "vec_id", "full")
+    agg = j.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("rank_f") <= k) & (F.col("rank_t") <= k), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"o{k}")
+            for k in (5, 10, _MAT_K)
+        ]
+    )
+    return agg.selectExpr(
+        f"stack(3, 5, o5, 10, o10, {_MAT_K}, o{_MAT_K})"
+        " as (k, n_overlap)"
+    ).select(
+        F.col("k").cast("bigint").alias("k"),
+        "n_overlap",
+        F.round(
+            F.col("n_overlap").cast("double")
+            / F.col("k").cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
 # ---- Deterministic ANN fixtures -------------------------------------
 # The driver's value-hash oracle needs both sides to see the SAME
 # hyperplanes / centroids / query vector, so the driver variants bake

@@ -1009,3 +1009,43 @@ def knn_join_grouped(
     return partial.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------
+# Matryoshka (truncated-dimension) embeddings
+# ---------------------------------------------------------------------
+
+
+def matryoshka_truncate(
+    df: DataFrame,
+    dims: int,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+    renormalize: bool = True,
+) -> DataFrame:
+    """Truncate embeddings to their first ``dims`` coordinates
+    (Matryoshka Representation Learning, Kusupati et al. 2022: MRL
+    models pack coarse-to-fine structure into prefixes, so the first
+    d' dims are a usable d'-dim embedding). The storage/transfer
+    lever at 100 TB: a 64→16 truncation quarters every ANN scan,
+    shuffle, and cache byte. Pure codegen (slice + fold), no shuffle.
+
+    ``renormalize=True`` rescales to unit norm (cosine retrieval
+    convention); zero-norm prefixes stay NULL rather than dividing by
+    zero. Rankings by cosine are normalization-invariant, so the
+    recall evaluation (``matryoshka_recall`` driver query) slices
+    without renormalizing."""
+    if dims < 1:
+        raise ValueError("dims must be >= 1")
+    out = out_col or vec_col
+    trunc = F.slice(F.col(vec_col), 1, dims)
+    if not renormalize:
+        return df.withColumn(out, trunc)
+    tn = F.sqrt(dot_expr(trunc, trunc))
+    return df.withColumn(
+        out,
+        F.when(
+            tn != 0.0,
+            F.transform(trunc, lambda x: x / tn),
+        ),
+    )

@@ -260,3 +260,50 @@ def test_zipf_max_rank_caps_fit(spark):
     assert r.fitted_ranks == 10
     assert r.vocab_size > 10  # full vocab still reported
     assert r.zipf_slope < 0
+
+
+def test_matryoshka_truncate_renormalizes(spark):
+    from deftunes_spark.ext.similarity import matryoshka_truncate
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0, 100.0]), (2, [0.0, 0.0, 5.0, 5.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {
+        r.vec_id: r.m
+        for r in matryoshka_truncate(
+            df, 2, out_col="m"
+        ).collect()
+    }
+    assert rows[1] == pytest.approx([0.6, 0.8])  # 3-4-5 renormed
+    assert rows[2] is None  # zero-norm prefix -> NULL, not div/0
+    # renormalize=False keeps the raw slice
+    raw = {
+        r.vec_id: r.m
+        for r in matryoshka_truncate(
+            df, 2, out_col="m", renormalize=False
+        ).collect()
+    }
+    assert raw[2] == [0.0, 0.0]
+    with pytest.raises(ValueError):
+        matryoshka_truncate(df, 0)
+
+
+def test_matryoshka_recall_bounds_and_self_consistency(spark):
+    """recall@k in [0,1]; overlap counts monotone in k; full-vs-full
+    would be 1.0 — spot-check the registry query output shape."""
+    from deftunes_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["matryoshka_recall"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == [5, 10, 20]
+    prev = 0
+    for r in rows:
+        assert 0 <= r.n_overlap <= r.k
+        assert r.recall == round(r.n_overlap / r.k, 6)
+        assert r.n_overlap >= prev  # overlap can only grow with k
+        prev = r.n_overlap

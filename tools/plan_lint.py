@@ -91,6 +91,10 @@ ALLOW_SINGLE_PARTITION_WINDOW = {
         "rank window over the TakeOrdered top-max_rank head — bounded "
         "by the constant max_rank (10k), never vocabulary or corpus"
     ),
+    "matryoshka_recall": (
+        "two rank windows over TakeOrdered top-K heads — bounded by "
+        "the constant K=20, never the corpus"
+    ),
 }
 
 
