@@ -960,6 +960,7 @@ def dsir_logweights(
     text_col: str = "text",
     n: int = 2,
     n_buckets: int = 1024,
+    cache: bool = True,
 ) -> DataFrame:
     """DSIR importance log-weights (Xie et al., NeurIPS'23 — "Data
     Selection for Language Models via Importance Resampling"): score
@@ -1007,9 +1008,26 @@ def dsir_logweights(
         )
         .select(id_col, "_is_target", bucket.alias("_bkt"))
     )
-    model = bf.groupBy("_bkt").agg(
-        F.count(F.lit(1)).alias("_cr"),
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("_ct"),
+    # The per-(doc, bucket) pre-aggregation is the ONE relation
+    # everything else derives from: the bucket models are sums of its
+    # _k (is_target is constant per doc, so grouping by it loses
+    # nothing), and the final scoring joins onto it. Persisting it —
+    # tiny: ≤ docs × min(doc_shingles, n_buckets) rows of four
+    # scalars, no text — makes the corpus scan + explode + hash run
+    # exactly once per action (unpersisted, Spark re-scans per
+    # consumer: measured 6 parquet scans in the plan).
+    docf = bf.groupBy(id_col, "_is_target", "_bkt").agg(
+        F.count(F.lit(1)).alias("_k")
+    )
+    if cache:
+        from pyspark import StorageLevel
+
+        docf = docf.persist(StorageLevel.MEMORY_AND_DISK)
+    model = docf.groupBy("_bkt").agg(
+        F.sum("_k").alias("_cr"),
+        F.sum(
+            F.when(F.col("_is_target"), F.col("_k")).otherwise(0)
+        ).alias("_ct"),
     )
     totals = model.agg(
         F.sum("_cr").alias("_r"), F.sum("_ct").alias("_t")
@@ -1033,9 +1051,6 @@ def dsir_logweights(
     ).cast("decimal(18,6)")
     ratios = model.join(F.broadcast(totals)).select(
         "_bkt", lr.alias("_lr")
-    )
-    docf = bf.groupBy(id_col, "_bkt").agg(
-        F.count(F.lit(1)).alias("_k")
     )
     return (
         docf.join(F.broadcast(ratios), "_bkt")
