@@ -265,7 +265,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster equi-join — never a cross join."""
     emb = _t_cpu(spark, sf_dir, "embeddings")
     return C.semantic_dedup(
-        emb, _IVF_CENTROIDS, threshold=_SEM_THRESHOLD
+        emb, _IVF_CENTROIDS, threshold=_SEM_THRESHOLD, cache=True
     )
 
 
@@ -293,6 +293,7 @@ def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "auto",
         threshold=_SEM_THRESHOLD,
         target_cluster_rows=500,
+        cache=True,
     )
     w = Window.partitionBy("cluster")
     return (
@@ -427,6 +428,7 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang") == "en",
         n=2,
         n_buckets=_DSIR_B,
+        cache=True,
     )
 
 
@@ -755,7 +757,9 @@ def q_ann_knn_join_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deftunes_spark.ext.similarity import knn_join_grouped
 
     emb = _t_cpu(spark, sf_dir, "embeddings")
-    out = knn_join_grouped(emb, _IVF_CENTROIDS, k=_KNN_K).select(
+    out = knn_join_grouped(
+        emb, _IVF_CENTROIDS, k=_KNN_K, cache=True
+    ).select(
         "vec_id", "neighbor_id", "cosine_sim", "rank"
     )
     return out.withColumn(

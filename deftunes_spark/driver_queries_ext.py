@@ -1751,7 +1751,7 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the pruning drops nothing."""
     docs = _t_cpu(spark, sf_dir, "documents")
     return D.prefix_filter_pairs(
-        docs, "doc_id", "text", n=4, threshold=0.7
+        docs, "doc_id", "text", n=4, threshold=0.7, cache=True
     )
 
 

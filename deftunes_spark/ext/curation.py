@@ -476,7 +476,7 @@ def semantic_dedup(
     target_cluster_rows: int = 2_000,
     seed: int = 42,
     max_cluster_rows: int = 50_000,
-    cache: bool = True,
+    cache: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): assign embeddings to coarse
     clusters, then inside each cluster drop every vector that has a
@@ -551,19 +551,25 @@ def semantic_dedup(
         # aggregate, the salted fan-out join, AND the final kept-flag
         # join — three consumers of the same scan + nlist×d distance
         # compute. Lazy marker (builder stays lazy); spills, never
-        # recomputes. cache=False opts long-lived sessions out of the
-        # pin (CacheManager has no TTL; see prefix_filter_pairs).
+        # recomputes. Default cache=False (r7 advice): long-lived
+        # sessions stay out of the pin (CacheManager has no TTL); the
+        # registry/bench builders opt in with cache=True.
         assigned = ivf_assign(df, centroids, vec_col, "cluster").select(
             F.col(id_col), F.col(vec_col), F.col("cluster")
         )
         if cache:
             assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        from deftunes_spark.ext.similarity import _needs_cluster_guard
+
         dominated = _semantic_dominated_grouped(
             assigned,
             id_col,
             vec_col,
             float(threshold),
             max_cluster_rows=max_cluster_rows,
+            use_guard=_needs_cluster_guard(
+                df, assigned, max_cluster_rows
+            ),
         )
     else:
         # Norms once per ROW, not per pair: three HOF folds per pair
@@ -632,6 +638,7 @@ def _semantic_dominated_grouped(
     threshold: float,
     block: int = 2048,
     max_cluster_rows: int = 50_000,
+    use_guard: bool | None = None,
 ) -> DataFrame:
     """Dominated ids per cluster via a blocked vectorized kernel.
 
@@ -740,6 +747,24 @@ def _semantic_dominated_grouped(
         return pd.DataFrame({id_col: r_ids[dom]})
 
     id_type = dict(assigned.dtypes)[id_col]
+    # Short-circuit (r7 verdict #2): when NO cluster exceeds the cap,
+    # every cluster is a single diagonal block — run the kernel
+    # single-stage per cluster, skipping the fan-out join AND the
+    # distinct (each dominated id is emitted by exactly one cluster
+    # group; ids are unique per caller contract). ``use_guard`` lets
+    # the caller decide from the raw input (cheap count) before the
+    # assignment exists; ``None`` probes the assignment here.
+    from deftunes_spark.ext.similarity import _max_cluster_count
+
+    if use_guard is None:
+        use_guard = _max_cluster_count(assigned) > max_cluster_rows
+    if not use_guard:
+        diag = assigned.withColumn(
+            "_role", F.lit(2).cast("tinyint")
+        )
+        return diag.groupBy("cluster").applyInPandas(
+            fold, schema=f"{id_col} {id_type}"
+        )
     blocks = _salted_pair_blocks(
         assigned, id_col, vec_col, max_cluster_rows
     )
@@ -960,7 +985,7 @@ def dsir_logweights(
     text_col: str = "text",
     n: int = 2,
     n_buckets: int = 1024,
-    cache: bool = True,
+    cache: bool = False,
 ) -> DataFrame:
     """DSIR importance log-weights (Xie et al., NeurIPS'23 — "Data
     Selection for Language Models via Importance Resampling"): score

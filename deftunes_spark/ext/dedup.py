@@ -434,7 +434,7 @@ def prefix_filter_pairs(
     text_col: str,
     n: int = 2,
     threshold: float = 0.5,
-    cache: bool = True,
+    cache: bool = False,
 ) -> DataFrame:
     """EXACT Jaccard similarity self-join via prefix filtering — the
     AllPairs/PPJoin candidate strategy (Bayardo et al., WWW'07; Xiao

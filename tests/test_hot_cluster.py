@@ -199,3 +199,45 @@ def test_hot_cluster_parity_property(spark, n, dim, k, cap, seed):
         ).collect()
     }
     assert split_sd == expr_sd
+
+
+def test_short_circuit_skips_guard_stages(spark, dup_mass_df):
+    """r7 verdict #2: when no cluster can exceed the cap, the guard's
+    fan-out + merge window must not appear in the plan (ranks come
+    from the kernel); with a sub-cap it must."""
+    from deftunes_spark.ext.similarity import knn_join_grouped
+
+    fast = knn_join_grouped(
+        dup_mass_df, _ONE_CLUSTER, k=3, max_cluster_rows=1000
+    )
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    guarded = knn_join_grouped(
+        dup_mass_df, _ONE_CLUSTER, k=3, max_cluster_rows=8
+    )
+    plan_g = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan_g
+
+
+def test_short_circuit_knn_parity(spark, dup_mass_df):
+    """Short-circuited (cap above corpus) and guarded (tiny cap) runs
+    return identical rows including rank."""
+    from deftunes_spark.ext.similarity import knn_join_grouped
+
+    fast = sorted(
+        map(
+            tuple,
+            knn_join_grouped(
+                dup_mass_df, _ONE_CLUSTER, k=3, max_cluster_rows=1000
+            ).collect(),
+        )
+    )
+    guarded = sorted(
+        map(
+            tuple,
+            knn_join_grouped(
+                dup_mass_df, _ONE_CLUSTER, k=3, max_cluster_rows=8
+            ).collect(),
+        )
+    )
+    assert fast == guarded

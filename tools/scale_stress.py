@@ -84,7 +84,7 @@ def _ann_knn_auto(spark, sf_dir: str):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     _, cents = ivf_index(emb, n_lists="auto", target_list_rows=500)
-    return knn_join_grouped(emb, cents, k=3)
+    return knn_join_grouped(emb, cents, k=3, cache=True)
 
 
 def build_scale_dir(
