@@ -127,8 +127,28 @@ MAX_TIMED_RUNS = 8    # adaptive cap when the min keeps improving
 SENTINEL_ROWS = 2_000_000_000
 SENTINEL_RUNS = 3
 SENTINEL_REF_SEC = 0.12   # quiet-host min, measured r7 (load_1m 1.3)
+# The reference above was measured on THIS host class; on different
+# hardware `sentinel.scale` is a hardware ratio, not a noise
+# multiplier. Host identity is recorded next to the sentinel block
+# (r7 advice) so readers can tell which interpretation applies.
+SENTINEL_REF_HOST = "32-core local[32] CI box, measured r7"
 IDLE_LOAD_GATE = 4.0      # 1-min load; 32-core box
 IDLE_GATE_TIMEOUT_SEC = 180
+
+
+def _host_identity() -> dict:
+    """CPU model + core count, recorded alongside the sentinel so
+    scale readings are interpretable off this box."""
+    model = None
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return {"cpu_model": model, "cores": os.cpu_count()}
 
 
 def _sentinel_times(spark) -> list[float]:
@@ -316,10 +336,14 @@ def main() -> None:
             "median": round(s_med, 3),
             "max": round(max(sentinels), 3),
             "ref": SENTINEL_REF_SEC,
+            "ref_host": SENTINEL_REF_HOST,
             # Batch noise multiplier: how much slower this host ran
             # the CONSTANT plan vs the quiet-host reference. Divide a
             # query's time by this before calling it a regression.
+            # Only a NOISE multiplier when `host` matches the ref
+            # host class; on other hardware it is a hardware ratio.
             "scale": round(s_med / SENTINEL_REF_SEC, 3),
+            "host": _host_identity(),
         }
     if errors:
         out["errors"] = {k: v[:60] for k, v in errors.items()}

@@ -886,6 +886,28 @@ def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events")
         .select("user_id", "ts", "event_id", "event_type")
         .filter(F.col("event_type").isNotNull())
+        # Delimiter-safety guard (r7 advice): a type containing < or >
+        # would fabricate token boundaries and silently miscount —
+        # fail loudly instead. Plain codegen rlike per row; the
+        # when-branch is the consumed column so it cannot be pruned.
+        .withColumn(
+            "event_type",
+            F.when(
+                F.col("event_type").rlike("^[^<>]*$"),
+                F.col("event_type"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "event_pattern_match: event_type contains "
+                            "'<' or '>' (would fabricate journey "
+                            "token boundaries): "
+                        ),
+                        F.col("event_type"),
+                    )
+                )
+            ),
+        )
     )
     journeys = ev.groupBy("user_id").agg(
         F.array_join(

@@ -435,6 +435,8 @@ def prefix_filter_pairs(
     n: int = 2,
     threshold: float = 0.5,
     cache: bool = False,
+    max_candidate_factor: float | None = 1024.0,
+    min_candidate_floor: int = 10_000_000,
 ) -> DataFrame:
     """EXACT Jaccard similarity self-join via prefix filtering — the
     AllPairs/PPJoin candidate strategy (Bayardo et al., WWW'07; Xiao
@@ -466,7 +468,29 @@ def prefix_filter_pairs(
     otherwise accumulate cached relations call-over-call (Spark's
     CacheManager holds plans until ``spark.catalog.clearCache()``;
     there is no TTL), trading up to 3× recompute of the shingle+df
-    pass."""
+    pass.
+
+    Stopword auto-guard (r7 verdict #6): prefix pruning degrades on
+    stopword-dense shingle universes — when every prefix token is
+    common, the candidate equi-join degenerates toward Σ df² (measured
+    11 s at n=2/t=0.5 on the 40-word synthetic vocabulary vs 1.3 s at
+    n=4/t=0.7). The guard estimates the generated candidate rows as
+    Σ c² over prefix-token groups (exactly the join's fan-out, before
+    distinct) and FAILS FAST — ``raise_error`` inside the plan, fired
+    from the 1-row broadcast gate that the candidate join depends on,
+    so the explosive join never streams — when the estimate exceeds
+    ``max(min_candidate_floor, max_candidate_factor · n_docs)`` —
+    the floor is sized at work one pass absorbs in seconds (10M
+    candidate rows), so the guard only fires when the estimate is
+    large absolutely AND out of proportion to the corpus. The
+    error names the knobs: raise ``n`` (richer shingles), raise
+    ``threshold`` (shorter prefixes), route to
+    ``ngram_jaccard_pairs(max_doc_freq=...)`` (exact on truncated
+    sets), or raise the budget. ``max_candidate_factor=None`` disables
+    the guard. The floor keeps small corpora — where a dense candidate
+    set is legitimate and trivially cheap — out of the guard's way;
+    exactness is untouched either way (the gate joins a constant 1-row
+    relation, it never filters data)."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     from pyspark import StorageLevel
@@ -503,7 +527,71 @@ def prefix_filter_pairs(
             F.slice("_set", F.lit(1), F.col("_plen"))
         ).alias("_ptok"),
     )
-    a = pref.alias("a")
+    a_side = pref
+    if max_candidate_factor is not None:
+        est = (
+            pref.groupBy("_ptok")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.sum(F.col("_c") * F.col("_c"))
+                .cast("bigint")
+                .alias("_est")
+            )
+        )
+        ndocs = arrs.agg(F.count(F.lit(1)).alias("_nd"))
+        budget = F.greatest(
+            F.lit(int(min_candidate_floor)).cast("double"),
+            F.lit(float(max_candidate_factor))
+            * F.col("_nd").cast("double"),
+        )
+        # The check must live in a FILTER, not a projected column: a
+        # projected check column gets dropped downstream and Catalyst
+        # column-pruning would erase the raise_error expression before
+        # it ever evaluates. A filter decides the gate row's existence,
+        # so assert_true always runs (it returns NULL on success —
+        # hence .isNull() to keep the gate row).
+        chk = (
+            est.join(ndocs)
+            .filter(
+                F.assert_true(
+                    F.col("_est").cast("double") <= budget,
+                    F.concat(
+                        F.lit(
+                            "prefix_filter_pairs: stopword-dense "
+                            "shingle universe - estimated candidate "
+                            "fan-out "
+                        ),
+                        F.col("_est").cast("string"),
+                        F.lit(" rows exceeds the budget "),
+                        budget.cast("bigint").cast("string"),
+                        F.lit(
+                            f" (max(min_candidate_floor="
+                            f"{int(min_candidate_floor)}, "
+                            f"max_candidate_factor="
+                            f"{float(max_candidate_factor)} x "
+                        ),
+                        F.col("_nd").cast("string"),
+                        F.lit(
+                            " docs)). Prefix pruning needs rare "
+                            f"prefix tokens: raise n (currently {n}) "
+                            "for a richer shingle space, raise "
+                            f"threshold (currently {threshold}) for "
+                            "shorter prefixes, use ngram_jaccard_pairs"
+                            "(max_doc_freq=...) for exact-on-truncated"
+                            "-sets semantics, or raise "
+                            "max_candidate_factor to accept the cost."
+                        ),
+                    ),
+                ).isNull()
+            )
+            .select(F.lit(1).alias("_chk"))
+        )
+        # Gate side a of the candidate join on the 1-row check: the
+        # broadcast must materialize before the join's probe streams,
+        # so an over-budget config fails fast instead of running the
+        # quadratic join. 1-row broadcast BNLJ — audited in PLANLINT.
+        a_side = pref.join(F.broadcast(chk)).drop("_chk")
+    a = a_side.alias("a")
     b = pref.alias("b")
     cand = (
         a.join(

@@ -307,3 +307,74 @@ def test_matryoshka_recall_bounds_and_self_consistency(spark):
         assert r.recall == round(r.n_overlap / r.k, 6)
         assert r.n_overlap >= prev  # overlap can only grow with k
         prev = r.n_overlap
+
+
+def test_prefix_filter_guard_trips_on_stopword_universe(spark):
+    """r7 verdict #6: the n=2/t=0.5 config on the 40-word synthetic
+    vocabulary makes every prefix token a stopword; the auto-guard
+    must fail fast with an error naming the knobs instead of running
+    the quadratic candidate join (builder measured 11 s pre-guard at
+    sf0.1)."""
+    from deftunes_spark.ext.dedup import prefix_filter_pairs
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.1/documents.parquet"
+    )
+    with pytest.raises(Exception) as exc:
+        prefix_filter_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.5, cache=False
+        ).collect()
+    msg = str(exc.value)
+    assert "stopword-dense" in msg
+    assert "raise n" in msg and "max_doc_freq" in msg
+
+
+def test_prefix_filter_guard_floor_spares_small_corpora(spark):
+    """Dense candidate sets on tiny corpora are legitimate and cheap —
+    the absolute floor must keep them out of the guard's way, and the
+    gate must not change the answer."""
+    from deftunes_spark.ext.dedup import prefix_filter_pairs
+
+    texts = ["common words shared by every document"] * 10
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = prefix_filter_pairs(
+        df, "doc_id", "text", n=1, threshold=0.5, cache=False
+    ).collect()
+    assert len(rows) == 45  # all 10-choose-2 identical pairs
+    # ... and with the floor lowered the same corpus trips.
+    with pytest.raises(Exception) as exc:
+        prefix_filter_pairs(
+            df,
+            "doc_id",
+            "text",
+            n=1,
+            threshold=0.5,
+            cache=False,
+            max_candidate_factor=1.0,
+            min_candidate_floor=10,
+        ).collect()
+    assert "stopword-dense" in str(exc.value)
+
+
+def test_prefix_filter_guard_disabled(spark):
+    """max_candidate_factor=None disables the guard entirely (no gate
+    relation in the plan)."""
+    from deftunes_spark.ext.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], ["doc_id", "text"]
+    )
+    out = prefix_filter_pairs(
+        df,
+        "doc_id",
+        "text",
+        n=1,
+        threshold=0.4,
+        cache=False,
+        max_candidate_factor=None,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "raise_error" not in plan
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
