@@ -279,6 +279,106 @@ def resize_images(
     return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
 
 
+# ---------------------------------------------------------------------
+# Perceptual hashing (image near-dup)
+# ---------------------------------------------------------------------
+
+
+def _fake_pixels(data: bytes, n: int = 64) -> list[int]:
+    """Deterministic stand-in for decoded 8×8 grayscale pixels:
+    sha256(payload + b'|8x8') hex-CHAIN bytes (each round hashes the
+    previous round's hex STRING, not its raw digest) — chosen over
+    ``_fake_resize``'s raw-digest chain because the hex chain mirrors
+    bit-for-bit into ANSI SQL (DuckDB's sha256 takes VARCHAR only),
+    the same oracle-mirroring trick as ``dedup_simhash``'s md5 bit
+    votes. Stable across runs/partitions."""
+    h = hashlib.sha256(data + b"|8x8").hexdigest()
+    px: list[int] = []
+    while len(px) < n:
+        for b in bytes.fromhex(h):
+            px.append(b)
+            if len(px) == n:
+                break
+        h = hashlib.sha256(h.encode("ascii")).hexdigest()
+    return px
+
+
+def image_phash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """64-bit average-hash (aHash) perceptual fingerprint per image:
+    decode → 8×8 grayscale → bit i = 1 iff pixel_i is strictly above
+    the 64-pixel mean (ties → 0; compared as exact integers,
+    ``64·p_i > Σp``, so no float rounding can flip a bit on either
+    engine). Near-identical images differ in few bits, so Hamming
+    distance is the dedup metric — :func:`phash_near_pairs` finds
+    pairs with the chunked equi-join, never all-pairs.
+
+    Arrow-batched ``mapInPandas``: binary in, one fixed-width long
+    out, partition-parallel, zero shuffle — the hash rides the
+    payload scan exactly like ``extract_image_features``. The decode
+    is the ONE codec boundary: ``fake_decode=False`` runs PIL when
+    installed (grayscale + bilinear 8×8) and raises clearly
+    otherwise; the deterministic fake (``_fake_pixels``) keeps the
+    full pipeline value-checkable cross-engine."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf[payload_col]:
+                data = bytes(payload)
+                if fake_decode:
+                    vals = _fake_pixels(data, 64)
+                else:
+                    img = _decode_image(data).convert("L").resize(
+                        (8, 8), resample=_PILImage.BILINEAR
+                    )
+                    vals = list(img.getdata())
+                s = sum(vals)
+                h = 0
+                for i, v in enumerate(vals):
+                    if 64 * v > s:
+                        h |= 1 << i
+                if h >= 1 << 63:  # two's-complement into a signed long
+                    h -= 1 << 64
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} long, phash long"
+    )
+
+
+def phash_near_pairs(
+    ph: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 4,
+    reliable: bool = False,
+) -> DataFrame:
+    """Image near-duplicate pairs: Hamming ≤ ``max_hamming`` over the
+    64-bit perceptual hash, via the SAME chunked candidate machinery
+    as SimHash text dedup (``dedup.simhash_near_pairs``: max_hamming+1
+    chunks, pigeonhole guarantees full recall, equi-join per chunk —
+    candidate space tracks duplicate density, never n²). Returns
+    (id_a, id_b, hamming)."""
+    from deftunes_spark.ext.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        ph.withColumnRenamed("phash", "simhash"),
+        id_col,
+        max_hamming=max_hamming,
+        reliable=reliable,
+    )
+
+
 FRAME_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

@@ -329,17 +329,66 @@ def ivf_index(
     return assigned, centroids
 
 
+# Above this many centroid coefficients (n_lists × dim) the unrolled
+# zip_with argmin stops being viable: higher-order lambdas are
+# CodegenFallback, so assignment cost is INTERPRETED n_lists × dim
+# work per row — measured 47.9 s for ONE pass over 200k rows at
+# 400 × 64 (the 100× stress tier's auto-sized quantizer), the
+# difference between semantic_dedup_auto scaling at 32×/decade and
+# ~8×/decade. Past the cutoff assignment switches to one
+# Arrow-batched numpy matmul per batch — same cutoff discipline as
+# ``LSH_EXPR_MAX_COEFFS``. n_lists ∝ corpus makes crossing this
+# threshold the NORM at scale, not the exception.
+IVF_EXPR_MAX_COEFFS = 2048
+
+
+def _ivf_assign_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    list_col: str,
+) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment: per batch one
+    (batch, dim) @ (dim, n_lists) matmul; ‖v‖² is constant per row so
+    argmin over ``−2·(v·c) + ‖c‖²`` is the same argmin. Ties break to
+    the LOWEST index (np.argmin first-occurrence — the expr path's
+    array_position rule). Summation order differs from the
+    sequential-fold expr path by ulps, so a near-exact tie can assign
+    differently; the oracle-mirrored queries all use small literal
+    quantizers and stay on the expr path."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Ct = np.ascontiguousarray(C.T)
+    cn = np.einsum("ij,ij->i", C, C)
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        V = np.array(v.tolist(), dtype=np.float64)
+        d = -2.0 * (V @ Ct) + cn
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return df.withColumn(list_col, _assign(F.col(vec_col)))
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     list_col: str = "ivf_list",
+    method: str = "auto",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (squared L2) with
     pure column expressions — the IVF assignment step decoupled from
     quantizer training, usable with ANY fixed centroid set (and
     mirrorable in ANSI SQL: the correctness oracle recomputes the same
     ``argmin`` over the same centroid literals).
+
+    ``method``: ``"expr"`` (oracle-mirrored column expressions, best
+    for small literal quantizers), ``"arrow"`` (one vectorized numpy
+    matmul per Arrow batch — the scale path for corpus-proportional
+    quantizers), or ``"auto"`` (by ``IVF_EXPR_MAX_COEFFS``; identical
+    assignments up to float summation order on near-exact ties).
 
     ``d_c = ‖v‖² − 2·(v·c) + ‖c‖²`` with ``‖c‖²`` folded to a literal;
     argmin = first index attaining the minimum (ties break low).
@@ -357,6 +406,15 @@ def ivf_assign(
     IDENTICAL — ``sd − 2·(v·c) + ‖c‖²`` per centroid with
     left-to-right aggregate dots — so the cross-engine value-hash
     oracles are unaffected."""
+    if method == "auto":
+        n_coeffs = len(centroids) * (
+            len(centroids[0]) if centroids else 0
+        )
+        method = "expr" if n_coeffs <= IVF_EXPR_MAX_COEFFS else "arrow"
+    if method == "arrow":
+        return _ivf_assign_arrow(df, centroids, vec_col, list_col)
+    if method != "expr":
+        raise ValueError(f"unknown method {method!r}")
     mat = "array(" + ", ".join(_sql_vec(c) for c in centroids) + ")"
     norms = "array(" + ", ".join(
         f"{float(np.dot(c, c))!r}D" for c in centroids
@@ -1060,6 +1118,156 @@ def knn_join_grouped(
     return partial.drop("rank").withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------
+# Incremental ANN index maintenance
+# ---------------------------------------------------------------------
+
+
+def incremental_ivf_assign(
+    spark,
+    batch: DataFrame,
+    store_path: str,
+    centroids: list[list[float]] | str = "auto",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_list_rows: int = 500,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental ANN index maintenance: assign a NEW embedding batch
+    against the PERSISTED quantizer version — the embeddings twin of
+    ``dedup.incremental_minhash_dedup`` (signatures there, centroids
+    here). The query NEVER refits: a refit silently re-shuffles every
+    previously assigned list, so it is an offline decision made on the
+    drift signal this operator emits, committed as a NEW version of
+    the store (``io/versioned.py`` — time-travelable: "which quantizer
+    did Tuesday's ingest assign against?" is a version number).
+
+    First run (store absent): fit the quantizer on the batch
+    (``ivf_index``; or take the given literal ``centroids`` verbatim)
+    and write version 1 of the store — one row per list:
+    (ivf_list, centroid, fit_rows), where ``fit_rows`` is the batch's
+    own occupancy (the fit-time distribution every later batch is
+    compared against). Later runs: read the LATEST version (n_lists
+    rows — a bounded driver pull, exactly like the literal-centroid
+    queries), bake the stored centroids into the same constant-folded
+    argmin expression ``ivf_assign`` uses — assignment is
+    DETERMINISTIC given the stored version (doubles round-trip parquet
+    exactly), so the whole chain value-hash-mirrors into SQL — and
+    assign the batch.
+
+    Output: one row per batch vector —
+    (id, ivf_list, batch_list_rows, fit_list_rows, occupancy_ratio)
+    where ``occupancy_ratio`` = (list's share of the batch) / (list's
+    share at fit time), computed as one integer-product division
+    ``(b·fit_total) / (f·batch_total)`` so both engines round the
+    same single double. Ratio ≫ 1 means the data distribution drifted
+    INTO the list (it will outgrow its siblings — the refit trigger);
+    NULL means the list was empty at fit time (new-region drift, the
+    strongest refit signal).
+
+    Scale shape: the store is n_lists rows at ANY corpus size; the
+    batch pays one scan + nlist×d distance flops per row; the drift
+    join broadcasts the (≤ n_lists)-row occupancy relation; the only
+    1-row relation is the batch-total aggregate (audited BNLJ, the
+    DSIR/Zipf pattern)."""
+    from deftunes_spark.io.versioned import (
+        read_version,
+        write_versioned,
+    )
+
+    store_exists = False
+    try:
+        read_version(spark, store_path).limit(0).collect()
+        store_exists = True
+    except Exception:
+        store_exists = False
+
+    if not store_exists:
+        if isinstance(centroids, str):
+            if centroids != "auto":
+                raise ValueError(
+                    "centroids must be a list or 'auto', got "
+                    f"{centroids!r}"
+                )
+            _, cents = ivf_index(
+                batch,
+                n_lists="auto",
+                id_col=id_col,
+                vec_col=vec_col,
+                seed=seed,
+                target_list_rows=target_list_rows,
+            )
+        else:
+            cents = [[float(x) for x in c] for c in centroids]
+        fit_occ = (
+            ivf_assign(batch, cents, vec_col, "ivf_list")
+            .groupBy("ivf_list")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("fit_rows"))
+            .collect()
+        )
+        occ = {r["ivf_list"]: r["fit_rows"] for r in fit_occ}
+        store_rows = [
+            (i, c, int(occ.get(i, 0))) for i, c in enumerate(cents)
+        ]
+        store_df = spark.createDataFrame(
+            store_rows,
+            "ivf_list int, centroid array<double>, fit_rows bigint",
+        )
+        write_versioned(spark, store_df, store_path, mode="append")
+
+    stored = sorted(
+        read_version(spark, store_path).collect(),
+        key=lambda r: r["ivf_list"],
+    )
+    cents = [[float(x) for x in r["centroid"]] for r in stored]
+    fit_total = sum(int(r["fit_rows"]) for r in stored)
+    fit_occ_df = spark.createDataFrame(
+        [(int(r["ivf_list"]), int(r["fit_rows"])) for r in stored],
+        "ivf_list int, fit_rows bigint",
+    )
+
+    assigned = ivf_assign(
+        batch.select(F.col(id_col), F.col(vec_col)),
+        cents,
+        vec_col,
+        "ivf_list",
+    ).select(id_col, "ivf_list")
+    counts = assigned.groupBy("ivf_list").agg(
+        F.count(F.lit(1)).cast("bigint").alias("batch_list_rows")
+    )
+    total = counts.agg(
+        F.sum("batch_list_rows").alias("_bt")
+    )  # 1 row — audited broadcast
+    drift = (
+        counts.join(F.broadcast(total))
+        .join(F.broadcast(fit_occ_df), "ivf_list", "left")
+        .select(
+            "ivf_list",
+            "batch_list_rows",
+            F.coalesce(F.col("fit_rows"), F.lit(0))
+            .cast("bigint")
+            .alias("fit_list_rows"),
+            F.when(
+                F.coalesce(F.col("fit_rows"), F.lit(0)) > 0,
+                F.round(
+                    (
+                        F.col("batch_list_rows") * F.lit(int(fit_total))
+                    ).cast("double")
+                    / (F.col("fit_rows") * F.col("_bt")).cast("double"),
+                    6,
+                ),
+            ).alias("occupancy_ratio"),
+        )
+    )
+    return assigned.join(F.broadcast(drift), "ivf_list").select(
+        id_col,
+        "ivf_list",
+        "batch_list_rows",
+        "fit_list_rows",
+        "occupancy_ratio",
+    )
 
 
 # ---------------------------------------------------------------------
