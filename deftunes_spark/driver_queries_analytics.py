@@ -998,12 +998,16 @@ def q_hot_ngrams_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL corpus by a 3×1024 count-min sketch whose only full-corpus
     shuffle carries (seed, cell) keys — bounded state at any scale,
     estimates never undercount. All md5 arithmetic, so the oracle
-    value-checks the sketch's collision overcounts too."""
-    from deftunes_spark.ext.dedup import shingles
+    value-checks the sketch's collision overcounts too. Shingling is
+    the MAPSIDE variant (per-row array_distinct, r8): the exploded
+    shingles()'s (doc, shingle) distinct was the one corpus-sized
+    exchange left in this plan — the dominant cost at the 100× decade
+    (measured; same values, ids are unique per row)."""
+    from deftunes_spark.ext.dedup import shingles_mapside
     from deftunes_spark.ext.profile import heavy_hitters_cms
 
     docs = _t_cpu(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", n=3)
+    sh = shingles_mapside(docs, "doc_id", "text", n=3)
     return heavy_hitters_cms(
         sh,
         "doc_id",

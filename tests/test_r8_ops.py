@@ -321,3 +321,32 @@ def test_ivf_assign_arrow_matches_expr(spark):
     small = ivf_assign(emb, cents[:8])
     plan_s = small._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan_s
+
+
+def test_shingles_mapside_parity(spark):
+    """Per-row array_distinct shingling must equal the exploded
+    distinct variant on unique-id inputs (incl. short docs and \x0B
+    whitespace)."""
+    from deftunes_spark.ext.dedup import shingles, shingles_mapside
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a"),
+            (2, "x"),
+            (3, "p\x0bq p\x0bq r"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, shingles(df, "doc_id", "text", 2).collect()))
+    b = sorted(
+        map(tuple, shingles_mapside(df, "doc_id", "text", 2).collect())
+    )
+    assert a == b and a
+    plan = (
+        shingles_mapside(df, "doc_id", "text", 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
