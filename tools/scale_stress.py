@@ -275,11 +275,27 @@ def main() -> None:
         out["100x"] = {"buckets": bucket_maxima(spark, SCALE_DIR_100)}
         for name in FLAGSHIP_100X:
             fn = _resolve(name)
+            # One warm-up, one timed run. "Warm-up is noise at 30-s
+            # walls" proved WRONG in r8: the cold first run of the
+            # md5-codegen-heavy queries is ~2x steady state
+            # (hot_ngrams_cms measured 25.0s cold / 13.2s warm at
+            # 100x) — the table must record steady-state execution,
+            # with cold-start noted as session overhead, not scaling.
+            t0 = time.perf_counter()
+            fn(spark, SCALE_DIR_100).collect()
+            cold = time.perf_counter() - t0
             t0 = time.perf_counter()
             rows = len(fn(spark, SCALE_DIR_100).collect())
             dt = time.perf_counter() - t0
-            out["100x"][name] = {"sec": round(dt, 2), "rows": rows}
-            print(f"100x {name:28s} {dt:7.2f}s {rows:>8} rows")
+            out["100x"][name] = {
+                "sec": round(dt, 2),
+                "cold_sec": round(cold, 2),
+                "rows": rows,
+            }
+            print(
+                f"100x {name:28s} {dt:7.2f}s (cold {cold:6.2f}s) "
+                f"{rows:>8} rows"
+            )
 
     print("\n| query | 1x sec | 10x sec | ratio | 1x rows | 10x rows |")
     print("|---|---|---|---|---|---|")
