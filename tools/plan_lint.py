@@ -76,6 +76,16 @@ ALLOW_BNLJ = {
         "(one ~2 KB bottom-k array per group), broadcast — fan-out "
         "bounded by (groups choose 2), never corpus-sized"
     ),
+    "dedup_prefix_filter": (
+        "1-row candidate-fan-out gate (assert_true filter over the "
+        "Σc² estimate × 1-row doc-count) broadcast onto the prefix "
+        "join's a-side — the stopword auto-guard, r8"
+    ),
+    "ann_incremental": (
+        "1-row batch-total aggregate joined onto the ≤ n_lists-row "
+        "occupancy table for the drift ratio — model-sized, never "
+        "corpus-sized"
+    ),
 }
 ALLOW_SINGLE_PARTITION_WINDOW = {
     "scd2_user_state": (
