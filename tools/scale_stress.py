@@ -54,6 +54,15 @@ QUERIES = [
     "dedup_prefix_filter",
     "dsir_importance",
     "zipf_rank_frequency",
+    # r8 additions: perceptual-hash near-dup (banded Hamming join —
+    # the 10× ratio checks the birthday-collision term n²·k/2^width of
+    # fixed-width bands on avalanche-random hashes) and incremental
+    # ANN assignment (store is n_lists rows at any scale; assignment
+    # rides the arrow path past the coeff cutoff). The SFT queries are
+    # NOT here: they read the events table, which the replica protocol
+    # symlinks unscaled.
+    "multimodal_phash_dedup",
+    "ann_incremental",
 ]
 
 # r6 verdict #3: a second decade. The 100× tier runs the flagship
