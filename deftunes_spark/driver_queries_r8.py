@@ -318,15 +318,32 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     refit trigger signal. Assignment is deterministic given the
     stored centroids (doubles round-trip parquet exactly), so the
     whole two-run chain value-hash-mirrors into SQL."""
-    import tempfile as _tf
-
     from deftunes_spark.ext.similarity import incremental_ivf_assign
 
     emb = _t_cpu(spark, sf_dir, "embeddings")
     old = emb.filter(F.col("vec_id") % 3 != 0)
     new = emb.filter(F.col("vec_id") % 3 == 0)
-    store = _tf.mkdtemp(prefix="deftunes_annstore_") + "/store"
+    store = _ann_store_path(spark, sf_dir)
     incremental_ivf_assign(
         spark, old, store, centroids=_IVF_CENTROIDS
     ).limit(0).collect()  # run 1: fit-time ingest; output discarded
     return incremental_ivf_assign(spark, new, store)
+
+
+# One store per (session, sf_dir) — the bucketed_join_colocated
+# pattern: a fresh mkdtemp per INVOCATION leaked a /tmp directory on
+# every sweep/bench/stress build (r8 review). Reuse is deterministic:
+# run 1 only writes when the store is absent, and the fixed literal
+# quantizer + old batch make version 1 identical either way.
+_ANN_STORES: dict[tuple[str, str], str] = {}
+
+
+def _ann_store_path(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile as _tf
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ANN_STORES:
+        _ANN_STORES[key] = (
+            _tf.mkdtemp(prefix="deftunes_annstore_") + "/store"
+        )
+    return _ANN_STORES[key]

@@ -547,11 +547,12 @@ def semantic_dedup(
     if method == "grouped":
         from pyspark import StorageLevel
 
-        # persist: the assignment feeds the hot-cluster guard's count
-        # aggregate, the salted fan-out join, AND the final kept-flag
-        # join — three consumers of the same scan + nlist×d distance
-        # compute. Lazy marker (builder stays lazy); spills, never
-        # recomputes. Default cache=False (r7 advice): long-lived
+        # persist: the assignment feeds the hot-cluster guard probe,
+        # the salted fan-out join, AND the final kept-flag join —
+        # three consumers of the same scan + nlist×d distance
+        # compute. NOTE the builder is EAGER since r8: the guard
+        # probe runs a count job (and above the cap, the assignment)
+        # at construction time; the persist spills, never recomputes. Default cache=False (r7 advice): long-lived
         # sessions stay out of the pin (CacheManager has no TTL); the
         # registry/bench builders opt in with cache=True.
         assigned = ivf_assign(df, centroids, vec_col, "cluster").select(

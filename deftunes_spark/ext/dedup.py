@@ -488,8 +488,9 @@ def prefix_filter_pairs(
     ``cache=False`` skips the pin for long-lived sessions that would
     otherwise accumulate cached relations call-over-call (Spark's
     CacheManager holds plans until ``spark.catalog.clearCache()``;
-    there is no TTL), trading up to 3× recompute of the shingle+df
-    pass.
+    there is no TTL), trading up to 5× recompute of the shingle+df
+    pass (two prefix-join sides, two verify sides, and the guard's
+    estimate aggregate; n_docs is a cheap raw-input count).
 
     Stopword auto-guard (r7 verdict #6): prefix pruning degrades on
     stopword-dense shingle universes — when every prefix token is
@@ -550,16 +551,29 @@ def prefix_filter_pairs(
     )
     a_side = pref
     if max_candidate_factor is not None:
+        # DOUBLE, not bigint: Σc² on a stopword-dense multi-billion-row
+        # corpus overflows int64 and (ANSI off) wraps NEGATIVE —
+        # silently passing the guard in exactly the regime it targets.
+        # coalesce(…, 0): an EMPTY input aggregates to one NULL row and
+        # assert_true(NULL ≤ budget) would throw instead of returning
+        # zero pairs. A guard needs magnitude, not exactness.
         est = (
             pref.groupBy("_ptok")
             .agg(F.count(F.lit(1)).alias("_c"))
             .agg(
-                F.sum(F.col("_c") * F.col("_c"))
-                .cast("bigint")
-                .alias("_est")
+                F.coalesce(
+                    F.sum(
+                        F.col("_c").cast("double") * F.col("_c")
+                    ),
+                    F.lit(0.0),
+                ).alias("_est")
             )
         )
-        ndocs = arrs.agg(F.count(F.lit(1)).alias("_nd"))
+        # n_docs = RAW input rows (cheap scan count; null-text rows
+        # included — the budget is a scale knob, not an exact doc
+        # count). Counting `arrs` instead would re-run the whole
+        # shingle pipeline once more per action when cache=False.
+        ndocs = df.agg(F.count(F.lit(1)).alias("_nd"))
         budget = F.greatest(
             F.lit(int(min_candidate_floor)).cast("double"),
             F.lit(float(max_candidate_factor))
@@ -575,14 +589,14 @@ def prefix_filter_pairs(
             est.join(ndocs)
             .filter(
                 F.assert_true(
-                    F.col("_est").cast("double") <= budget,
+                    F.col("_est") <= budget,
                     F.concat(
                         F.lit(
                             "prefix_filter_pairs: stopword-dense "
                             "shingle universe - estimated candidate "
                             "fan-out "
                         ),
-                        F.col("_est").cast("string"),
+                        F.col("_est").cast("decimal(38,0)").cast("string"),
                         F.lit(" rows exceeds the budget "),
                         budget.cast("bigint").cast("string"),
                         F.lit(

@@ -988,10 +988,13 @@ def knn_join_grouped(
     from pyspark import StorageLevel
 
     # persist: the assignment (full scan + nlist×d distance flops per
-    # row) feeds BOTH the cluster-count aggregate and the salted
-    # fan-out join inside _salted_pair_blocks — without a cache the
-    # dominant compute runs twice per action. Lazy marker, so the
-    # builder stays lazy; MEMORY_AND_DISK spills instead of evicting.
+    # row) feeds the guard probe, the salted fan-out join inside
+    # _salted_pair_blocks, AND the kernel — without a cache the
+    # dominant compute runs up to 3× per action. NOTE the builder is
+    # EAGER since r8: the guard probe (_needs_cluster_guard) runs a
+    # count job (and above the cap, the assignment itself) at
+    # DataFrame-construction time; MEMORY_AND_DISK spills, never
+    # evicts.
     # Default cache=False (r7 advice): CacheManager has no TTL, so
     # call-over-call pins accumulate in long-lived sessions until
     # spark.catalog.clearCache(); registry/bench builders opt in.
@@ -1173,16 +1176,17 @@ def incremental_ivf_assign(
     1-row relation is the batch-total aggregate (audited BNLJ, the
     DSIR/Zipf pattern)."""
     from deftunes_spark.io.versioned import (
+        list_versions,
         read_version,
         write_versioned,
     )
 
-    store_exists = False
-    try:
-        read_version(spark, store_path).limit(0).collect()
-        store_exists = True
-    except Exception:
-        store_exists = False
+    # Precise existence check: list_versions returns [] for a missing
+    # store. A blanket try/except around a probe read would treat ANY
+    # transient read failure as "store absent" and APPEND a second
+    # centroid set into an existing store — silent corruption of the
+    # never-refit contract; a real read error must propagate.
+    store_exists = bool(list_versions(spark, store_path))
 
     if not store_exists:
         if isinstance(centroids, str):

@@ -378,3 +378,18 @@ def test_prefix_filter_guard_disabled(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "raise_error" not in plan
     assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
+
+
+def test_prefix_filter_empty_input(spark):
+    """r8 review: an empty input's Σc² aggregate is NULL — the guard
+    must coalesce to 0 and return zero pairs, not throw
+    assert_true(NULL)."""
+    from deftunes_spark.ext.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert (
+        prefix_filter_pairs(
+            df, "doc_id", "text", n=2, threshold=0.5, cache=False
+        ).collect()
+        == []
+    )
