@@ -193,7 +193,7 @@ def decontaminate_bloom(
 
     from deftunes_spark.ext.dedup import shingle_array_sql
 
-    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), "[ \\t\\n\\x0B\\f\\r]+")
     sh_expr = f"array_distinct({shingle_array_sql(n)})"
     base = train.select(
         F.col(id_col), toks.alias("_toks")

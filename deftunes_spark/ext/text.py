@@ -621,7 +621,7 @@ def with_html_stripped(
     cleaned = F.col(col)
     for pat, repl in HTML_STRIP_STEPS:
         cleaned = F.regexp_replace(cleaned, pat, repl)
-    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    cleaned = F.trim(F.regexp_replace(cleaned, "[ \\t\\n\\x0B\\f\\r]+", " "))
     return df.withColumn(
         "n_tags", F.regexp_count(F.col(col), F.lit(_TAG_PATTERN)).cast("bigint")
     ).withColumn(out_col, cleaned)
@@ -637,7 +637,7 @@ def with_readability(df: DataFrame, col: str = "text") -> DataFrame:
     projection — readability is a scan-speed quality signal, like the
     Gopher rules."""
     toks = F.filter(
-        F.split(F.trim(F.coalesce(F.col(col), F.lit(""))), r"\s+"),
+        F.split(F.trim(F.coalesce(F.col(col), F.lit(""))), "[ \\t\\n\\x0B\\f\\r]+"),
         lambda t: t != "",
     )
     words = F.size(toks)

@@ -62,7 +62,7 @@ def chunk_documents(
     # size(NULL) is -1 under legacy sizeOfNull, which would otherwise
     # leak a -1 token count and NULL chunk_text into the output).
     toks = F.filter(
-        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), "[ \\t\\n\\x0B\\f\\r]+"),
         lambda t: t != "",
     )
     n = F.size(toks)
@@ -108,7 +108,7 @@ def _counted_with_shard(
     md5-derived shard hash (engine-portable, mirrored in the SQL
     oracle) can never drift between the concat and best-fit paths."""
     toks = F.filter(
-        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), "[ \\t\\n\\x0B\\f\\r]+"),
         lambda t: t != "",
     )
     shard = (
@@ -457,7 +457,7 @@ def dataset_card(
     toks = F.size(
         F.filter(
             F.split(
-                F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+                F.trim(F.coalesce(F.col(text_col), F.lit(""))), "[ \\t\\n\\x0B\\f\\r]+"
             ),
             lambda t: t != "",
         )
