@@ -254,6 +254,41 @@ def q_sft_role_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SFT.sft_role_audit(_dialogs(spark, sf_dir))
 
 
+@query(
+    "sft_loss_mask_spans",
+    _TURNS_CTE
+    + """
+    SELECT CAST(dialog_id AS BIGINT) AS dialog_id, turn_idx, role,
+           n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY dialog_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_tok,
+           CAST(sum(n_tokens) OVER (
+               PARTITION BY dialog_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS end_tok,
+           (role = 'assistant') AS trainable
+    FROM (
+        SELECT *, CAST(len(list_filter(regexp_split_to_array(
+                   trim(coalesce(content, '')),
+                   '[ \\t\\n\\x0B\\f\\r]+'),
+                   t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM ev
+    )
+    """,
+)
+def q_sft_loss_mask_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-turn token spans + loss-mask flags over the assembled
+    dialogs: [start_tok, end_tok) offsets within the concatenated
+    dialog via a zero-shuffle HOF prefix-sum fold (the oracle rebuilds
+    the same offsets with a window cumsum — different mechanism, same
+    exact integers), assistant turns trainable, user/system masked."""
+    return SFT.sft_loss_mask_spans(_dialogs(spark, sf_dir))
+
+
 # =====================================================================
 # Incremental ANN index maintenance (r7 verdict #5)
 # =====================================================================

@@ -53,6 +53,67 @@ def sft_turn_flatten(
     )
 
 
+def sft_loss_mask_spans(
+    df: DataFrame,
+    id_col: str = "dialog_id",
+    messages_col: str = "messages",
+    trainable_role: str = "assistant",
+) -> DataFrame:
+    """Per-turn TOKEN SPANS + loss-mask flags — the arithmetic an SFT
+    tokenizer/collator needs before building label masks: for every
+    turn, its token count, its [start_tok, end_tok) offset within the
+    concatenated dialog, and ``trainable`` (assistant turns train;
+    user/system turns are context and get loss-masked).
+
+    Zero shuffle: the running offset is a prefix sum computed INSIDE
+    the messages array with one ``aggregate`` fold (array-accumulator
+    struct — O(turns²) array copies per dialog, negligible at dialog
+    lengths), then one posexplode. A window-cumsum formulation would
+    re-shuffle every dialog by id; the fold rides the scan. Token
+    counts use the repo-wide explicit whitespace class.
+    """
+    tok_sql = (
+        "size(filter(split(trim(coalesce(m.content, '')), "
+        "'[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), x -> x != ''))"
+    )
+    counts = F.expr(
+        f"transform({messages_col}, m -> cast({tok_sql} as bigint))"
+    )
+    stages = (
+        df.select(
+            F.col(id_col),
+            F.col(messages_col).alias("_m"),
+            counts.alias("_tk"),
+        )
+        .withColumn(
+            "_offs",
+            F.expr(
+                "aggregate(_tk, "
+                "named_struct('offs', cast(array() as array<bigint>), "
+                "'tot', 0L), "
+                "(acc, c) -> named_struct("
+                "'offs', array_append(acc.offs, acc.tot), "
+                "'tot', acc.tot + c)).offs"
+            ),
+        )
+        .select(
+            id_col,
+            F.posexplode(F.arrays_zip("_m", "_tk", "_offs")).alias(
+                "turn_idx", "_z"
+            ),
+        )
+    )
+    return stages.select(
+        id_col,
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("_z._m.role").alias("role"),
+        F.col("_z._tk").alias("n_tokens"),
+        F.col("_z._offs").alias("start_tok"),
+        (F.col("_z._offs") + F.col("_z._tk")).alias("end_tok"),
+        (F.col("_z._m.role") == trainable_role).alias("trainable"),
+    )
+
+
 def sft_role_audit(
     df: DataFrame,
     id_col: str = "dialog_id",

@@ -350,3 +350,33 @@ def test_shingles_mapside_parity(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_sft_loss_mask_spans(spark):
+    """Spans partition the dialog's token stream exactly: contiguous,
+    0-started, end == total tokens; only assistant turns trainable;
+    the whole plan is shuffle-free."""
+    from deftunes_spark.ext.sft import sft_loss_mask_spans
+
+    out = sft_loss_mask_spans(_dialog_df(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = sorted(
+        out.collect(), key=lambda r: (r.dialog_id, r.turn_idx)
+    )
+    d1 = [r for r in rows if r.dialog_id == 1]
+    # dialog 1: system "be helpful"(2), user "hi there"(2),
+    # assistant "hello friend"(2)
+    assert [(r.start_tok, r.end_tok, r.trainable) for r in d1] == [
+        (0, 2, False),
+        (2, 4, False),
+        (4, 6, True),
+    ]
+    d2 = [r for r in rows if r.dialog_id == 2]
+    # contiguity invariant: each start == previous end, first is 0
+    assert d2[0].start_tok == 0
+    for prev, cur in zip(d2, d2[1:]):
+        assert cur.start_tok == prev.end_tok
+    # whitespace-only content counts 0 tokens (span is empty)
+    empty = [r for r in d2 if r.n_tokens == 0]
+    assert len(empty) == 1 and empty[0].start_tok == empty[0].end_tok
