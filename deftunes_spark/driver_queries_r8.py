@@ -354,14 +354,20 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored centroids (doubles round-trip parquet exactly), so the
     whole two-run chain value-hash-mirrors into SQL."""
     from deftunes_spark.ext.similarity import incremental_ivf_assign
+    from deftunes_spark.io.versioned import list_versions
 
     emb = _t_cpu(spark, sf_dir, "embeddings")
     old = emb.filter(F.col("vec_id") % 3 != 0)
     new = emb.filter(F.col("vec_id") % 3 == 0)
     store = _ann_store_path(spark, sf_dir)
-    incremental_ivf_assign(
-        spark, old, store, centroids=_IVF_CENTROIDS
-    ).limit(0).collect()  # run 1: fit-time ingest; output discarded
+    if not list_versions(spark, store):
+        # run 1: fit-time ingest; output discarded. Skipped entirely
+        # on later invocations in the session — the write would be a
+        # no-op but the old-batch chain's eager store read + limit(0)
+        # job were pure dead work (r8 review).
+        incremental_ivf_assign(
+            spark, old, store, centroids=_IVF_CENTROIDS
+        ).limit(0).collect()
     return incremental_ivf_assign(spark, new, store)
 
 

@@ -72,12 +72,21 @@ def sft_loss_mask_spans(
     re-shuffle every dialog by id; the fold rides the scan. Token
     counts use the repo-wide explicit whitespace class.
     """
-    tok_sql = (
-        "size(filter(split(trim(coalesce(m.content, '')), "
-        "'[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), x -> x != ''))"
-    )
-    counts = F.expr(
-        f"transform({messages_col}, m -> cast({tok_sql} as bigint))"
+    # Token counts via the Column API so the module's ONE tokenization
+    # definition (_WS_CLASS) is reused — a hand-inlined copy would
+    # silently desync from sft_role_audit's total_tokens if the class
+    # ever changes.
+    counts = F.transform(
+        F.col(messages_col),
+        lambda m: F.size(
+            F.filter(
+                F.split(
+                    F.trim(F.coalesce(m["content"], F.lit(""))),
+                    _WS_CLASS,
+                ),
+                lambda x: x != "",
+            )
+        ).cast("bigint"),
     )
     stages = (
         df.select(

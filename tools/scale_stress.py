@@ -260,10 +260,19 @@ def main() -> None:
             fn(spark, sf_dir).collect()  # warm
             best = None
             for _ in range(2):
+                # clearCache BEFORE each timed run (r8 review): the
+                # cache=True builders persist their assignment and
+                # CacheManager would serve every later identical plan
+                # from the first run's pin — the timed wall must be
+                # steady-state execution on every tier, not a cache
+                # read, or the decade ratios divide numbers taken
+                # under two different protocols.
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 rows = len(fn(spark, sf_dir).collect())
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
             out[label][name] = {"sec": round(best, 2), "rows": rows}
             print(f"{label:>4} {name:28s} {best:7.2f}s {rows:>8} rows")
 
