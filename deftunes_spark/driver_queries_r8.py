@@ -215,7 +215,8 @@ def q_sft_turn_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
                prev_role IS NOT NULL AND role = prev_role
            ) AS INT) AS n_alt_violations,
            CAST(count(*) FILTER (
-               content IS NULL OR trim(content) = ''
+               content IS NULL OR regexp_replace(
+                   content, '[ \\t\\n\\x0B\\f\\r]+', '', 'g') = ''
            ) AS INT) AS n_empty,
            CAST(count(*) FILTER (
                role = 'system' AND turn_idx > 0
@@ -230,7 +231,8 @@ def q_sft_turn_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
            (count(*) FILTER (prev_role IS NOT NULL
                              AND role = prev_role) = 0
             AND count(*) FILTER (content IS NULL
-                                 OR trim(content) = '') = 0
+                                 OR regexp_replace(content,
+                '[ \\t\\n\\x0B\\f\\r]+', '', 'g') = '') = 0
             AND count(*) FILTER (role = 'system'
                                  AND turn_idx > 0) = 0
             AND count(*) FILTER (role NOT IN

@@ -560,17 +560,19 @@ def semantic_dedup(
         )
         if cache:
             assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
-        from deftunes_spark.ext.similarity import _needs_cluster_guard
+        from deftunes_spark.ext.similarity import _cluster_guard_probe
 
+        use_guard, probe_counts = _cluster_guard_probe(
+            df, assigned, max_cluster_rows, assigned_cached=cache
+        )
         dominated = _semantic_dominated_grouped(
             assigned,
             id_col,
             vec_col,
             float(threshold),
             max_cluster_rows=max_cluster_rows,
-            use_guard=_needs_cluster_guard(
-                df, assigned, max_cluster_rows
-            ),
+            use_guard=use_guard,
+            counts=probe_counts,
         )
     else:
         # Norms once per ROW, not per pair: three HOF folds per pair
@@ -640,6 +642,7 @@ def _semantic_dominated_grouped(
     block: int = 2048,
     max_cluster_rows: int = 50_000,
     use_guard: bool | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Dominated ids per cluster via a blocked vectorized kernel.
 
@@ -767,7 +770,7 @@ def _semantic_dominated_grouped(
             fold, schema=f"{id_col} {id_type}"
         )
     blocks = _salted_pair_blocks(
-        assigned, id_col, vec_col, max_cluster_rows
+        assigned, id_col, vec_col, max_cluster_rows, counts=counts
     )
     # distinct: under a sub-split, a candidate can be dominated in
     # several blocks (its dominators are spread over salts); the

@@ -138,7 +138,10 @@ def sft_role_audit(
     - ``n_alt_violations`` — adjacent same-role turn pairs (the
       user/assistant alternation check; a system turn breaks
       alternation like any repeated role would);
-    - ``n_empty`` — turns whose content is NULL or whitespace-only;
+    - ``n_empty`` — turns whose content is NULL or whitespace-only
+      (whitespace = the repo-wide explicit class, the same definition
+      ``total_tokens`` splits on, so a zero-token turn is ALWAYS
+      flagged empty);
     - ``n_system_misplaced`` — system turns anywhere past position 0
       (the convention: at most one leading system prompt);
     - ``n_unknown_role`` — roles outside {user, assistant, system};
@@ -160,11 +163,16 @@ def sft_role_audit(
             lambda x: x,
         )
     )
+    # Empty = NULL or WHITESPACE-ONLY under the same explicit class
+    # total_tokens splits on (r8 advice: F.trim strips ASCII spaces
+    # only, so a tab/newline-only turn passed n_empty while
+    # contributing 0 tokens — a zero-token "trainable" turn could
+    # carry audit_ok=true into training).
     empty = F.size(
         F.filter(
             m,
             lambda t: t["content"].isNull()
-            | (F.trim(t["content"]) == ""),
+            | (F.regexp_replace(t["content"], _WS_CLASS, "") == ""),
         )
     )
     sys_misplaced = F.size(

@@ -355,18 +355,40 @@ def _ivf_assign_arrow(
     array_position rule). Summation order differs from the
     sequential-fold expr path by ulps, so a near-exact tie can assign
     differently; the oracle-mirrored queries all use small literal
-    quantizers and stay on the expr path."""
+    quantizers and stay on the expr path.
+
+    Degenerate-input parity (r8 advice): the expr path assigns NULL to
+    a NULL embedding and to any vector whose length differs from the
+    centroid dim (zip_with pads with NULLs → NULL distances → NULL
+    argmin). A naive ``np.array(v.tolist())`` here would instead build
+    an object/ragged array and crash the matmul — and under
+    ``method='auto'`` that failure-mode switch happens silently once
+    ``n_coeffs`` crosses ``IVF_EXPR_MAX_COEFFS``, i.e. exactly at
+    scale. So invalid entries are masked out (assigned NULL, matching
+    the expr path) and an all-invalid/empty batch short-circuits with
+    a typed empty/all-NULL result instead of a 1-D matmul operand."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)
     Ct = np.ascontiguousarray(C.T)
     cn = np.einsum("ij,ij->i", C, C)
+    dim = C.shape[1] if C.ndim == 2 else 0
 
     @pandas_udf("int")
     def _assign(v: pd.Series) -> pd.Series:
-        V = np.array(v.tolist(), dtype=np.float64)
-        d = -2.0 * (V @ Ct) + cn
-        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+        valid = np.fromiter(
+            (x is not None and len(x) == dim for x in v),
+            dtype=bool,
+            count=len(v),
+        )
+        out = pd.array([None] * len(v), dtype="Int32")
+        if valid.any():
+            V = np.array(
+                [np.asarray(x, dtype=np.float64) for x in v[valid]]
+            )
+            d = -2.0 * (V @ Ct) + cn
+            out[valid] = np.argmin(d, axis=1).astype(np.int32)
+        return pd.Series(out, dtype="Int32")
 
     return df.withColumn(list_col, _assign(F.col(vec_col)))
 
@@ -835,19 +857,45 @@ def knn_join(
     )
 
 
-def _needs_cluster_guard(
-    raw: DataFrame, assigned: DataFrame, cap: int
-) -> bool:
+def _cluster_guard_probe(
+    raw: DataFrame,
+    assigned: DataFrame,
+    cap: int,
+    assigned_cached: bool = False,
+) -> tuple[bool, DataFrame | None]:
     """Two-tier probe deciding whether the hot-cluster guard must
     engage (r7 verdict #2: skip the fan-out + merge when no cluster
     exceeds the cap). Tier 1 is a plain ``count()`` on the RAW input —
     for parquet scans that is a footer-metadata aggregate, no
     assignment compute — and a corpus of ≤ cap rows cannot contain a
     cluster above the cap. Only past that does tier 2 pay the
-    per-cluster counts aggregate over the (cached) assignment."""
+    per-cluster counts aggregate over the assignment.
+
+    Returns ``(needs_guard, counts)``. When the guard engages and the
+    assignment is NOT persisted, ``counts`` is the per-cluster
+    ``(cluster, _crows)`` relation PERSISTED (n_lists rows — KB-scale
+    at any corpus size, bounded by the quantizer, not the data) so
+    :func:`_salted_pair_blocks` broadcasts the already-materialized
+    counts instead of recomputing the aggregate — which would re-run
+    the dominant nlist×d assignment pass a third time (r8 advice: the
+    probe's own pass was discarded and the whole compute ran 3×).
+    With ``assigned_cached=True`` the counts aggregate is cheap off
+    the pinned assignment, so no second pin is taken."""
     if raw.count() <= cap:
-        return False
-    return _max_cluster_count(assigned) > cap
+        return False, None
+    counts = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("_crows")
+    )
+    if not assigned_cached:
+        from pyspark import StorageLevel
+
+        counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+    row = counts.agg(F.max("_crows")).first()
+    if int(row[0] or 0) <= cap:
+        if not assigned_cached:
+            counts.unpersist()
+        return False, None
+    return True, (None if assigned_cached else counts)
 
 
 def _max_cluster_count(assigned: DataFrame) -> int:
@@ -873,6 +921,7 @@ def _salted_pair_blocks(
     id_col: str,
     vec_col: str,
     max_cluster_rows: int,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Fan a cluster-assigned relation out into bounded pair blocks.
 
@@ -903,10 +952,16 @@ def _salted_pair_blocks(
     per input when ns == 1, so the unsalted shape pays zero extra
     transfer), 0 = left only, 1 = right only. Equal-id rows share a
     salt, so equal-id masking inside the diagonal block still sees
-    every equal-id pair."""
-    counts = assigned.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("_crows")
-    )
+    every equal-id pair.
+
+    ``counts``: an optional pre-built (cluster, _crows) relation — the
+    guard probe's own aggregate, persisted — so the broadcast side
+    here reuses materialized counts instead of recomputing the
+    assignment (r8 advice)."""
+    if counts is None:
+        counts = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("_crows")
+        )
     ns = F.greatest(
         F.lit(1),
         F.ceil(F.col("_crows") / F.lit(float(max_cluster_rows))),
@@ -1100,12 +1155,16 @@ def knn_join_grouped(
     # diagonal block and the kernel's in-block rank IS the global rank
     # (same (rounded sim desc, neighbor id) order) — skip the fan-out
     # join and the merge window entirely.
-    if not _needs_cluster_guard(df, assigned, max_cluster_rows):
+    needs_guard, probe_counts = _cluster_guard_probe(
+        df, assigned, max_cluster_rows, assigned_cached=cache
+    )
+    if not needs_guard:
         diag = assigned.withColumn("_role", F.lit(2).cast("tinyint"))
         return diag.groupBy("cluster").applyInPandas(topk, schema)
 
     blocks = _salted_pair_blocks(
-        assigned, id_col, vec_col, max_cluster_rows
+        assigned, id_col, vec_col, max_cluster_rows,
+        counts=probe_counts,
     )
     partial = blocks.groupBy("cluster", "_gl", "_gr").applyInPandas(
         topk, schema
@@ -1149,7 +1208,10 @@ def incremental_ivf_assign(
 
     First run (store absent): fit the quantizer on the batch
     (``ivf_index``; or take the given literal ``centroids`` verbatim)
-    and write version 1 of the store — one row per list:
+    and write version 1 of the store — guarded by an atomic O_EXCL
+    init marker so concurrent first runs admit exactly one fitter
+    (the losers wait for version 1 and assign against it) — one row
+    per list:
     (ivf_list, centroid, fit_rows), where ``fit_rows`` is the batch's
     own occupancy (the fit-time distribution every later batch is
     compared against). Later runs: read the LATEST version (n_lists
@@ -1176,6 +1238,9 @@ def incremental_ivf_assign(
     1-row relation is the batch-total aggregate (audited BNLJ, the
     DSIR/Zipf pattern)."""
     from deftunes_spark.io.versioned import (
+        _excl_create,
+        _fs,
+        _p,
         list_versions,
         read_version,
         write_versioned,
@@ -1187,6 +1252,38 @@ def incremental_ivf_assign(
     # centroid set into an existing store — silent corruption of the
     # never-refit contract; a real read error must propagate.
     store_exists = bool(list_versions(spark, store_path))
+
+    if not store_exists:
+        # First-run initialization is check-then-act; two concurrent
+        # first runs would BOTH observe an absent store and BOTH append
+        # a version-1 centroid set (r8 advice — the exact silent
+        # corruption the existence check above exists to prevent). An
+        # atomic O_EXCL init marker admits exactly one fitter; losers
+        # wait (bounded) for the winner's version 1 and proceed down
+        # the normal assign-against-stored path. A winner that dies
+        # between marker and manifest strands the marker — the loser's
+        # timeout error names it so the recovery (delete the marker)
+        # is explicit, never silent.
+        jvm, fs = _fs(spark, store_path)
+        fs.mkdirs(_p(jvm, store_path))
+        marker = _p(jvm, f"{store_path}/_ivf_init.marker")
+        if not _excl_create(spark, fs, marker):
+            import time as _time
+
+            deadline = _time.time() + 120.0
+            while not list_versions(spark, store_path):
+                if _time.time() > deadline:
+                    raise RuntimeError(
+                        "incremental_ivf_assign: lost the init race "
+                        f"for {store_path!r} but no version appeared "
+                        "within 120s - the winning initializer likely "
+                        "died between claiming the marker and "
+                        "committing version 1. Recover by deleting "
+                        f"{store_path}/_ivf_init.marker after "
+                        "verifying the store has no versions."
+                    )
+                _time.sleep(0.2)
+            store_exists = True
 
     if not store_exists:
         if isinstance(centroids, str):
