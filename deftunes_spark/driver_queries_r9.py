@@ -1,0 +1,263 @@
+"""Round-9 operators: preference/RLHF pair audit + prompt near-dup
+(the post-training surface's second half, next to ext/sft.py), and
+the distributed BPE encode stage.
+
+Each entry follows the registry contract: a Spark builder plus a
+DuckDB value-hash oracle mirroring the full chain (or a documented
+rows-only check where SQL cannot express it)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deftunes_spark.driver_queries import _t_cpu, query
+from deftunes_spark.ext import preference as P
+
+# =====================================================================
+# Preference-pair fixtures (r8 verdict #2)
+# =====================================================================
+#
+# Pairs assembled deterministically from the documents table — the
+# same derived-fixture discipline as the SFT dialogs (events →
+# role-coded turns): prompt groups of ~4 pairs, responses sliced from
+# the doc text, and every violation class SEEDED so the audit
+# counters are exercised non-trivially:
+#   doc_id % 13 == 3  → rejected == chosen      (degenerate_pair)
+#   doc_id % 13 == 5  → rejected = ''           (rejected_empty)
+#   doc_id % 13 == 7  → rejected = '\t\n'       (whitespace-only —
+#                        the ext.sft r8-advice rule)
+#   doc_id % 13 == 9  → rejected = NULL
+#   doc_id % 29 == 7  → prompt drifts ' (v2)'   (prompt_mismatch)
+#   doc_id % 31 == 11 → prompt = NULL           (prompt_empty)
+#   rewards (d%10)/10 vs (d%7)/10               (nonpositive_margin
+#                        wherever d%10 ≤ d%7)
+
+_PROMPT_BASE = ": please compare the responses"
+
+
+def _pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    pid = F.floor(d / F.lit(4)).cast("bigint")
+    prompt = F.when(d % 31 == 11, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.lit("P"),
+            pid.cast("string"),
+            F.lit(_PROMPT_BASE),
+            F.when(d % 29 == 7, F.lit(" (v2)")).otherwise(F.lit("")),
+        )
+    )
+    chosen = F.substring(F.col("text"), 1, 150)
+    m13 = d % 13
+    rejected = (
+        F.when(m13 == 3, chosen)
+        .when(m13 == 5, F.lit(""))
+        .when(m13 == 7, F.lit("\t\n"))
+        .when(m13 == 9, F.lit(None).cast("string"))
+        .otherwise(F.substring(F.col("text"), 121, 150))
+    )
+    return (
+        _t_cpu(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            d.alias("pair_id"),
+            pid.alias("prompt_id"),
+            prompt.alias("prompt"),
+            chosen.alias("chosen"),
+            rejected.alias("rejected"),
+            ((d % 10).cast("double") / 10.0).alias("reward_chosen"),
+            ((d % 7).cast("double") / 10.0).alias("reward_rejected"),
+        )
+    )
+
+
+_WS = "[ \\t\\n\\x0B\\f\\r]+"
+
+_PREF_PAIRS_CTE = f"""
+WITH base AS (
+    SELECT doc_id AS pair_id,
+           CAST(floor(doc_id / 4) AS BIGINT) AS prompt_id,
+           CASE WHEN doc_id % 31 = 11 THEN NULL
+                ELSE 'P' || CAST(CAST(floor(doc_id / 4) AS BIGINT)
+                            AS VARCHAR)
+                     || '{_PROMPT_BASE}'
+                     || CASE WHEN doc_id % 29 = 7
+                             THEN ' (v2)' ELSE '' END
+           END AS prompt,
+           substr(text, 1, 150) AS chosen,
+           CASE CAST(doc_id % 13 AS INT)
+               WHEN 3 THEN substr(text, 1, 150)
+               WHEN 5 THEN ''
+               WHEN 7 THEN (chr(9) || chr(10))
+               WHEN 9 THEN NULL
+               ELSE substr(text, 121, 150)
+           END AS rejected,
+           CAST(doc_id % 10 AS DOUBLE) / 10.0 AS reward_chosen,
+           CAST(doc_id % 7 AS DOUBLE) / 10.0 AS reward_rejected
+    FROM documents WHERE text IS NOT NULL
+)
+"""
+
+_PREF_AUDIT_ORACLE = (
+    _PREF_PAIRS_CTE
+    + f"""
+, canon AS (
+    SELECT prompt_id, min(prompt) AS canon_prompt
+    FROM base GROUP BY 1
+), tok AS (
+    SELECT b.*, c.canon_prompt,
+           CAST(len(list_filter(regexp_split_to_array(
+               trim(coalesce(chosen, '')), '{_WS}'), t -> t <> ''))
+               AS BIGINT) AS n_c,
+           CAST(len(list_filter(regexp_split_to_array(
+               trim(coalesce(rejected, '')), '{_WS}'), t -> t <> ''))
+               AS BIGINT) AS n_r
+    FROM base b JOIN canon c USING (prompt_id)
+)
+SELECT pair_id, prompt_id,
+       (prompt IS NULL
+        OR regexp_replace(prompt, '{_WS}', '', 'g') = '')
+           AS prompt_empty,
+       (chosen IS NULL
+        OR regexp_replace(chosen, '{_WS}', '', 'g') = '')
+           AS chosen_empty,
+       (rejected IS NULL
+        OR regexp_replace(rejected, '{_WS}', '', 'g') = '')
+           AS rejected_empty,
+       (chosen IS NOT NULL AND rejected IS NOT NULL
+        AND trim(regexp_replace(chosen, '{_WS}', ' ', 'g'))
+            = trim(regexp_replace(rejected, '{_WS}', ' ', 'g')))
+           AS degenerate_pair,
+       (prompt IS DISTINCT FROM canon_prompt) AS prompt_mismatch,
+       ((reward_chosen - reward_rejected) <= 0)
+           AS nonpositive_margin,
+       n_c AS n_tokens_chosen,
+       n_r AS n_tokens_rejected,
+       CASE WHEN n_r > 0
+            THEN round(CAST(n_c AS DOUBLE) / CAST(n_r AS DOUBLE), 6)
+       END AS len_ratio,
+       round(reward_chosen - reward_rejected, 6) AS margin,
+       NOT ((prompt IS NULL
+             OR regexp_replace(prompt, '{_WS}', '', 'g') = '')
+            OR (chosen IS NULL
+                OR regexp_replace(chosen, '{_WS}', '', 'g') = '')
+            OR (rejected IS NULL
+                OR regexp_replace(rejected, '{_WS}', '', 'g') = '')
+            OR (chosen IS NOT NULL AND rejected IS NOT NULL
+                AND trim(regexp_replace(chosen, '{_WS}', ' ', 'g'))
+                    = trim(regexp_replace(rejected, '{_WS}', ' ', 'g')))
+            OR (prompt IS DISTINCT FROM canon_prompt)
+            OR ((reward_chosen - reward_rejected) <= 0)) AS audit_ok
+FROM tok
+"""
+)
+
+
+@query("preference_pair_audit", _PREF_AUDIT_ORACLE)
+def q_preference_pair_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-pair RLHF structural audit (ext.preference): empty sides
+    under the repo-wide whitespace class, degenerate chosen==rejected
+    pairs, prompt drift within a prompt group, reward-margin sanity,
+    token-length stats — the quarantine predicate before reward-model
+    / DPO training. Every violation class is seeded by the fixture
+    derivation, so all six flags are exercised and value-checked."""
+    return P.preference_pair_audit(
+        _pref_pairs(spark, sf_dir),
+        reward_chosen_col="reward_chosen",
+        reward_rejected_col="reward_rejected",
+    )
+
+
+# ---------------------------------------------------------------------
+# Prompt near-dup across pairs
+# ---------------------------------------------------------------------
+#
+# Prompts sliced from doc text (so they have real token mass), each
+# repeated once per response row (the pair relation's natural shape),
+# with every 20th prompt replicated under a shifted group id plus a
+# short suffix — planted near-dups that guarantee non-empty output at
+# every sf, exactly the multimodal_phash_dedup planting discipline.
+
+_PROMPT_PLANT_MOD = 20
+_PROMPT_PLANT_SHIFT = 10_000_000
+_PROMPT_PLANT_SUFFIX = " extra words appended here"
+
+
+def _prompt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prom = (
+        _t_cpu(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").alias("prompt_id"),
+            F.substring(F.col("text"), 1, 200).alias("prompt"),
+        )
+    )
+    plant = prom.filter(
+        F.col("prompt_id") % _PROMPT_PLANT_MOD == 0
+    ).select(
+        (F.col("prompt_id") + F.lit(_PROMPT_PLANT_SHIFT)).alias(
+            "prompt_id"
+        ),
+        F.concat(
+            F.col("prompt"), F.lit(_PROMPT_PLANT_SUFFIX)
+        ).alias("prompt"),
+    )
+    both = prom.unionByName(plant)
+    # two response rows per prompt: the dedup must collapse them
+    return both.withColumn(
+        "resp", F.explode(F.array(F.lit("a"), F.lit("b")))
+    )
+
+
+_PREF_DEDUP_ORACLE = f"""
+WITH prom AS (
+    SELECT doc_id AS prompt_id, substr(text, 1, 200) AS prompt
+    FROM documents WHERE text IS NOT NULL
+    UNION ALL
+    SELECT doc_id + {_PROMPT_PLANT_SHIFT} AS prompt_id,
+           substr(text, 1, 200) || '{_PROMPT_PLANT_SUFFIX}' AS prompt
+    FROM documents
+    WHERE text IS NOT NULL AND doc_id % {_PROMPT_PLANT_MOD} = 0
+), toklist AS (
+    SELECT prompt_id,
+           regexp_split_to_array(trim(prompt), '{_WS}') AS toks
+    FROM prom
+), sets AS (
+    SELECT prompt_id, list_distinct(list_transform(
+        range(1, greatest(len(toks) - 2, 1) + 1),
+        i -> array_to_string(toks[i:i+2], ' '))) AS ss
+    FROM toklist
+), pairs AS (
+    SELECT a.prompt_id AS id_a, b.prompt_id AS id_b,
+           len(list_intersect(a.ss, b.ss)) AS o,
+           len(a.ss) AS sa, len(b.ss) AS sb
+    FROM sets a JOIN sets b ON a.prompt_id < b.prompt_id
+)
+SELECT id_a, id_b,
+       CAST(o AS DOUBLE) / CAST(sa + sb - o AS DOUBLE) AS jaccard
+FROM pairs
+WHERE CAST(o AS DOUBLE) / CAST(sa + sb - o AS DOUBLE) >= 0.5
+"""
+
+
+@query("preference_pair_dedup", _PREF_DEDUP_ORACLE)
+def q_preference_pair_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-duplicate prompts across preference pairs
+    (ext.preference.preference_prompt_dedup): distinct the prompt
+    relation out of the pair rows, then exact 3-gram Jaccard via the
+    shared-shingle candidate machinery (ext.dedup.ngram_jaccard_pairs)
+    — the leakage check before an RM/DPO train-eval split. Planted
+    suffix-variant duplicates guarantee pairs at every sf; the oracle
+    is an independent brute-force all-pairs intersect, so the hash
+    check also proves the candidate pruning drops nothing."""
+    return P.preference_prompt_dedup(
+        _prompt_pairs(spark, sf_dir),
+        "prompt_id",
+        "prompt",
+        n=3,
+        threshold=0.5,
+    )
