@@ -75,6 +75,7 @@ _ORACLE_TWINS = {
     "source_overlap_minhash": "source_overlap",
     "sequence_pack_bestfit": "sequence_pack",
     "ann_knn_join_fast": "ann_knn_join",
+    "bpe_encode": "bpe_encode_roundtrip",
 }
 
 

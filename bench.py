@@ -111,6 +111,12 @@ HEADLINE = [
     "dsir_importance",
     "zipf_rank_frequency",
     "matryoshka_recall",
+    # r9 additions: the distributed BPE apply (train once per session,
+    # encode rides the scan — the hottest op of a pretraining ingest)
+    # and the preference-prompt near-dup (distinct + shared-shingle
+    # candidate join over the prompt universe):
+    "bpe_encode",
+    "preference_pair_dedup",
 ]
 
 WARMUP_RUNS = 2

@@ -901,11 +901,205 @@ def simhash64(
     )
 
 
+def _chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
+    """Spread 64 bits over ``n_chunks`` as evenly as possible: the
+    first (64 % n) chunks get one extra bit. Returns [(offset, width)]."""
+    base, extra = divmod(64, n_chunks)
+    bounds = []
+    off = 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        bounds.append((off, width))
+        off += width
+    return bounds
+
+
+# Largest per-chunk probe enumeration the planner may pick: bounds the
+# literal mask array (expression-tree size — the r5 ivf_assign lesson)
+# and the a-side fan-out.
+_PROBE_MASKS_MAX = 4096
+# mode="auto" routes bands → probes when the banded candidate estimate
+# n²(h+1)/2^(64/(h+1)) — the BIRTHDAY term of collision-free random
+# fingerprints, one scalar off n — exceeds this budget (same
+# estimate-gate pattern as the prefix-filter auto-guard).
+_BANDS_CANDIDATE_BUDGET = 1e8
+
+
+def _probe_plan(
+    max_hamming: int,
+) -> dict[int, tuple[float, list[int]]]:
+    """Cost table for multi-index Hamming probing (HmSearch / Norouzi
+    et al.'s multi-index hashing, over the same pigeonhole): split the
+    64-bit fingerprint into m chunks; a pair within Hamming h must
+    agree within radius r = floor(h/m) on SOME chunk, so enumerating
+    every value within r bit flips of each a-side chunk (the probe
+    set) against EXACT b-side chunk values preserves full recall while
+    the per-chunk collision exponent grows from 64/(h+1) to 64/m bits.
+    The banded join is exactly the m = h+1 row of this table (r = 0,
+    one probe). Returns {m: (probes_per_chunk, masks...)} for each
+    feasible m."""
+    import math
+
+    table: dict[int, tuple[float, list[int]]] = {}
+    for m in range(1, max_hamming + 2):
+        r = max_hamming // m
+        min_width = min(w for _o, w in _chunk_bounds(m))
+        pc = sum(math.comb(min_width, k) for k in range(r + 1))
+        if pc > _PROBE_MASKS_MAX:
+            continue  # expression/fan-out bound
+        table[m] = (r, pc)
+    return table
+
+
+def _probe_masks(width: int, radius: int) -> list[int]:
+    """All XOR masks of ``width`` bits with ≤ ``radius`` bits set,
+    ascending popcount — the probe enumeration for one chunk."""
+    from itertools import combinations
+
+    masks = [0]
+    for k in range(1, radius + 1):
+        for bits in combinations(range(width), k):
+            mk = 0
+            for b in bits:
+                mk |= 1 << b
+            masks.append(mk)
+    return masks
+
+
+def _pick_probe_m(max_hamming: int, n_rows: int) -> int:
+    """Choose the chunk count minimizing estimated shuffled rows:
+    a-side probe rows n·m·PC plus expected random-collision candidates
+    n²·m·PC/2^w (both sides of the candidate join are shuffles; the
+    verify bit_count rides the join). Deterministic given (h, n)."""
+    best_m, best_cost = max_hamming + 1, float("inf")
+    for m, (r, pc) in _probe_plan(max_hamming).items():
+        w = min(wd for _o, wd in _chunk_bounds(m))
+        cost = n_rows * m * pc + (
+            float(n_rows) * n_rows * m * pc / (2.0 ** w)
+        )
+        if cost < best_cost:
+            best_m, best_cost = m, cost
+    return best_m
+
+
+def simhash_candidates(
+    sim_df: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    mode: str = "bands",
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """Candidate (id_a, id_b, hamming) pairs BEFORE the ≤ max_hamming
+    filter — exposed so tests (and capacity planning) can count the
+    candidate space each mode generates; :func:`simhash_near_pairs`
+    is this plus the distinct + Hamming filter.
+
+    ``mode='bands'``: max_hamming+1 chunks, exact agreement on ≥1
+    (pigeonhole, full recall). ``mode='probes'`` (r8 verdict #4):
+    FEWER, WIDER chunks with bit-flip probe enumeration — a pair
+    within h must agree within r = floor(h/m) flips on some chunk, so
+    a-side probes (all values ≤ r flips away) joined against exact
+    b-side values keep full recall while the collision exponent grows
+    from 2^-(64/(h+1)) to 2^-(64/m); the engineered answer to the
+    fixed-64-bit band birthday term n²(h+1)/2^(64/(h+1)) at 10⁹ docs.
+    ``n_chunks`` pins m; default picks the cost-minimizing m for the
+    observed row count (one count(), the estimate-gate pattern)."""
+    if mode not in ("bands", "probes"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "bands":
+        m = max_hamming + 1
+        radius = 0
+    else:
+        m = n_chunks or _pick_probe_m(max_hamming, sim_df.count())
+        if not 1 <= m <= max_hamming + 1:
+            raise ValueError(
+                f"n_chunks must be in [1, {max_hamming + 1}], got {m}"
+            )
+        radius = max_hamming // m
+    bounds = _chunk_bounds(m)
+
+    def _chunk_val(off: int, width: int) -> Column:
+        if width >= 64:  # whole fingerprint — mask literal overflows
+            return F.col("simhash")
+        return F.shiftright("simhash", off).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
+    # b-side: exact chunk values (one row per chunk).
+    exact = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                _chunk_val(off, width).alias("chunk_val"),
+            )
+            for c, (off, width) in enumerate(bounds)
+        ]
+    )
+    b = (
+        sim_df.select(
+            F.col(id_col), F.col("simhash"), F.explode(exact).alias("ck")
+        )
+        .select(id_col, "simhash", "ck.chunk", "ck.chunk_val")
+        .alias("b")
+    )
+    if radius == 0:
+        a = b.alias("a")  # bands: probes ≡ exact values
+    else:
+        # a-side: per chunk, every value within `radius` bit flips —
+        # one flat literal mask array per chunk (bounded by
+        # _PROBE_MASKS_MAX), XORed in via transform, ONE explode for
+        # the whole (chunk, probe) fan-out.
+        # NOTE the probe lambda must be UNARY: a default-arg closure
+        # (lambda mk, _cv=cv: ...) reads to F.transform as the binary
+        # (element, index) form and silently binds the captured column
+        # to the INDEX — a one-element-found recall bug, caught by the
+        # exactness test.
+        def _probe_fn(c: int, cv: Column):
+            return lambda mk: F.struct(
+                F.lit(c).alias("chunk"),
+                cv.bitwiseXOR(mk).alias("chunk_val"),
+            )
+
+        probe_structs = []
+        for c, (off, width) in enumerate(bounds):
+            masks = _probe_masks(width, radius)
+            cv = _chunk_val(off, width)
+            probe_structs.append(
+                F.transform(
+                    F.array(*[F.lit(mk) for mk in masks]),
+                    _probe_fn(c, cv),
+                )
+            )
+        a = (
+            sim_df.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.explode(F.concat(*probe_structs)).alias("ck"),
+            )
+            .select(id_col, "simhash", "ck.chunk", "ck.chunk_val")
+            .alias("a")
+        )
+    return a.join(
+        b,
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        ).alias("hamming"),
+    )
+
+
 def simhash_near_pairs(
     sim_df: DataFrame,
     id_col: str,
     max_hamming: int = 3,
     reliable: bool = False,
+    mode: str = "bands",
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by Hamming distance ≤ ``max_hamming``.
 
@@ -920,63 +1114,38 @@ def simhash_near_pairs(
     ``max_hamming=0`` is exact-fingerprint matching: a single 64-bit
     chunk, joined on the fingerprint directly (no shift/mask — the
     full-width mask literal would overflow a signed long).
-    """
+
+    ``mode`` (r8 verdict #4): ``'bands'`` is the scheme above;
+    ``'probes'`` trades it for fewer, WIDER chunks with bit-flip probe
+    enumeration (HmSearch-style — see :func:`simhash_candidates`),
+    preserving exact recall while shrinking the per-chunk collision
+    probability from 2^-(64/(h+1)) to 2^-(64/m): the mitigation for
+    the band birthday term that makes banded joins quadratic on 10⁹
+    collision-free fingerprints. ``'auto'`` routes to probes when the
+    banded estimate n²(h+1)/2^(64/(h+1)) exceeds the candidate budget
+    (one count() — the estimate-gate pattern; answers are identical
+    either way, plan-shape only)."""
     if not 0 <= max_hamming <= 15:
         raise ValueError(
             f"max_hamming must be in [0, 15], got {max_hamming}"
         )
+    if mode not in ("bands", "probes", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
     # Both sides of the chunk self-join read sim_df; materialize so the
     # upstream fingerprint pipeline (token explode + 64 bit votes)
     # executes once, not once per branch.
     sim_df = cut_lineage(sim_df, reliable)
-    n_chunks = max_hamming + 1
-    # Spread 64 bits as evenly as possible: first (64 % n) chunks get
-    # one extra bit.
-    base, extra = divmod(64, n_chunks)
-    bounds = []
-    off = 0
-    for c in range(n_chunks):
-        width = base + (1 if c < extra else 0)
-        bounds.append((off, width))
-        off += width
-    def _chunk_val(off: int, width: int) -> Column:
-        if width >= 64:  # whole fingerprint — mask literal would overflow
-            return F.col("simhash")
-        return F.shiftright("simhash", off).bitwiseAND(
-            F.lit((1 << width) - 1)
+    if mode == "auto":
+        n = sim_df.count()
+        est = (
+            float(n) * n * (max_hamming + 1)
+            / (2.0 ** (64 // (max_hamming + 1)))
         )
-
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                _chunk_val(off, width).alias("chunk_val"),
-            )
-            for c, (off, width) in enumerate(bounds)
-        ]
+        mode = "probes" if est > _BANDS_CANDIDATE_BUDGET else "bands"
+    cands = simhash_candidates(
+        sim_df, id_col, max_hamming, mode=mode, n_chunks=n_chunks
     )
-    keyed = sim_df.select(
-        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("ck")
-    ).select(id_col, "simhash", "ck.chunk", "ck.chunk_val")
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return cands.distinct().filter(F.col("hamming") <= max_hamming)
 
 
 def connected_components(

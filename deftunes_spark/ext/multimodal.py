@@ -362,13 +362,20 @@ def phash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 4,
     reliable: bool = False,
+    mode: str = "bands",
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs: Hamming ≤ ``max_hamming`` over the
     64-bit perceptual hash, via the SAME chunked candidate machinery
     as SimHash text dedup (``dedup.simhash_near_pairs``: max_hamming+1
     chunks, pigeonhole guarantees full recall, equi-join per chunk —
     candidate space tracks duplicate density, never n²). Returns
-    (id_a, id_b, hamming)."""
+    (id_a, id_b, hamming).
+
+    ``mode='probes'`` / ``'auto'`` (r8 verdict #4) passes through to
+    the HmSearch-style wide-chunk probe enumeration — the engineered
+    mitigation for the fixed-64-bit band birthday term at 10⁹
+    payloads; identical output, plan shape only."""
     from deftunes_spark.ext.dedup import simhash_near_pairs
 
     return simhash_near_pairs(
@@ -376,6 +383,8 @@ def phash_near_pairs(
         id_col,
         max_hamming=max_hamming,
         reliable=reliable,
+        mode=mode,
+        n_chunks=n_chunks,
     )
 
 

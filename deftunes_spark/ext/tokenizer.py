@@ -321,6 +321,166 @@ def bpe_train(
     return merges
 
 
+def _apply_merges(
+    word: str, rules: list[tuple[str, str, str]]
+) -> list[str]:
+    """Segment ONE word with the trained rules, applied sequentially
+    in merge order with the same left-to-right non-overlapping fold
+    the trainer uses — the shared kernel of ``bpe_segment_udf`` and
+    ``bpe_encode`` (one definition, so the corpus-scale encode can
+    never desync from the reference segmenter it is parity-tested
+    against)."""
+    if not word:
+        return []
+    syms = list(word[:-1]) + [word[-1] + EOW]
+    for a, b, ab in rules:
+        out: list[str] = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = ab
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+
+def corpus_alphabet(df: DataFrame, text_col: str = "text") -> list[str]:
+    """Distinct characters of the lowercased corpus — ONE scan with a
+    map-side-combined distinct whose output is bounded by the charset,
+    not the corpus (the vocab/centroid bounded-pull pattern). Feeds
+    the deterministic id table of :func:`bpe_encode`; pass it
+    explicitly to encode new batches against a FIXED vocabulary."""
+    rows = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "")
+            ).alias("ch")
+        )
+        .filter(F.col("ch") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["ch"] for r in rows)
+
+
+def bpe_vocab_ids(
+    merges: list[tuple[str, str, int]], alphabet: list[str]
+) -> dict[str, int]:
+    """Deterministic symbol → id table for a trained BPE: sorted base
+    symbols first (each alphabet character plain and EOW-fused), then
+    one symbol per merge IN MERGE ORDER — the GPT-2-family convention
+    where an id beyond the base alphabet encodes merge rank. A pure
+    function of (merges, alphabet): every executor, every batch, and
+    every later ingest derives the same ids with no coordination."""
+    ids: dict[str, int] = {}
+    for c in sorted(set(alphabet)):
+        for s in (c, c + EOW):
+            if s not in ids:
+                ids[s] = len(ids)
+    for a, b, _n in merges:
+        s = a + b
+        if s not in ids:
+            ids[s] = len(ids)
+    return ids
+
+
+# Tokenization for encode: the repo-wide explicit whitespace class
+# (never \s, never Python str.split()'s unicode set) — the same
+# definition word_vocab trains on, mirrored by the DuckDB oracles.
+_WS_RE = None  # compiled lazily inside workers
+
+
+def _ws_tokens(text: str | None) -> list[str]:
+    global _WS_RE
+    if _WS_RE is None:
+        import re
+
+        _WS_RE = re.compile("[ \t\n\x0B\f\r]+")
+    return [
+        w for w in _WS_RE.split((text or "").lower().strip()) if w != ""
+    ]
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alphabet: list[str] | None = None,
+    emit: str = "ids",
+) -> DataFrame:
+    """Distributed BPE APPLY — the hottest operator of a real
+    pretraining ingest (every token of a 100 TB corpus flows through
+    it): encode each document with a TRAINED merge table, one
+    Arrow-batched ``mapInPandas`` stage, zero shuffle.
+
+    The merge table and the id table are vocab-sized driver objects
+    shipped in the task closure (the broadcast-small-model pattern
+    ``image_phash`` proved); per-row work is pure local compute
+    (explicit-whitespace-class word split → sequential merge fold →
+    id lookup), so the stage rides the text scan and scales linearly
+    in tokens with NO exchange. Ids come from :func:`bpe_vocab_ids`
+    (pass ``alphabet`` to pin the vocabulary across batches — omitting
+    it derives the alphabet from THIS corpus with one bounded-output
+    scan); symbols outside the vocabulary encode as −1 and are counted
+    in ``n_unk`` rather than silently dropped.
+
+    ``emit='ids'`` → (id, token_ids array<int>, n_tokens, n_unk);
+    ``emit='units'`` → (id, units array<string>, n_tokens, n_unk) —
+    the subword strings themselves, whose concatenation reconstructs
+    the normalized text exactly (EOW markers → word boundaries): the
+    lossless-segmentation invariant the ``bpe_encode_roundtrip``
+    oracle twin value-checks in SQL."""
+    if emit not in ("ids", "units"):
+        raise ValueError(f"unknown emit {emit!r}")
+    import pandas as pd
+
+    if alphabet is None:
+        alphabet = corpus_alphabet(df, text_col)
+    ids = bpe_vocab_ids(merges, alphabet)
+    rules = [(a, b, a + b) for a, b, _n in merges]
+    id_type = dict(df.dtypes)[id_col]
+    out_field = (
+        "token_ids array<int>" if emit == "ids"
+        else "units array<string>"
+    )
+    schema = (
+        f"{id_col} {id_type}, {out_field}, "
+        "n_tokens bigint, n_unk bigint"
+    )
+    want_ids = emit == "ids"
+
+    def _encode(batches):
+        for pdf in batches:
+            out_ids_col = []
+            n_tok = []
+            n_unk = []
+            for t in pdf[text_col]:
+                units: list[str] = []
+                for w in _ws_tokens(t):
+                    units.extend(_apply_merges(w, rules))
+                if want_ids:
+                    enc = [ids.get(u, -1) for u in units]
+                    out_ids_col.append(enc)
+                    n_unk.append(sum(1 for x in enc if x < 0))
+                else:
+                    out_ids_col.append(units)
+                    n_unk.append(
+                        sum(1 for u in units if u not in ids)
+                    )
+                n_tok.append(len(units))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    ("token_ids" if want_ids else "units"): out_ids_col,
+                    "n_tokens": n_tok,
+                    "n_unk": n_unk,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_encode, schema)
+
+
 def bpe_segment_udf(merges: list[tuple[str, str, int]]):
     """Arrow-batched subword segmentation with the trained merges,
     applied SEQUENTIALLY in merge order with the same left-to-right
@@ -333,26 +493,12 @@ def bpe_segment_udf(merges: list[tuple[str, str, int]]):
 
     rules = [(a, b, a + b) for a, b, _n in merges]
 
-    def seg_word(word: str) -> list[str]:
-        if not word:
-            return []
-        syms = list(word[:-1]) + [word[-1] + EOW]
-        for a, b, ab in rules:
-            out: list[str] = []
-            for x in syms:
-                if out and out[-1] == a and x == b:
-                    out[-1] = ab
-                else:
-                    out.append(x)
-            syms = out
-        return syms
-
     def _segment(texts):
         out = []
         for t in texts:
             units = []
-            for w in (t or "").lower().split():
-                units.extend(seg_word(w))
+            for w in _ws_tokens(t):
+                units.extend(_apply_merges(w, rules))
             out.append(units)
         return pd.Series(out)
 

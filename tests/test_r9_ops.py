@@ -144,3 +144,209 @@ def test_preference_prompt_dedup_collapses_pair_rows(spark):
         ).collect()
     }
     assert pairs == {(100, 200)}
+
+
+def _random_fingerprints(n, n_planted, h, seed=7):
+    import random
+
+    random.seed(seed)
+
+    def to_signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    raw = [random.getrandbits(64) for _ in range(n)]
+    rows = [(i, to_signed(v)) for i, v in enumerate(raw)]
+    for j in range(n_planted):
+        flipped = raw[j]  # flip in the unsigned domain
+        for b in random.sample(range(64), random.randint(0, h)):
+            flipped ^= 1 << b
+        rows.append((1_000_000 + j, to_signed(flipped)))
+    return rows
+
+
+def test_hamming_probes_mode_exactness(spark):
+    """r8 verdict #4: probes mode (fewer, wider chunks + bit-flip
+    probe enumeration) must return EXACTLY the banded join's pairs —
+    the pigeonhole recall guarantee survives the re-chunking — across
+    every feasible chunk count, including the m = h+1 degenerate case
+    (≡ bands)."""
+    from deftunes_spark.ext.dedup import (
+        _probe_plan,
+        simhash_near_pairs,
+    )
+
+    h = 6
+    df = spark.createDataFrame(
+        _random_fingerprints(400, 12, h), "doc_id long, simhash long"
+    )
+    ref = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(df, "doc_id", h, mode="bands").collect()
+    }
+    assert len(ref) >= 12  # planted pairs all found
+    for m in _probe_plan(h):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_near_pairs(
+                df, "doc_id", h, mode="probes", n_chunks=m
+            ).collect()
+        }
+        assert got == ref, f"m={m}"
+
+
+def test_hamming_probes_shrink_adversarial_candidates(spark):
+    """The engineered claim: on collision-free random fingerprints
+    (the band birthday term's regime) probes mode generates MATERIALLY
+    fewer candidates than the banded join at the same full recall."""
+    from deftunes_spark.ext.dedup import simhash_candidates
+
+    h = 8
+    df = spark.createDataFrame(
+        _random_fingerprints(2000, 20, h), "doc_id long, simhash long"
+    )
+    cb = simhash_candidates(df, "doc_id", h, mode="bands").count()
+    cp = simhash_candidates(df, "doc_id", h, mode="probes").count()
+    assert cp * 3 < cb, (cb, cp)
+
+
+def test_hamming_auto_routes_by_birthday_estimate(spark):
+    """mode='auto' must stay banded under the candidate budget and
+    switch to probes above it (monkeypatched budget — the estimate is
+    n²(h+1)/2^(64/(h+1)), one scalar), with identical answers."""
+    from deftunes_spark.ext import dedup as D
+
+    df = spark.createDataFrame(
+        _random_fingerprints(300, 8, 6), "doc_id long, simhash long"
+    )
+    ref = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_pairs(df, "doc_id", 6, mode="bands").collect()
+    }
+    orig = D._BANDS_CANDIDATE_BUDGET
+    try:
+        D._BANDS_CANDIDATE_BUDGET = 1.0  # force the probes route
+        got = {
+            (r.id_a, r.id_b)
+            for r in D.simhash_near_pairs(
+                df, "doc_id", 6, mode="auto"
+            ).collect()
+        }
+    finally:
+        D._BANDS_CANDIDATE_BUDGET = orig
+    assert got == ref
+
+
+def test_phash_near_pairs_probes_passthrough(spark):
+    """phash near-dup accepts mode='probes' and returns the banded
+    answer (the multimodal twin of the simhash guarantee)."""
+    from deftunes_spark.ext.multimodal import phash_near_pairs
+
+    rows = [
+        (i, v)
+        for i, v in _random_fingerprints(200, 6, 4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    ref = {
+        (r.id_a, r.id_b)
+        for r in phash_near_pairs(df, max_hamming=4).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in phash_near_pairs(
+            df, max_hamming=4, mode="probes", n_chunks=2
+        ).collect()
+    }
+    assert got == ref and len(ref) >= 6
+
+
+def test_bpe_encode_parity_with_reference_encoder(spark):
+    """r8 verdict #3: the distributed encode must segment and id
+    exactly as the driver-local reference (trainer-fold semantics) on
+    planted words — same merges, same left-to-right non-overlapping
+    application, same id table."""
+    from deftunes_spark.ext.tokenizer import (
+        EOW,
+        _apply_merges,
+        bpe_encode,
+        bpe_train,
+        bpe_vocab_ids,
+        corpus_alphabet,
+    )
+
+    texts = [
+        "low lower lowest",
+        "low low low newer newest",
+        "wider wide wider low",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges = bpe_train(df, num_merges=6, min_freq=2)
+    assert merges  # planted repeats guarantee at least one merge
+    alphabet = corpus_alphabet(df)
+    ids = bpe_vocab_ids(merges, alphabet)
+    rules = [(a, b, a + b) for a, b, _ in merges]
+    out = {
+        r["doc_id"]: r
+        for r in bpe_encode(
+            df, merges, alphabet=alphabet
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        units = []
+        for w in t.lower().split():
+            units.extend(_apply_merges(w, rules))
+        expect = [ids[u] for u in units]
+        assert out[i]["token_ids"] == expect, t
+        assert out[i]["n_tokens"] == len(units)
+        assert out[i]["n_unk"] == 0
+    # ids are deterministic: base alphabet sorted, merges in rank order
+    n_base = 2 * len(set(alphabet))
+    for rank, (a, b, _n) in enumerate(merges):
+        assert ids[a + b] >= n_base or (a + b) in (
+            c + EOW for c in alphabet
+        )
+
+
+def test_bpe_encode_unknown_symbols_flagged(spark):
+    """Symbols outside the pinned vocabulary encode as -1 and are
+    counted, never silently dropped — the fixed-vocabulary ingest
+    contract for encoding NEW batches."""
+    from deftunes_spark.ext.tokenizer import bpe_encode, bpe_train
+
+    train = spark.createDataFrame(
+        [(0, "abc abc abd")], "doc_id long, text string"
+    )
+    merges = bpe_train(train, num_merges=2, min_freq=1)
+    new = spark.createDataFrame(
+        [(1, "abc xyz")], "doc_id long, text string"
+    )
+    row = bpe_encode(
+        new, merges, alphabet=["a", "b", "c", "d"]
+    ).collect()[0]
+    assert row["n_unk"] >= 1
+    assert -1 in row["token_ids"]
+    assert row["n_tokens"] == len(row["token_ids"])
+
+
+def test_bpe_encode_roundtrip_reconstruction(spark):
+    """Lossless segmentation: concatenated units with EOW → space
+    equals the normalized text, including tab/newline whitespace and
+    empty docs."""
+    from deftunes_spark.ext.tokenizer import EOW, bpe_encode, bpe_train
+
+    texts = ["Hello  World", "a\tb\nc", "", None, "single"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges = bpe_train(
+        df.filter("text is not null"), num_merges=3, min_freq=1
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bpe_encode(df, merges, emit="units").collect()
+    }
+    for i, t in enumerate(texts):
+        joined = "".join(out[i]["units"]).replace(EOW, " ").strip()
+        norm = " ".join((t or "").lower().split())
+        assert joined == norm, (t, out[i]["units"])

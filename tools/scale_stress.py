@@ -58,11 +58,19 @@ QUERIES = [
     # the 10× ratio checks the birthday-collision term n²·k/2^width of
     # fixed-width bands on avalanche-random hashes) and incremental
     # ANN assignment (store is n_lists rows at any scale; assignment
-    # rides the arrow path past the coeff cutoff). The SFT queries are
-    # NOT here: they read the events table, which the replica protocol
-    # symlinks unscaled.
+    # rides the arrow path past the coeff cutoff).
     "multimodal_phash_dedup",
     "ann_incremental",
+    # r9 additions (r8 verdict #5/#3): the SFT family — the replica
+    # protocol now scales EVENTS too (disjoint user/event ids per
+    # replica: 10× dialogs, unchanged per-dialog length), so the
+    # pure-expression claim gets measured instead of excluded; plus
+    # the distributed BPE apply (merge table broadcast, zero shuffle —
+    # the ratio checks linear-in-tokens).
+    "sft_turn_flatten",
+    "sft_role_audit",
+    "sft_loss_mask_spans",
+    "bpe_encode",
 ]
 
 # r6 verdict #3: a second decade. The 100× tier runs the flagship
@@ -145,9 +153,31 @@ def build_scale_dir(
     scaled_e.repartition(32).write.mode("overwrite").parquet(
         f"{scale_dir}/embeddings.parquet"
     )
+    # Events scale too (r8 verdict #5): per-replica disjoint user and
+    # event ids — dialog COUNT scales with the replicas while every
+    # dialog keeps its 1x turn structure, the same
+    # duplicate-density-preserving discipline as the text suffixing.
+    # (Before r9 events was symlinked unscaled and the SFT family was
+    # excluded from the stress table.)
+    ev_dst = f"{scale_dir}/events.parquet"
+    if os.path.islink(ev_dst):
+        os.unlink(ev_dst)  # pre-r9 replica layout
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    scaled_ev = ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") + F.col("rep") * 10_000_000).alias(
+            "event_id"
+        ),
+        "ts",
+        (F.col("user_id") + F.col("rep") * 10_000_000).alias(
+            "user_id"
+        ),
+        *[c for c in ev.columns if c not in ("event_id", "ts", "user_id")],
+    )
+    scaled_ev.repartition(32).write.mode("overwrite").parquet(ev_dst)
+
     # The harness loaders resolve sibling tables from the same dir.
     for t in (
-        "region nation customer supplier part orders lineitem events"
+        "region nation customer supplier part orders lineitem"
     ).split():
         dst = f"{scale_dir}/{t}.parquet"
         if not os.path.exists(dst):
@@ -230,6 +260,41 @@ def bucket_maxima(spark, sf_dir: str) -> dict:
     }
 
 
+def sft_long_dialog_probe(spark) -> dict:
+    """Adversarial fixture for the SFT span fold (r8 verdict #5): the
+    in-array ``aggregate`` prefix sum copies the offsets array once
+    per turn — O(turns²) array cells per dialog. Fine at conversation
+    lengths (the replica corpus averages ~a dozen turns), but the
+    stress table must SHOW the quadratic term, so this times single
+    synthetic dialogs two decades apart in turn count. A 4× turn
+    growth at ~16× cell copies stays sub-second; past ~10⁴ turns a
+    caller should chunk the dialog (or accept the posexplode +
+    window-cumsum shuffle instead)."""
+    from pyspark.sql import functions as F
+
+    from deftunes_spark.ext.sft import sft_loss_mask_spans
+
+    out = {}
+    for turns in (1_000, 4_000, 16_000):
+        df = spark.range(1).select(
+            F.col("id").alias("dialog_id"),
+            F.expr(
+                f"transform(sequence(1, {turns}), i -> named_struct("
+                "'role', CASE WHEN i % 2 = 1 THEN 'user' "
+                "ELSE 'assistant' END, "
+                "'content', concat('turn ', i, ' body words here')))"
+            ).alias("messages"),
+        )
+        sft_loss_mask_spans(df).collect()  # warm codegen
+        t0 = time.perf_counter()
+        rows = len(sft_loss_mask_spans(df).collect())
+        out[f"turns_{turns}"] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "rows": rows,
+        }
+    return out
+
+
 def main() -> None:
     from deftunes_spark.registry import QUERIES as REG
     from deftunes_spark.session import get_spark
@@ -249,12 +314,19 @@ def main() -> None:
     def _resolve(name):
         return _ann_knn_auto if name == "ann_knn_auto" else REG[name]
 
+    only = None
+    for i, a in enumerate(sys.argv):
+        if a == "--only" and i + 1 < len(sys.argv):
+            only = set(sys.argv[i + 1].split(","))
+
     out: dict = {"load_avg": [round(x, 2) for x in os.getloadavg()]}
     for label, sf_dir in (("1x", BASE), ("10x", SCALE_DIR)):
         out[label] = {"buckets": bucket_maxima(spark, sf_dir)}
         names = QUERIES + (
             ["ann_knn_auto"] if "--100x" in sys.argv else []
         )
+        if only is not None:
+            names = [n for n in names if n in only]
         for name in names:
             fn = _resolve(name)
             fn(spark, sf_dir).collect()  # warm
@@ -329,9 +401,15 @@ def main() -> None:
                 f"{rows:>8} rows"
             )
 
+    out["sft_long_dialog"] = sft_long_dialog_probe(spark)
+    for k, v in out["sft_long_dialog"].items():
+        print(f"long-dialog {k}: {v['sec']}s {v['rows']} rows")
+
     print("\n| query | 1x sec | 10x sec | ratio | 1x rows | 10x rows |")
     print("|---|---|---|---|---|---|")
     for name in QUERIES:
+        if name not in out["1x"]:
+            continue  # filtered by --only
         a, b = out["1x"][name], out["10x"][name]
         print(
             f"| {name} | {a['sec']} | {b['sec']} | "
