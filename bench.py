@@ -195,6 +195,18 @@ def _sentinel_times(spark) -> list[float]:
     return times
 
 
+# Heap-used fraction above which _release_run_state forces a full JVM
+# GC between runs. The r9 flagship bisect found the UNCONDITIONAL
+# System.gc() added in r5 was itself the "creep": a forced full GC
+# discards JIT/codegen warmth, and the next run of a ~1 s query pays
+# +0.3-0.4 s re-warming (A/B in one session: sales_per_artist min
+# 0.81-0.91 s without vs 1.16-1.23 s with). Light queries leave
+# little garbage and skip the GC (keeping the floor honest); the
+# md5/HOF-heavy queries that motivated the r5 fix leave GBs and still
+# cross the threshold, keeping their spike protection.
+JVM_GC_HEAP_FRACTION = 0.5
+
+
 def _release_run_state(spark) -> None:
     """Unpersist every persistent RDD left by the PREVIOUS execution.
 
@@ -217,8 +229,12 @@ def _release_run_state(spark) -> None:
     # md5-minhash allocates GBs of short-lived strings) is collected
     # on our schedule, not as a full-GC pause mid-timed-run — the
     # source of intermittent 5-20x single-run spikes (semantic_dedup
-    # r4: 56 s outlier vs 2.6 s steady state).
-    spark._jvm.System.gc()
+    # r4: 56 s outlier vs 2.6 s steady state). CONDITIONAL since r9:
+    # only under real heap pressure — see JVM_GC_HEAP_FRACTION.
+    rt = spark._jvm.Runtime.getRuntime()
+    used = rt.totalMemory() - rt.freeMemory()
+    if used > JVM_GC_HEAP_FRACTION * rt.maxMemory():
+        spark._jvm.System.gc()
 
 
 def _run_one(name: str, sf_dir: str) -> None:
