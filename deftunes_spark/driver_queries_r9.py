@@ -352,3 +352,62 @@ def q_bpe_encode_roundtrip(
             F.filter(F.col("units"), lambda u: u.endswith(EOW))
         ).cast("bigint").alias("n_words"),
     )
+
+
+# =====================================================================
+# Fill-in-the-middle transform (the last named r8 growth item)
+# =====================================================================
+
+_FIM_ORACLE = """
+WITH h AS (
+    SELECT doc_id, text, length(text) AS n,
+           ('0x' || substr(md5('fim|gate|' || CAST(doc_id AS VARCHAR)),
+               1, 6))::BIGINT % 1000 AS g,
+           ('0x' || substr(md5('fim|fmt|' || CAST(doc_id AS VARCHAR)),
+               1, 6))::BIGINT % 1000 AS fm,
+           ('0x' || substr(md5('fim|cut1|' || CAST(doc_id AS VARCHAR)),
+               1, 6))::BIGINT AS h1,
+           ('0x' || substr(md5('fim|cut2|' || CAST(doc_id AS VARCHAR)),
+               1, 6))::BIGINT AS h2
+    FROM documents
+), cuts AS (
+    SELECT *,
+           least(h1 % (n + 1), h2 % (n + 1)) AS lo,
+           greatest(h1 % (n + 1), h2 % (n + 1)) AS hi,
+           (text IS NOT NULL AND g < 600) AS applied
+    FROM h
+)
+SELECT doc_id,
+       applied AS fim_applied,
+       CASE WHEN NOT coalesce(applied, FALSE) THEN 'none'
+            WHEN fm < 500 THEN 'spm' ELSE 'psm' END AS fim_format,
+       CASE WHEN NOT coalesce(applied, FALSE) THEN text
+            WHEN fm < 500 THEN
+                '<|fim_prefix|>' || '<|fim_suffix|>'
+                || substr(text, CAST(hi + 1 AS INT), CAST(n - hi AS INT))
+                || '<|fim_middle|>'
+                || substr(text, 1, CAST(lo AS INT))
+                || substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))
+            ELSE
+                '<|fim_prefix|>' || substr(text, 1, CAST(lo AS INT))
+                || '<|fim_suffix|>'
+                || substr(text, CAST(hi + 1 AS INT), CAST(n - hi AS INT))
+                || '<|fim_middle|>'
+                || substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))
+       END AS fim_text
+FROM cuts
+"""
+
+
+@query("fim_transform", _FIM_ORACLE)
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle augmentation (ext.training.fim_transform,
+    Bavarian et al. 2022): a deterministic md5-derived 60% of docs are
+    rewritten as PSM/SPM infilling examples (50/50), character-level
+    cuts uniform over [0, len] — pure codegen projection, zero
+    shuffle, every byte (gate, format, cuts, sentinel layout)
+    value-hash-mirrored in DuckDB."""
+    from deftunes_spark.ext.training import fim_transform
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return fim_transform(docs)

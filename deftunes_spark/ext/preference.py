@@ -99,7 +99,12 @@ def preference_pair_audit(
     canon = df.groupBy(prompt_id_col).agg(
         F.min(prompt_col).alias("_canon_prompt")
     )
-    out = df.join(canon, prompt_id_col)
+    # LEFT join: an equi-join would silently DROP pairs whose
+    # prompt_id is NULL (null keys never match) — exactly the
+    # malformed rows an audit exists to surface. A NULL-group pair
+    # keeps its row; its canonical is NULL, so a non-NULL prompt
+    # there flags prompt_mismatch.
+    out = df.join(canon, [prompt_id_col], "left")
     if reward_chosen_col is not None and reward_rejected_col is not None:
         margin = (
             F.col(reward_chosen_col).cast("double")

@@ -40,6 +40,97 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+FIM_PRE = "<|fim_prefix|>"
+FIM_SUF = "<|fim_suffix|>"
+FIM_MID = "<|fim_middle|>"
+
+
+def fim_transform(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fim_rate: float = 0.6,
+    spm_rate: float = 0.5,
+    seed: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022): rewrite a
+    ``fim_rate`` fraction of documents as infilling examples — split
+    the text at two cut points into (prefix, middle, suffix) and emit
+    either PSM (``<|fim_prefix|>P<|fim_suffix|>S<|fim_middle|>M``) or
+    SPM (``<|fim_prefix|><|fim_suffix|>S<|fim_middle|>PM`` — the
+    joined variant) with probability ``spm_rate``; the rest pass
+    through untouched. The standard data-side augmentation that
+    teaches a causal LM to infill without changing the architecture.
+
+    Everything is DETERMINISTIC content-derived arithmetic, not RNG:
+    the gate, the format choice, and both cut points come from md5
+    hex prefixes of (seed || role || id) — the ``ext.sampling``
+    retry-deterministic discipline, replayable in any engine (the
+    DuckDB oracle recomputes every byte). Character-level cuts
+    (uniform over [0, len] via the md5 residue), the paper's
+    context-level ablation; token-level FIM composes by running this
+    AFTER ``bpe_encode`` on the unit strings. Pure codegen projection:
+    one md5+substring pass, zero shuffle, zero UDF.
+
+    Output: (id, fim_applied, fim_format ∈ {psm, spm, none},
+    fim_text). NULL text passes through (format 'none', text NULL)."""
+    if not 0.0 <= fim_rate <= 1.0:
+        raise ValueError("fim_rate must be in [0, 1]")
+    if not 0.0 <= spm_rate <= 1.0:
+        raise ValueError("spm_rate must be in [0, 1]")
+
+    def _h(role: str) -> F.Column:
+        # md5 hex prefix → int in [0, 16^6): the md5-bucket idiom.
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}|{role}|"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    n = F.length(F.col(text_col))
+    gate = (_h("gate") % 1000) < int(round(fim_rate * 1000))
+    spm = (_h("fmt") % 1000) < int(round(spm_rate * 1000))
+    c1r = _h("cut1") % (n + 1)
+    c2r = _h("cut2") % (n + 1)
+    lo = F.least(c1r, c2r).cast("int")
+    hi = F.greatest(c1r, c2r).cast("int")
+    # substring is 1-based: prefix = [1, lo], middle = (lo, hi],
+    # suffix = (hi, len] — a exact 3-way partition of the text.
+    prefix = F.col(text_col).substr(F.lit(1), lo)
+    middle = F.col(text_col).substr(lo + 1, hi - lo)
+    suffix = F.col(text_col).substr(hi + 1, n - hi)
+    psm_text = F.concat(
+        F.lit(FIM_PRE), prefix, F.lit(FIM_SUF), suffix,
+        F.lit(FIM_MID), middle,
+    )
+    spm_text = F.concat(
+        F.lit(FIM_PRE), F.lit(FIM_SUF), suffix,
+        F.lit(FIM_MID), prefix, middle,
+    )
+    applied = F.col(text_col).isNotNull() & gate
+    return docs.select(
+        F.col(id_col),
+        applied.alias("fim_applied"),
+        F.when(~applied, F.lit("none"))
+        .when(spm, F.lit("spm"))
+        .otherwise(F.lit("psm"))
+        .alias("fim_format"),
+        F.when(~applied, F.col(text_col))
+        .when(spm, spm_text)
+        .otherwise(psm_text)
+        .alias("fim_text"),
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     id_col: str,

@@ -107,6 +107,21 @@ def test_preference_pair_audit_flags(spark):
     assert out[6]["chosen_empty"] and out[6]["n_tokens_chosen"] == 0
 
 
+def test_preference_pair_audit_null_group_id_not_dropped(spark):
+    """A NULL prompt_id must not silently vanish through the group
+    join — the malformed rows are exactly what the audit surfaces."""
+    from deftunes_spark.ext.preference import preference_pair_audit
+
+    df = spark.createDataFrame(
+        [(1, None, "p", "a", "b"), (2, 5, "p", "a", "b")],
+        "pair_id long, prompt_id long, prompt string, chosen string, "
+        "rejected string",
+    )
+    rows = {r["pair_id"]: r for r in preference_pair_audit(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["prompt_mismatch"]  # canonical NULL vs 'p'
+
+
 def test_preference_pair_audit_without_rewards(spark):
     """Rewards are optional metadata: without them margin is NULL and
     the margin flag never fires."""
@@ -257,6 +272,60 @@ def test_phash_near_pairs_probes_passthrough(spark):
         ).collect()
     }
     assert got == ref and len(ref) >= 6
+
+
+def test_fim_transform_partitions_and_rates(spark):
+    """FIM: applied docs carry all three sentinels and the three
+    spans reassemble the original text exactly; unapplied docs pass
+    through untouched; fim_rate=0/1 gate everything off/on; the
+    transform is deterministic."""
+    from deftunes_spark.ext.training import (
+        FIM_MID,
+        FIM_PRE,
+        FIM_SUF,
+        fim_transform,
+    )
+
+    texts = {i: f"document number {i} with some filler body" for i in range(40)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in fim_transform(df).collect()}
+    applied = [r for r in rows.values() if r["fim_applied"]]
+    passthru = [r for r in rows.values() if not r["fim_applied"]]
+    assert applied and passthru  # 60% gate hits both classes at n=40
+    for r in passthru:
+        assert r["fim_format"] == "none"
+        assert r["fim_text"] == texts[r["doc_id"]]
+    for r in applied:
+        t = r["fim_text"]
+        assert t.startswith(FIM_PRE) and FIM_MID in t and FIM_SUF in t
+        if r["fim_format"] == "psm":
+            pre, rest = t[len(FIM_PRE):].split(FIM_SUF, 1)
+            suf, mid = rest.split(FIM_MID, 1)
+            assert pre + mid + suf == texts[r["doc_id"]]
+        else:
+            rest = t[len(FIM_PRE) + len(FIM_SUF):]
+            suf, premid = rest.split(FIM_MID, 1)
+            orig = texts[r["doc_id"]]
+            # SPM: prefix and middle are joined; their concat plus the
+            # suffix must reassemble the text
+            assert premid + suf == orig
+    # rate gates
+    all_on = fim_transform(df, fim_rate=1.0).collect()
+    assert all(r["fim_applied"] for r in all_on)
+    all_off = fim_transform(df, fim_rate=0.0).collect()
+    assert not any(r["fim_applied"] for r in all_off)
+    # determinism
+    again = {r["doc_id"]: r["fim_text"] for r in fim_transform(df).collect()}
+    assert again == {k: r["fim_text"] for k, r in rows.items()}
+    # NULL text passes through
+    null_row = fim_transform(
+        spark.createDataFrame([(99, None)], "doc_id long, text string"),
+        fim_rate=1.0,
+    ).collect()[0]
+    assert not null_row["fim_applied"]
+    assert null_row["fim_format"] == "none" and null_row["fim_text"] is None
 
 
 def test_bpe_encode_parity_with_reference_encoder(spark):
