@@ -399,6 +399,43 @@ FROM cuts
 """
 
 
+# =====================================================================
+# Hamming probe-mode near-dup (r8 verdict #4)
+# =====================================================================
+
+
+def _simhash_probes_oracle() -> str:
+    from deftunes_spark.driver_queries_ext import _simhash_oracle
+
+    return _simhash_oracle(8)
+
+
+@query("dedup_simhash_probes", _simhash_probes_oracle())
+def q_dedup_simhash_probes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SimHash near-dup pairs via the HmSearch-style PROBE candidate
+    scheme (ext.dedup.simhash_near_pairs(mode='probes'): fewer, wider
+    chunks + bit-flip probe enumeration — the engineered answer to the
+    fixed-width band birthday term at 10⁹ docs). The candidate scheme
+    never changes the ANSWER (pigeonhole recall is exact either way),
+    so this shares `dedup_simhash`'s full value-hash oracle verbatim —
+    a driver-artifact-level proof that the probe plan is lossless, on
+    top of the per-m exactness pytest."""
+    from deftunes_spark.ext import dedup as D
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    sims = D.simhash64(
+        docs, "doc_id", "text", hash_fn="md5", dict_hashes=True
+    )
+    pairs = D.simhash_near_pairs(
+        sims, "doc_id", max_hamming=8, mode="probes"
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 @query("fim_transform", _FIM_ORACLE)
 def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill-in-the-middle augmentation (ext.training.fim_transform,
