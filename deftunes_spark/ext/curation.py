@@ -563,7 +563,7 @@ def semantic_dedup(
         from deftunes_spark.ext.similarity import _cluster_guard_probe
 
         use_guard, probe_counts = _cluster_guard_probe(
-            df, assigned, max_cluster_rows, assigned_cached=cache
+            df, assigned, max_cluster_rows
         )
         dominated = _semantic_dominated_grouped(
             assigned,

@@ -627,7 +627,19 @@ def prefix_filter_pairs(
             dd = float(sum(c * (c - 1) for c in cnt.values()))
             d1 = float(sum(cnt.values()))
             est_sum_df2 = dd / (frac * frac) + d1 / frac
-            margin = 1.0 if frac >= 1.0 else _GUARD_PROBE_MARGIN
+            # "Measured exactly" requires the whole corpus AND whole
+            # texts (r9 review): a doc truncated at the probe cap
+            # hides its tail shingles and the estimate UNDERcounts —
+            # keep the safety margin whenever any sample was cut.
+            truncated = any(
+                t is not None and len(t) >= _GUARD_PROBE_TEXT_CAP
+                for t in texts
+            )
+            margin = (
+                1.0
+                if frac >= 1.0 and not truncated
+                else _GUARD_PROBE_MARGIN
+            )
             attach_gate = est_sum_df2 * margin > budget_v
     arrs = (
         sh.join(dfreq, "shingle")
@@ -943,8 +955,11 @@ def _probe_plan(
     table: dict[int, tuple[float, list[int]]] = {}
     for m in range(1, max_hamming + 2):
         r = max_hamming // m
-        min_width = min(w for _o, w in _chunk_bounds(m))
-        pc = sum(math.comb(min_width, k) for k in range(r + 1))
+        # WORST (widest) chunk bounds the literal mask array — the
+        # same width the n_chunks validation checks, so a planned m
+        # can never fail the pinned-m bound.
+        worst_width = max(w for _o, w in _chunk_bounds(m))
+        pc = sum(math.comb(worst_width, k) for k in range(r + 1))
         if pc > _PROBE_MASKS_MAX:
             continue  # expression/fan-out bound
         table[m] = (r, pc)
@@ -988,6 +1003,7 @@ def simhash_candidates(
     max_hamming: int = 3,
     mode: str = "bands",
     n_chunks: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Candidate (id_a, id_b, hamming) pairs BEFORE the ≤ max_hamming
     filter — exposed so tests (and capacity planning) can count the
@@ -1010,12 +1026,30 @@ def simhash_candidates(
         m = max_hamming + 1
         radius = 0
     else:
-        m = n_chunks or _pick_probe_m(max_hamming, sim_df.count())
+        m = n_chunks or _pick_probe_m(
+            max_hamming,
+            sim_df.count() if n_rows is None else n_rows,
+        )
         if not 1 <= m <= max_hamming + 1:
             raise ValueError(
                 f"n_chunks must be in [1, {max_hamming + 1}], got {m}"
             )
         radius = max_hamming // m
+        # A PINNED n_chunks must obey the same enumeration bound the
+        # planner enforces (r9 review): m=2 at h=15 is radius 7 over
+        # 32-bit chunks — ~4.5M literal masks per chunk, the r5
+        # expression-tree lesson re-exposed through the API.
+        import math
+
+        worst_width = max(w for _o, w in _chunk_bounds(m))
+        pc = sum(math.comb(worst_width, k) for k in range(radius + 1))
+        if pc > _PROBE_MASKS_MAX:
+            raise ValueError(
+                f"n_chunks={m} at max_hamming={max_hamming} needs "
+                f"{pc} probe masks per chunk (> _PROBE_MASKS_MAX="
+                f"{_PROBE_MASKS_MAX}); raise n_chunks (narrower "
+                "probes) or leave it unset for the cost-planned m"
+            )
     bounds = _chunk_bounds(m)
 
     def _chunk_val(off: int, width: int) -> Column:
@@ -1062,7 +1096,14 @@ def simhash_candidates(
 
         probe_structs = []
         for c, (off, width) in enumerate(bounds):
-            masks = _probe_masks(width, radius)
+            # Two's-complement fold for the m=1 whole-fingerprint
+            # chunk (r9 review): the 1<<63 flip mask overflows a
+            # signed-long literal; XOR is bitwise, so the signed
+            # reinterpretation is value-identical.
+            masks = [
+                mk - (1 << 64) if mk >= (1 << 63) else mk
+                for mk in _probe_masks(width, radius)
+            ]
             cv = _chunk_val(off, width)
             probe_structs.append(
                 F.transform(
@@ -1135,15 +1176,17 @@ def simhash_near_pairs(
     # upstream fingerprint pipeline (token explode + 64 bit votes)
     # executes once, not once per branch.
     sim_df = cut_lineage(sim_df, reliable)
+    n_rows = None
     if mode == "auto":
-        n = sim_df.count()
+        n_rows = sim_df.count()
         est = (
-            float(n) * n * (max_hamming + 1)
+            float(n_rows) * n_rows * (max_hamming + 1)
             / (2.0 ** (64 // (max_hamming + 1)))
         )
         mode = "probes" if est > _BANDS_CANDIDATE_BUDGET else "bands"
     cands = simhash_candidates(
-        sim_df, id_col, max_hamming, mode=mode, n_chunks=n_chunks
+        sim_df, id_col, max_hamming, mode=mode, n_chunks=n_chunks,
+        n_rows=n_rows,
     )
     return cands.distinct().filter(F.col("hamming") <= max_hamming)
 

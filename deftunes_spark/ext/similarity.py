@@ -366,7 +366,15 @@ def _ivf_assign_arrow(
     ``n_coeffs`` crosses ``IVF_EXPR_MAX_COEFFS``, i.e. exactly at
     scale. So invalid entries are masked out (assigned NULL, matching
     the expr path) and an all-invalid/empty batch short-circuits with
-    a typed empty/all-NULL result instead of a 1-D matmul operand."""
+    a typed empty/all-NULL result instead of a 1-D matmul operand.
+
+    NULL *elements* (r9 review): the Arrow list<double> boundary
+    converts an element-level null to NaN, indistinguishable from a
+    true NaN value inside the UDF — so the element-null mask is a
+    codegen ``exists`` OUTSIDE the UDF (the expr path assigns NULL
+    there), while true-NaN elements flow through to argmin's first
+    index — exactly the expr path's behavior for NaN (NaN distances,
+    array_position's NaN-equal ordering → index 0; verified)."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)
@@ -390,7 +398,13 @@ def _ivf_assign_arrow(
             out[valid] = np.argmin(d, axis=1).astype(np.int32)
         return pd.Series(out, dtype="Int32")
 
-    return df.withColumn(list_col, _assign(F.col(vec_col)))
+    no_null_elem = F.col(vec_col).isNotNull() & ~F.exists(
+        F.col(vec_col), lambda x: x.isNull()
+    )
+    return df.withColumn(
+        list_col,
+        F.when(no_null_elem, _assign(F.col(vec_col))),
+    )
 
 
 def ivf_assign(
@@ -861,7 +875,6 @@ def _cluster_guard_probe(
     raw: DataFrame,
     assigned: DataFrame,
     cap: int,
-    assigned_cached: bool = False,
 ) -> tuple[bool, DataFrame | None]:
     """Two-tier probe deciding whether the hot-cluster guard must
     engage (r7 verdict #2: skip the fan-out + merge when no cluster
@@ -871,31 +884,32 @@ def _cluster_guard_probe(
     cluster above the cap. Only past that does tier 2 pay the
     per-cluster counts aggregate over the assignment.
 
-    Returns ``(needs_guard, counts)``. When the guard engages and the
-    assignment is NOT persisted, ``counts`` is the per-cluster
-    ``(cluster, _crows)`` relation PERSISTED (n_lists rows — KB-scale
-    at any corpus size, bounded by the quantizer, not the data) so
-    :func:`_salted_pair_blocks` broadcasts the already-materialized
-    counts instead of recomputing the aggregate — which would re-run
-    the dominant nlist×d assignment pass a third time (r8 advice: the
-    probe's own pass was discarded and the whole compute ran 3×).
-    With ``assigned_cached=True`` the counts aggregate is cheap off
-    the pinned assignment, so no second pin is taken."""
+    Returns ``(needs_guard, over_counts)``. When the guard engages,
+    ``over_counts`` is the OVER-CAP slice of the per-cluster counts,
+    collected to the driver and rebuilt as a local relation — bounded
+    by n_rows/cap rows, KBs even adversarially — so
+    :func:`_salted_pair_blocks` broadcasts already-materialized
+    counts instead of recomputing the aggregate (which would re-run
+    the dominant nlist×d assignment pass a third time; r8 advice).
+    A persisted relation would avoid the driver hop but leak one
+    CacheManager pin per call with no caller able to unpersist after
+    its terminal action (r9 review); under-cap clusters don't need a
+    row at all (their salt count is 1 by construction)."""
     if raw.count() <= cap:
         return False, None
-    counts = assigned.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("_crows")
+    over = (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("_crows"))
+        .filter(F.col("_crows") > cap)
+        .collect()
     )
-    if not assigned_cached:
-        from pyspark import StorageLevel
-
-        counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
-    row = counts.agg(F.max("_crows")).first()
-    if int(row[0] or 0) <= cap:
-        if not assigned_cached:
-            counts.unpersist()
+    if not over:
         return False, None
-    return True, (None if assigned_cached else counts)
+    over_df = assigned.sparkSession.createDataFrame(
+        [(r["cluster"], int(r["_crows"])) for r in over],
+        "cluster int, _crows bigint",
+    )
+    return True, over_df
 
 
 def _max_cluster_count(assigned: DataFrame) -> int:
@@ -955,19 +969,24 @@ def _salted_pair_blocks(
     every equal-id pair.
 
     ``counts``: an optional pre-built (cluster, _crows) relation — the
-    guard probe's own aggregate, persisted — so the broadcast side
-    here reuses materialized counts instead of recomputing the
-    assignment (r8 advice)."""
+    guard probe's OVER-CAP slice, driver-collected — so the broadcast
+    side here reuses materialized counts instead of recomputing the
+    assignment (r8 advice). It may be SPARSE (over-cap clusters only):
+    the join is LEFT and a missing row means ns = 1 (greatest skips
+    the NULL), which is exactly an under-cap cluster's salt count."""
+    join_how = "inner"
     if counts is None:
         counts = assigned.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("_crows")
         )
+    else:
+        join_how = "left"
     ns = F.greatest(
         F.lit(1),
         F.ceil(F.col("_crows") / F.lit(float(max_cluster_rows))),
     ).cast("int")
     salted = (
-        assigned.join(F.broadcast(counts), "cluster")
+        assigned.join(F.broadcast(counts), ["cluster"], join_how)
         .withColumn("_ns", ns)
         .withColumn(
             "_my",
@@ -1156,7 +1175,7 @@ def knn_join_grouped(
     # (same (rounded sim desc, neighbor id) order) — skip the fan-out
     # join and the merge window entirely.
     needs_guard, probe_counts = _cluster_guard_probe(
-        df, assigned, max_cluster_rows, assigned_cached=cache
+        df, assigned, max_cluster_rows
     )
     if not needs_guard:
         diag = assigned.withColumn("_role", F.lit(2).cast("tinyint"))

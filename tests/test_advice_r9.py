@@ -89,31 +89,59 @@ def test_sft_role_audit_flags_tab_newline_only_turns(spark):
     assert rows[1]["total_tokens"] == 1  # only the "hi"
 
 
-def test_guard_probe_returns_persisted_counts(spark):
-    """r8 advice #3: when cache=False and the guard engages, the
-    probe's per-cluster counts must be persisted and handed to
-    _salted_pair_blocks so the dominant assignment compute does not
-    run a third time."""
-    from deftunes_spark.ext.similarity import _cluster_guard_probe
+def test_guard_probe_returns_materialized_counts(spark):
+    """r8 advice #3 (+ r9 review): when the guard engages, the probe
+    must hand _salted_pair_blocks an ALREADY-MATERIALIZED counts
+    relation — driver-collected over-cap slice, no CacheManager pin
+    to leak — so the dominant assignment compute does not run a third
+    time. Under-cap clusters carry no row (their salt count is 1 by
+    construction) and the sparse LEFT join reproduces the full guard
+    output."""
+    from deftunes_spark.ext.similarity import (
+        _cluster_guard_probe,
+        _salted_pair_blocks,
+    )
 
     df = spark.createDataFrame(
         [(i, [float(i % 3), 0.0]) for i in range(40)],
         "vec_id long, embedding array<double>",
     )
-    assigned = df.withColumn("cluster", F.lit(0))
-    needs, counts = _cluster_guard_probe(
-        df, assigned, cap=8, assigned_cached=False
+    assigned = df.withColumn(
+        "cluster", (F.col("vec_id") % 2).cast("int")
     )
+    needs, counts = _cluster_guard_probe(df, assigned, cap=8)
     assert needs is True
-    assert counts is not None and counts.storageLevel.useMemory
+    assert counts is not None
+    assert not counts.storageLevel.useMemory  # local, never pinned
     got = {r["cluster"]: r["_crows"] for r in counts.collect()}
-    assert got == {0: 40}
-    counts.unpersist()
-    # cached assignment: no second pin is taken
-    needs2, counts2 = _cluster_guard_probe(
-        df, assigned, cap=8, assigned_cached=True
+    assert got == {0: 20, 1: 20}
+    # sparse-counts path == full-counts path, block for block
+    cols = ["cluster", "_gl", "_gr", "vec_id", "_role"]
+    full = {
+        tuple(r)
+        for r in _salted_pair_blocks(
+            assigned, "vec_id", "embedding", 8
+        ).select(*cols).collect()
+    }
+    sparse = {
+        tuple(r)
+        for r in _salted_pair_blocks(
+            assigned, "vec_id", "embedding", 8, counts=counts
+        ).select(*cols).collect()
+    }
+    assert sparse == full
+    # a sparse table that OMITS an under-cap cluster still salts it 1:
+    small = assigned.filter(F.col("cluster") == 0).limit(3)
+    mixed = small.unionByName(
+        assigned.filter(F.col("cluster") == 1)
     )
-    assert needs2 is True and counts2 is None
+    over_only = counts.filter(F.col("cluster") == 1)
+    blocks = _salted_pair_blocks(
+        mixed, "vec_id", "embedding", 8, counts=over_only
+    )
+    c0 = blocks.filter(F.col("cluster") == 0)
+    assert c0.count() == 3  # ns=1: one diagonal row per input row
+    assert {r["_role"] for r in c0.collect()} == {2}
     # under-cap corpus: tier-1 short-circuit, no counts
     needs3, counts3 = _cluster_guard_probe(
         df.limit(5), assigned.limit(5), cap=8

@@ -251,6 +251,67 @@ def test_hamming_auto_routes_by_birthday_estimate(spark):
     assert got == ref
 
 
+def test_hamming_probes_pinned_chunks_bounded(spark):
+    """r9 review: a PINNED n_chunks must obey the planner's mask
+    bound (m=2 at h=15 would enumerate ~4.5M literals), and the m=1
+    whole-fingerprint chunk must not overflow signed-long literals
+    (the 1<<63 flip mask)."""
+    from deftunes_spark.ext.dedup import simhash_near_pairs
+
+    df = spark.createDataFrame(
+        _random_fingerprints(50, 4, 1), "doc_id long, simhash long"
+    )
+    # m=1, h=1: radius-1 probes over the full 64-bit chunk → includes
+    # the sign-bit mask; must run, and match bands.
+    ref = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(df, "doc_id", 1, mode="bands").collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(
+            df, "doc_id", 1, mode="probes", n_chunks=1
+        ).collect()
+    }
+    assert got == ref and len(ref) >= 1
+    # unbounded enumeration rejected loudly, naming the knob
+    with pytest.raises(ValueError, match="_PROBE_MASKS_MAX"):
+        simhash_near_pairs(
+            df, "doc_id", 15, mode="probes", n_chunks=2
+        )
+
+
+def test_ivf_assign_arrow_null_element_matches_expr(spark):
+    """r9 review: a correct-length vector containing a NULL element
+    assigns NULL on the expr path; the Arrow boundary turns the null
+    into NaN inside the UDF, so the element-null mask must live
+    OUTSIDE the UDF. True-NaN elements assign index 0 on BOTH paths
+    (NaN distances; argmin/array_position first index)."""
+    from deftunes_spark.ext.similarity import ivf_assign
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, None]),
+            (2, [float("nan"), 1.0]),
+            (3, [9.0, 9.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    def got(method):
+        return {
+            r["vec_id"]: r["ivf_list"]
+            for r in ivf_assign(df, cents, method=method)
+            .select("vec_id", "ivf_list")
+            .collect()
+        }
+
+    e, a = got("expr"), got("arrow")
+    assert e == {1: None, 2: 0, 3: 1}
+    assert a == e
+
+
 def test_phash_near_pairs_probes_passthrough(spark):
     """phash near-dup accepts mode='probes' and returns the banded
     answer (the multimodal twin of the simhash guarantee)."""

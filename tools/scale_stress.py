@@ -304,8 +304,13 @@ def main() -> None:
         extra_conf={"spark.sql.files.maxPartitionBytes": "2MB"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    if "--rebuild" in sys.argv or not os.path.exists(
-        f"{SCALE_DIR}/documents.parquet"
+    if (
+        "--rebuild" in sys.argv
+        or not os.path.exists(f"{SCALE_DIR}/documents.parquet")
+        # pre-r9 replica layout symlinked events UNSCALED — running
+        # the SFT rows against it would silently measure 10x vs 1x
+        # of the same data (r9 review)
+        or os.path.islink(f"{SCALE_DIR}/events.parquet")
     ):
         t0 = time.perf_counter()
         build_scale_dir(spark)
@@ -353,8 +358,10 @@ def main() -> None:
         # operators only, ONE timed run each (at 30-s+ walls the
         # codegen warm-up is noise and a second run doubles an
         # hour-scale sweep for nothing).
-        if "--rebuild" in sys.argv or not os.path.exists(
-            f"{SCALE_DIR_100}/documents.parquet"
+        if (
+            "--rebuild" in sys.argv
+            or not os.path.exists(f"{SCALE_DIR_100}/documents.parquet")
+            or os.path.islink(f"{SCALE_DIR_100}/events.parquet")
         ):
             t0 = time.perf_counter()
             build_scale_dir(spark, SCALE_DIR_100, 100)
