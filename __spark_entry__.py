@@ -27,7 +27,7 @@ def _last_covered_round() -> dict[str, int]:
     includes it (never covered -> absent).
 
     The driver samples the FIRST 50 entries of ``queries()``; the
-    registry has 120. Ordering least-recently-covered first rotates the
+    registry has ~190. Ordering least-recently-covered first rotates the
     artifact's hard signal across the whole registry over rounds, so
     every query eventually lands in a CORRECTNESS_r{N}.json instead of
     the same 50 being re-verified forever.

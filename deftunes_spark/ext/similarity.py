@@ -1065,7 +1065,7 @@ def knn_join_grouped(
     # row) feeds the guard probe, the salted fan-out join inside
     # _salted_pair_blocks, AND the kernel — without a cache the
     # dominant compute runs up to 3× per action. NOTE the builder is
-    # EAGER since r8: the guard probe (_needs_cluster_guard) runs a
+    # EAGER since r8: the guard probe (_cluster_guard_probe) runs a
     # count job (and above the cap, the assignment itself) at
     # DataFrame-construction time; MEMORY_AND_DISK spills, never
     # evicts.
