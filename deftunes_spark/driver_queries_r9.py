@@ -399,6 +399,138 @@ FROM cuts
 """
 
 
+# ---------------------------------------------------------------------
+# Best-of-n selection (rejection sampling) + RM calibration
+# ---------------------------------------------------------------------
+#
+# The remaining two stages of a preference pipeline: pick the
+# highest-reward completion per prompt (BoN / rejection-sampling data
+# prep) and read the reward model's calibration curve before trusting
+# its margins. Fixtures derive from documents with seeded TIES
+# (floor((doc_id%8)/2) — consecutive sample ids share rewards, so the
+# deterministic lowest-id tie-break is exercised) and seeded NULL
+# rewards (unscored samples must lose; unscored pairs must land in
+# the −1 calibration bin, counted not dropped).
+
+_BON_ORACLE = """
+WITH base AS (
+    SELECT CAST(floor(doc_id / 4) AS BIGINT) AS prompt_id,
+           doc_id AS sample_id,
+           substr(text, 1, 150) AS response,
+           CASE WHEN doc_id % 17 = 4 THEN NULL
+                ELSE CAST(floor((doc_id % 8) / 2.0) AS DOUBLE) / 4.0
+           END AS reward
+    FROM documents WHERE text IS NOT NULL
+), r AS (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY prompt_id
+               ORDER BY reward DESC NULLS LAST, sample_id
+           ) AS rn,
+           lead(reward) OVER (
+               PARTITION BY prompt_id
+               ORDER BY reward DESC NULLS LAST, sample_id
+           ) AS nxt,
+           CAST(count(*) OVER (PARTITION BY prompt_id) AS BIGINT)
+               AS n_samples
+    FROM base
+)
+SELECT prompt_id, sample_id, response, reward, n_samples,
+       round(reward - nxt, 6) AS reward_gap
+FROM r WHERE rn = 1
+"""
+
+
+def _bon_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    reward = F.when(
+        d % 17 == 4, F.lit(None).cast("double")
+    ).otherwise(
+        F.floor((d % 8) / F.lit(2.0)).cast("double") / F.lit(4.0)
+    )
+    return (
+        _t_cpu(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.floor(d / F.lit(4)).cast("bigint").alias("prompt_id"),
+            d.alias("sample_id"),
+            F.substring(F.col("text"), 1, 150).alias("response"),
+            reward.alias("reward"),
+        )
+    )
+
+
+@query("best_of_n_selection", _BON_ORACLE)
+def q_best_of_n_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rejection sampling / best-of-n data prep
+    (ext.preference.best_of_n_selection): per prompt group keep the
+    highest-reward completion — ties to the lowest sample id, NULL
+    (unscored) rewards never win — plus the winner−runner-up
+    reward_gap BoN curricula filter on. One flat window shuffle;
+    seeded ties and NULL rewards make every branch value-checked."""
+    from deftunes_spark.ext.preference import best_of_n_selection
+
+    return best_of_n_selection(_bon_samples(spark, sf_dir))
+
+
+_CALIB_ORACLE = """
+WITH base AS (
+    SELECT CASE WHEN doc_id % 23 = 2 THEN NULL
+                ELSE CAST(doc_id % 10 AS DOUBLE) / 10.0 END AS rc,
+           CAST(doc_id % 7 AS DOUBLE) / 10.0 AS rr
+    FROM documents WHERE text IS NOT NULL
+), m AS (
+    SELECT rc - rr AS mg, least(abs(rc - rr), 1.0) AS am FROM base
+), b AS (
+    SELECT CASE WHEN mg IS NULL THEN -1
+                ELSE least(CAST(floor(am * 5) AS INT), 4)
+           END AS margin_bin, mg, am
+    FROM m
+)
+SELECT margin_bin,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN mg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_agree,
+       round(CAST(sum(CASE WHEN mg > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS agree_rate,
+       round(avg(am), 6) AS avg_abs_margin,
+       CASE WHEN margin_bin < 0 THEN NULL
+            ELSE round(CAST(margin_bin AS DOUBLE) / 5, 6)
+       END AS bin_lo
+FROM b GROUP BY margin_bin
+"""
+
+
+@query("reward_margin_calibration", _CALIB_ORACLE)
+def q_reward_margin_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reward-model calibration curve
+    (ext.preference.reward_margin_calibration): pairs bucketed by
+    |margin| (5 equal-width bins, clipped at 1), agreement rate
+    (margin > 0) per bin — the read on whether RM margins are signal
+    before BoN/DPO weighting trusts them. NULL-reward pairs land in
+    bin −1, counted not dropped (seeded via doc_id % 23). One
+    map-side-combined groupBy on a derived key; n_bins groups at any
+    corpus size."""
+    from deftunes_spark.ext.preference import reward_margin_calibration
+
+    d = F.col("doc_id")
+    pairs = (
+        _t_cpu(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.when(d % 23 == 2, F.lit(None).cast("double"))
+            .otherwise((d % 10).cast("double") / 10.0)
+            .alias("reward_chosen"),
+            ((d % 7).cast("double") / 10.0).alias("reward_rejected"),
+        )
+    )
+    return reward_margin_calibration(pairs, n_bins=5)
+
+
 # =====================================================================
 # Hamming probe-mode near-dup (r8 verdict #4)
 # =====================================================================

@@ -153,6 +153,119 @@ def preference_pair_audit(
     )
 
 
+def best_of_n_selection(
+    df: DataFrame,
+    prompt_id_col: str = "prompt_id",
+    sample_id_col: str = "sample_id",
+    response_col: str = "response",
+    reward_col: str = "reward",
+) -> DataFrame:
+    """Rejection sampling / best-of-n selection: per prompt group,
+    keep the highest-reward sample — the data-prep step of BoN
+    distillation and rejection-sampling fine-tuning (sample n
+    completions, score with the reward model, train on the winner).
+
+    Deterministic: ties break on the LOWEST sample id, NULL rewards
+    sort last (a sample the RM failed to score must never win by
+    NULL-ordering accident). Output one row per prompt:
+    (prompt_id, sample_id, response, reward, n_samples, reward_gap)
+    where ``reward_gap`` = winner − runner-up (NULL for single-sample
+    groups) — the selection-confidence signal BoN curricula filter on.
+
+    One window shuffle keyed on the prompt group (groups are n-sized
+    by construction, so the partitioning is flat at any corpus size);
+    everything else rides it — no second aggregate, the runner-up
+    reward comes from ``lead`` over the same sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(prompt_id_col).orderBy(
+        F.col(reward_col).desc_nulls_last(), F.col(sample_id_col)
+    )
+    wg = Window.partitionBy(prompt_id_col)
+    ranked = df.select(
+        F.col(prompt_id_col),
+        F.col(sample_id_col),
+        F.col(response_col),
+        F.col(reward_col),
+        F.row_number().over(w).alias("_rn"),
+        F.lead(F.col(reward_col)).over(w).alias("_next_reward"),
+        F.count(F.lit(1)).over(wg).cast("bigint").alias("n_samples"),
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        prompt_id_col,
+        sample_id_col,
+        response_col,
+        reward_col,
+        "n_samples",
+        F.round(
+            F.col(reward_col) - F.col("_next_reward"), 6
+        ).alias("reward_gap"),
+    )
+
+
+def reward_margin_calibration(
+    df: DataFrame,
+    reward_chosen_col: str = "reward_chosen",
+    reward_rejected_col: str = "reward_rejected",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reward-model calibration curve over preference pairs: bucket
+    pairs by |reward margin| (clipped to [0, 1], ``n_bins`` equal-width
+    bins) and report how often the margin AGREES with the human label
+    (margin > 0 — chosen scored higher). A healthy RM's agreement rate
+    rises with |margin|; a flat or inverted curve says the margins are
+    noise and BoN/DPO weighting on them would amplify it.
+
+    Pure one-pass groupBy on a derived bin key (n_bins groups at any
+    corpus size — map-side combined); pairs with a NULL reward on
+    either side land in bin −1 so scoring gaps are COUNTED, not
+    silently dropped. Output per bin: (margin_bin, bin_lo, n_pairs,
+    n_agree, agree_rate, avg_abs_margin)."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    margin = (
+        F.col(reward_chosen_col).cast("double")
+        - F.col(reward_rejected_col).cast("double")
+    )
+    absm = F.least(F.abs(margin), F.lit(1.0))
+    bin_ = F.when(margin.isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.floor(absm * n_bins).cast("int"), F.lit(n_bins - 1)
+        )
+    )
+    return (
+        df.select(
+            bin_.alias("margin_bin"),
+            margin.alias("_m"),
+            absm.alias("_am"),
+        )
+        .groupBy("margin_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("_m") > 0.0, 1).otherwise(0)
+            ).cast("bigint").alias("n_agree"),
+            F.round(
+                F.sum(F.when(F.col("_m") > 0.0, 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("agree_rate"),
+            F.round(
+                F.avg(F.col("_am")), 6
+            ).alias("avg_abs_margin"),
+        )
+        .withColumn(
+            "bin_lo",
+            F.when(F.col("margin_bin") < 0, F.lit(None)).otherwise(
+                F.round(
+                    F.col("margin_bin").cast("double") / n_bins, 6
+                )
+            ),
+        )
+    )
+
+
 def preference_prompt_dedup(
     df: DataFrame,
     prompt_id_col: str = "prompt_id",

@@ -335,6 +335,66 @@ def test_phash_near_pairs_probes_passthrough(spark):
     assert got == ref and len(ref) >= 6
 
 
+def test_best_of_n_selection_ties_nulls_gap(spark):
+    """BoN: highest reward wins, ties to the LOWEST sample id, NULL
+    rewards never win, reward_gap = winner - runner-up (NULL for
+    singleton groups)."""
+    from deftunes_spark.ext.preference import best_of_n_selection
+
+    rows = [
+        (1, 10, "a", 0.5),
+        (1, 11, "b", 0.9),
+        (1, 12, "c", 0.9),   # tie with 11 → 11 wins
+        (2, 20, "d", None),
+        (2, 21, "e", 0.1),   # NULL never wins
+        (3, 30, "f", 0.7),   # singleton → gap NULL
+        (4, 40, "g", None),  # all-NULL group → lowest id, reward NULL
+        (4, 41, "h", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "prompt_id long, sample_id long, response string, "
+        "reward double",
+    )
+    out = {
+        r["prompt_id"]: r for r in best_of_n_selection(df).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["sample_id"] == 11 and out[1]["reward_gap"] == 0.0
+    assert out[1]["n_samples"] == 3
+    assert out[2]["sample_id"] == 21
+    assert out[2]["reward_gap"] is None  # runner-up unscored
+    assert out[3]["sample_id"] == 30 and out[3]["reward_gap"] is None
+    assert out[4]["sample_id"] == 40 and out[4]["reward"] is None
+
+
+def test_reward_margin_calibration_bins(spark):
+    """Calibration: equal-width |margin| bins with clip, agreement =
+    margin > 0, NULL-reward pairs in bin -1 (counted, not dropped)."""
+    from deftunes_spark.ext.preference import reward_margin_calibration
+
+    rows = [
+        (0.9, 0.1),   # margin 0.8 → bin 4 (n_bins=5), agree
+        (0.1, 0.9),   # margin -0.8 → bin 4, disagree
+        (0.55, 0.5),  # margin 0.05 → bin 0, agree
+        (None, 0.5),  # NULL → bin -1
+        (2.5, 0.0),   # margin 2.5 → clipped to bin 4, agree
+    ]
+    df = spark.createDataFrame(
+        rows, "reward_chosen double, reward_rejected double"
+    )
+    out = {
+        r["margin_bin"]: r
+        for r in reward_margin_calibration(df, n_bins=5).collect()
+    }
+    assert out[4]["n_pairs"] == 3 and out[4]["n_agree"] == 2
+    assert out[4]["agree_rate"] == round(2 / 3, 6)
+    assert out[0]["n_pairs"] == 1 and out[0]["agree_rate"] == 1.0
+    assert out[-1]["n_pairs"] == 1 and out[-1]["n_agree"] == 0
+    assert out[-1]["bin_lo"] is None
+    assert out[4]["bin_lo"] == 0.8
+
+
 def test_fim_transform_partitions_and_rates(spark):
     """FIM: applied docs carry all three sentinels and the three
     spans reassemble the original text exactly; unapplied docs pass
