@@ -146,22 +146,122 @@ SENTINEL_REF_HOST = "32-core local[32] CI box, measured r7"
 IDLE_LOAD_GATE = 4.0      # 1-min load; 32-core box
 IDLE_GATE_TIMEOUT_SEC = 180
 
-# --- Sentinel-gated re-runs (r8 verdict #1) ---------------------------
+# --- Sentinel-gated re-runs (r8 verdict #1, r9 verdict #2) -----------
 # Four consecutive rounds of driver BENCH numbers needed post-hoc
 # judge re-timing to separate host noise from regression; the sentinel
 # measured the contention but never ACTED on it. Now it does: a
-# query whose per-subprocess sentinel median exceeds
-# SENTINEL_RETRY_FACTOR × the host-scaled reference is a CONTENDED
-# recording — discard and re-run it (after waiting, bounded, for the
-# load to drop) up to MAX_QUERY_ATTEMPTS total, keeping the attempt
-# with the quietest sentinel. If every attempt is contended the query
-# is recorded with an explicit ``contended`` flag instead of being
-# passed off as a regression. A sweep-wide retry budget bounds the
-# worst case (a busy box must not triple the sweep).
+# query whose per-subprocess sentinel median exceeds the retry ceiling
+# is a CONTENDED recording — discard and re-run it (after waiting,
+# bounded, for the load to drop) up to MAX_QUERY_ATTEMPTS total,
+# keeping the attempt with the quietest sentinel. If every attempt is
+# contended the query is recorded with an explicit ``contended`` flag
+# instead of being passed off as a regression. A sweep-wide retry
+# budget bounds the worst case (a busy box must not triple the sweep).
+#
+# The ceiling (r9 verdict #2 — the fast-host blind spot): a ceiling of
+# 1.3 × max(ref, floor) self-calibrates UP for slow hosts but never
+# DOWN for fast ones — on a box whose true sentinel floor is ~0.06,
+# sentinels at 2.6× the real floor passed under the 0.156 cross-host
+# ceiling and three contaminated recordings shipped in BENCH_r09. The
+# gate is now anchored to the MEASURED host floor, persisted across
+# sweeps in HOST_FLOOR_PATH (keyed by CPU identity so a container
+# migration recalibrates instead of inheriting a stale floor):
+#   ceiling = 1.3 × max(stored_host_floor, 0.5 × ref)
+# The 0.5×ref clamp keeps the ceiling sane if the stored floor was
+# recorded in one freak ultra-quiet window. First sweep on a new host
+# (no stored floor) self-calibrates as before, with the r9-advice
+# ordering fix: each attempt is judged against the ceiling AS IT
+# STOOD BEFORE that attempt's sentinel is folded in, and only
+# ACCEPTED-quiet medians tighten the calibration floor — so the first
+# recording of a uniformly contended sweep no longer passes by
+# construction. (Recovery: if the host class genuinely slowed, every
+# recording reads contended — delete HOST_FLOOR_PATH to recalibrate.)
 SENTINEL_RETRY_FACTOR = 1.3
-MAX_QUERY_ATTEMPTS = 3
-SWEEP_RETRY_BUDGET = 20
-RETRY_IDLE_WAIT_SEC = 120
+MAX_QUERY_ATTEMPTS = 4
+SWEEP_RETRY_BUDGET = 24
+RETRY_IDLE_WAIT_SEC = 90
+HOST_FLOOR_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_host_floor.json"
+)
+
+
+class SentinelGate:
+    """Retry-ceiling state machine (unit-tested: tests/test_bench_gate.py).
+
+    ``judge(s_med)`` returns True iff the recording is quiet, judging
+    against the ceiling AS IT STOOD BEFORE folding this median in —
+    the r9-advice ordering fix (fold-first made the sweep's
+    quietest-so-far recording pass by construction, so the first
+    query of a uniformly contended sweep could never be flagged)."""
+
+    def __init__(self, stored_floor: float | None):
+        self.stored_floor = stored_floor
+        self.accepted_floor: float | None = None
+        self.observed_floor: float | None = None
+        self.sweep_floor: float | None = None
+
+    def ceiling(self) -> float:
+        if self.stored_floor is not None:
+            base = max(self.stored_floor, 0.5 * SENTINEL_REF_SEC)
+        elif self.accepted_floor is not None:
+            base = max(self.accepted_floor, 0.5 * SENTINEL_REF_SEC)
+        else:
+            # Bootstrap on a host with no accepted recording yet: the
+            # quietest CONTENDED median may only LOOSEN the ceiling
+            # above ref (slow-host bootstrap), never tighten it.
+            base = max(SENTINEL_REF_SEC, self.observed_floor or 0.0)
+        return SENTINEL_RETRY_FACTOR * base
+
+    def judge(self, s_med: float | None) -> bool:
+        ceil_now = self.ceiling()
+        if s_med is None:
+            return True
+        self.sweep_floor = (
+            s_med if self.sweep_floor is None
+            else min(self.sweep_floor, s_med)
+        )
+        self.observed_floor = (
+            s_med if self.observed_floor is None
+            else min(self.observed_floor, s_med)
+        )
+        if s_med <= ceil_now:
+            self.accepted_floor = (
+                s_med if self.accepted_floor is None
+                else min(self.accepted_floor, s_med)
+            )
+            return True
+        return False
+
+
+def _load_host_floor() -> float | None:
+    """Stored per-host sentinel floor, or None if absent/other host."""
+    try:
+        with open(HOST_FLOOR_PATH) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if d.get("host") != _host_identity():
+        return None
+    v = d.get("floor_sec")
+    return float(v) if isinstance(v, (int, float)) and v > 0 else None
+
+
+def _store_host_floor(floor: float) -> None:
+    """Persist the quietest sentinel median ever observed on this
+    host (min-merged with any prior value) for the next sweep's
+    ceiling."""
+    prior = _load_host_floor()
+    if prior is not None:
+        floor = min(prior, floor)
+    try:
+        with open(HOST_FLOOR_PATH, "w") as f:
+            json.dump(
+                {"host": _host_identity(), "floor_sec": round(floor, 4)},
+                f,
+                indent=1,
+            )
+    except OSError:
+        pass
 
 
 def _host_identity() -> dict:
@@ -328,23 +428,17 @@ def main() -> None:
     contended: list[str] = []
     requeued: dict[str, int] = {}
     retries_left = SWEEP_RETRY_BUDGET
-    # Host self-calibration (r9 review): the raw 1.3×ref ceiling is
-    # only meaningful on the reference host class — on a slower box
-    # every recording would read "contended" and the sweep would burn
-    # its whole retry budget re-measuring the hardware. The ceiling
-    # therefore tracks max(ref, quietest sentinel median seen this
-    # sweep): on the ref class (sentinel ≈ 0.06-0.08 < ref) this IS
-    # the fixed 1.3×ref rule; on a slower host the first query's
-    # retries establish the floor and later queries compare against
-    # it. Irreducible ambiguity: a sweep that is BOTH on unknown
-    # hardware AND contended throughout cannot distinguish the two
-    # without a stored per-host baseline — the artifact records the
-    # floor so a reader can.
-    sweep_floor: float | None = None
+    # Ceiling anchor (see the HOST_FLOOR_PATH block above): a stored
+    # per-host floor gates absolutely; without one, the sweep
+    # self-calibrates — accepted-quiet medians tighten the floor
+    # (r9 advice: never the attempt being judged), while the quietest
+    # CONTENDED median can only LOOSEN the ceiling above ref (the
+    # slow-host bootstrap: on hardware whose true floor exceeds ref,
+    # nothing would ever be accepted otherwise).
+    gate = SentinelGate(_load_host_floor())
 
     def _ceiling() -> float:
-        base = max(SENTINEL_REF_SEC, sweep_floor or 0.0)
-        return SENTINEL_RETRY_FACTOR * base
+        return gate.ceiling()
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     here = os.path.abspath(__file__)
 
@@ -386,13 +480,7 @@ def main() -> None:
                 break  # errors are code problems, not contention
             attempts.append(rec)
             s_med = _sentinel_median(rec)
-            if s_med is not None:
-                sweep_floor = (
-                    s_med
-                    if sweep_floor is None
-                    else min(sweep_floor, s_med)
-                )
-            if s_med is None or s_med <= _ceiling():
+            if gate.judge(s_med):
                 break  # quiet recording — accept
             if retries_left <= 0 or attempt + 1 >= MAX_QUERY_ATTEMPTS:
                 break
@@ -474,9 +562,17 @@ def main() -> None:
             "retry": {
                 "factor": SENTINEL_RETRY_FACTOR,
                 "ceiling_sec": round(_ceiling(), 4),
+                # Which anchor the ceiling used (r9 verdict #2): a
+                # stored per-host floor gates absolutely; "sweep"
+                # means first run on this host, self-calibrated.
+                "floor_source": (
+                    "stored" if gate.stored_floor is not None
+                    else "sweep"
+                ),
+                "stored_host_floor_sec": gate.stored_floor,
                 "floor_sec": (
-                    round(sweep_floor, 4)
-                    if sweep_floor is not None
+                    round(gate.sweep_floor, 4)
+                    if gate.sweep_floor is not None
                     else None
                 ),
                 "requeued": requeued,
@@ -526,6 +622,10 @@ def main() -> None:
             "load_at_start": load_at_start,
         },
     }
+    # Persist the host floor for the NEXT sweep's ceiling (min-merged
+    # with any prior value inside _store_host_floor).
+    if gate.sweep_floor is not None:
+        _store_host_floor(gate.sweep_floor)
     sidecar_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"
     )

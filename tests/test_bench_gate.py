@@ -1,0 +1,80 @@
+"""Regression tests for bench.py's sentinel retry gate (r9 verdict #2
++ r9 advice #1): the ceiling must anchor to the MEASURED host floor,
+and an attempt must be judged against the ceiling as it stood before
+that attempt's sentinel is folded into the calibration state."""
+
+import json
+
+import bench
+
+
+def test_fast_host_stored_floor_rejects_r9_contamination():
+    # The r9 shipped-contaminated scenario: host floor 0.0597,
+    # leakage_safe_split's sentinels 0.132-0.153 passed under the old
+    # cross-host 0.156 ceiling. With the stored floor they must not.
+    gate = bench.SentinelGate(stored_floor=0.0597)
+    assert gate.ceiling() < 0.132
+    assert gate.judge(0.132) is False
+    assert gate.judge(0.153) is False
+    # A genuinely quiet recording on the same host still passes.
+    assert gate.judge(0.065) is True
+
+
+def test_first_attempt_of_contended_sweep_is_flagged():
+    # r9 advice #1: the old code folded the median into sweep_floor
+    # BEFORE computing the ceiling, so the sweep's quietest-so-far
+    # recording satisfied s_med <= 1.3*max(ref, s_med) by
+    # construction and the first query could never be retried.
+    gate = bench.SentinelGate(stored_floor=None)
+    assert gate.judge(0.5) is False  # old code accepted this
+
+
+def test_slow_host_bootstrap_loosens_after_rejection():
+    # On genuinely slow hardware (true floor >> ref) nothing would
+    # ever be accepted against the 1.3*ref ceiling; the quietest
+    # CONTENDED median may loosen (never tighten) the bootstrap so
+    # the sweep converges instead of burning the retry budget.
+    gate = bench.SentinelGate(stored_floor=None)
+    assert gate.judge(0.5) is False
+    assert gate.ceiling() == bench.SENTINEL_RETRY_FACTOR * 0.5
+    assert gate.judge(0.52) is True
+
+
+def test_accepted_quiet_median_tightens_self_calibration():
+    gate = bench.SentinelGate(stored_floor=None)
+    assert gate.judge(0.1) is True  # under 1.3*ref bootstrap
+    # Ceiling now anchored to the accepted floor, not ref.
+    assert gate.ceiling() == bench.SENTINEL_RETRY_FACTOR * max(
+        0.1, 0.5 * bench.SENTINEL_REF_SEC
+    )
+    assert gate.judge(0.14) is False
+
+
+def test_stored_floor_clamped_at_half_ref():
+    # One freak ultra-quiet stored reading must not collapse the
+    # ceiling to an unachievable value.
+    gate = bench.SentinelGate(stored_floor=0.001)
+    assert gate.ceiling() == bench.SENTINEL_RETRY_FACTOR * (
+        0.5 * bench.SENTINEL_REF_SEC
+    )
+
+
+def test_host_floor_store_min_merges_and_keys_on_host(
+    tmp_path, monkeypatch
+):
+    path = str(tmp_path / "floor.json")
+    monkeypatch.setattr(bench, "HOST_FLOOR_PATH", path)
+    bench._store_host_floor(0.08)
+    assert bench._load_host_floor() == 0.08
+    bench._store_host_floor(0.06)   # quieter → replaces
+    assert bench._load_host_floor() == 0.06
+    bench._store_host_floor(0.30)   # louder → min-merge keeps 0.06
+    assert bench._load_host_floor() == 0.06
+    # A floor recorded on different hardware must not gate this host.
+    with open(path, "w") as f:
+        json.dump(
+            {"host": {"cpu_model": "other", "cores": 8},
+             "floor_sec": 0.02},
+            f,
+        )
+    assert bench._load_host_floor() is None
