@@ -40,10 +40,18 @@ def _last_covered_round() -> dict[str, int]:
         rnd = int(m.group(1))
         try:
             with open(path) as f:
-                names = list(json.load(f))
+                entries = json.load(f)
         except (OSError, ValueError):
             continue
-        for name in names:
+        for name, rec in entries.items():
+            # A genuinely errored row is NOT coverage (r9: bpe_encode
+            # shipped an ERR artifact and would otherwise rotate out
+            # of the very next sample instead of being re-checked
+            # first). The driver records a successful rows-only check
+            # as err == "no_oracle" — that one IS coverage.
+            err = rec.get("err") if isinstance(rec, dict) else None
+            if err and err != "no_oracle":
+                continue
             covered[name] = max(covered.get(name, -1), rnd)
     return covered
 

@@ -391,13 +391,19 @@ _WS_RE = None  # compiled lazily inside workers
 
 
 def _ws_tokens(text: str | None) -> list[str]:
+    # Boundary whitespace is handled by split-then-filter, NOT
+    # str.strip(): Python strip removes the full Unicode whitespace
+    # set (NBSP, U+2028, ...) while the explicit class — and every
+    # DuckDB oracle mirroring it — does not, so a window that starts
+    # or ends with exotic whitespace would tokenize differently on
+    # the two sides (r9 advice).
     global _WS_RE
     if _WS_RE is None:
         import re
 
         _WS_RE = re.compile("[ \t\n\x0B\f\r]+")
     return [
-        w for w in _WS_RE.split((text or "").lower().strip()) if w != ""
+        w for w in _WS_RE.split((text or "").lower()) if w != ""
     ]
 
 
@@ -479,6 +485,52 @@ def bpe_encode(
             )
 
     return df.select(id_col, text_col).mapInPandas(_encode, schema)
+
+
+def bpe_decode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    alphabet: list[str],
+    ids_col: str = "token_ids",
+    out_col: str = "decoded",
+    unk: str = "�",
+) -> DataFrame:
+    """Inverse of :func:`bpe_encode`'s id mapping — ids → subword
+    units via the same deterministic :func:`bpe_vocab_ids` table,
+    concatenated with end-of-word markers restored to spaces. BPE
+    segmentation is lossless, so ``decode(encode(x))`` equals the
+    whitespace-normalized lowercased text — the full-oracle
+    invariant the ``bpe_decode`` driver query value-checks in SQL
+    (closing the tokenizer loop around the rows-only encode).
+
+    The id → unit table is a literal ``map<int,string>`` column
+    (vocab-sized: tiny at trained merge counts), so decode is a PURE
+    CODEGEN PROJECTION — zero UDF, zero shuffle, rides whatever scan
+    produced the ids. OOV ids (−1, or anything outside the table)
+    decode to ``unk`` instead of vanishing, so the decoded text
+    faithfully witnesses encode-side unknowns. For production-scale
+    vocabularies (>~4k symbols) a map literal would bloat the
+    codegen constant pool — ship the inverse dict in a mapInPandas
+    closure instead (the :func:`bpe_encode` pattern); the id table
+    derivation is shared either way."""
+    inv = {v: k for k, v in bpe_vocab_ids(merges, alphabet).items()}
+    entries: list = []
+    for i in sorted(inv):
+        entries += [F.lit(i), F.lit(inv[i])]
+    table = F.create_map(*entries)
+    units = F.transform(
+        F.col(ids_col),
+        lambda x: F.coalesce(F.element_at(table, x), F.lit(unk)),
+    )
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.col(ids_col).isNotNull(),
+            F.rtrim(
+                F.regexp_replace(F.array_join(units, ""), EOW, " ")
+            ),
+        ),
+    )
 
 
 def bpe_segment_udf(merges: list[tuple[str, str, int]]):

@@ -68,6 +68,25 @@ def main() -> int:
             print(f"FAIL {name}: spark error {exc}")
             continue
         if name not in oracles:
+            # The driver's canonicalizer pandas-sorts every output and
+            # crashes on nested columns (r9: bpe_encode's array<int>
+            # shipped an ERR artifact while this checker passed it —
+            # the stand-in must never be MORE permissive than the hard
+            # signal it stands in for). Rows-only outputs must be flat.
+            nested = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "struct", "map")
+            ]
+            if nested:
+                failures.append(name)
+                print(
+                    f"FAIL {name}: rows-only output has "
+                    f"non-canonicalizable column(s) {nested} — the "
+                    "driver rejects array/struct/map; project to "
+                    "scalars (hash/CSV-join the nested column)"
+                )
+                continue
             print(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
         try:
