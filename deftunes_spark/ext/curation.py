@@ -679,6 +679,15 @@ def _semantic_dominated_grouped(
 
     from deftunes_spark.ext.similarity import _salted_pair_blocks
 
+    # NULL assignments (the arrow ivf path masks invalid/NULL-element
+    # embeddings to a NULL cluster instead of crashing) have no
+    # meaningful neighbors and must never reach the kernel: a NULL
+    # cluster would group together and _mat's np.array over None
+    # vectors builds a ragged matrix that makes einsum raise in the
+    # executor (r9 advice). The expr path drops them implicitly via
+    # its inner cluster self-join — same output semantics.
+    assigned = assigned.filter(F.col("cluster").isNotNull())
+
     def _seq_cosine(x, y):
         """Cosine with strict left-to-right float summation — the
         exact op order of aggregate(zip_with(...)): ((0+t1)+t2)+…

@@ -1072,8 +1072,16 @@ def knn_join_grouped(
     # Default cache=False (r7 advice): CacheManager has no TTL, so
     # call-over-call pins accumulate in long-lived sessions until
     # spark.catalog.clearCache(); registry/bench builders opt in.
-    assigned = ivf_assign(df, centroids, vec_col, "cluster").select(
-        F.col(id_col), F.col(vec_col), F.col("cluster")
+    assigned = (
+        ivf_assign(df, centroids, vec_col, "cluster")
+        .select(F.col(id_col), F.col(vec_col), F.col("cluster"))
+        # NULL assignments (arrow ivf path: invalid/NULL-element
+        # embeddings → NULL cluster) have no meaningful neighbors;
+        # a NULL-cluster group would reach the kernel and _mat's
+        # np.array over None vectors raises in einsum (r9 advice).
+        # The expr path drops them implicitly via its inner
+        # cluster self-join — same output semantics.
+        .filter(F.col("cluster").isNotNull())
     )
     if cache:
         assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1215,6 +1223,7 @@ def incremental_ivf_assign(
     vec_col: str = "embedding",
     target_list_rows: int = 500,
     seed: int = 42,
+    init_wait_sec: float = 120.0,
 ) -> DataFrame:
     """Incremental ANN index maintenance: assign a NEW embedding batch
     against the PERSISTED quantizer version — the embeddings twin of
@@ -1289,17 +1298,35 @@ def incremental_ivf_assign(
         if not _excl_create(spark, fs, marker):
             import time as _time
 
-            deadline = _time.time() + 120.0
+            # The loser's wait is a PARAMETER (r9 advice): a fixed
+            # 120 s assumed the winner's first fit commits quickly,
+            # but a legitimately slow fit (large batch,
+            # centroids='auto') past the deadline would make losers
+            # declare the winner dead while it is still fitting —
+            # and acting on the old recovery text (delete the
+            # marker) would re-admit a second fitter and recreate
+            # the duplicate-version-1 corruption the marker exists
+            # to prevent. Size init_wait_sec to the slowest
+            # plausible first fit for the deployment.
+            deadline = _time.time() + float(init_wait_sec)
             while not list_versions(spark, store_path):
                 if _time.time() > deadline:
                     raise RuntimeError(
                         "incremental_ivf_assign: lost the init race "
                         f"for {store_path!r} but no version appeared "
-                        "within 120s - the winning initializer likely "
-                        "died between claiming the marker and "
-                        "committing version 1. Recover by deleting "
-                        f"{store_path}/_ivf_init.marker after "
-                        "verifying the store has no versions."
+                        f"within {init_wait_sec:g}s. Either the "
+                        "winning initializer died between claiming "
+                        "the marker and committing version 1, OR its "
+                        "first fit is simply slower than "
+                        "init_wait_sec (large batch, "
+                        "centroids='auto'). Before deleting "
+                        f"{store_path}/_ivf_init.marker, CONFIRM the "
+                        "winner process is dead — not merely that no "
+                        "version exists yet; deleting the marker "
+                        "under a live fitter re-admits a second one "
+                        "and appends a duplicate version-1 centroid "
+                        "set. If the winner may still be running, "
+                        "retry with a larger init_wait_sec instead."
                     )
                 _time.sleep(0.2)
             store_exists = True
