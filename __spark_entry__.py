@@ -82,7 +82,6 @@ _ORACLE_TWINS = {
     "semantic_dedup_auto": "semantic_dedup",
     "source_overlap_minhash": "source_overlap",
     "sequence_pack_bestfit": "sequence_pack",
-    "ann_knn_join_fast": "ann_knn_join",
     "bpe_encode": "bpe_encode_roundtrip",
 }
 

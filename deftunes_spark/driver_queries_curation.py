@@ -743,28 +743,26 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_knn_join_fast")
+@query("ann_knn_join_fast", _knn_oracle())
 def q_ann_knn_join_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production twin of ``ann_knn_join``: the same cluster-local
     top-k neighbor lists via the grouped-vectorized BLAS kernel (one
     applyInPandas per cluster) instead of per-pair interpreted HOF
     dots — the substrate that scales the pair matrix at 100 TB.
-    Rows-only; neighbor-set parity with the expr path is
-    pytest-asserted (``tests/test_nlist_auto.py``). ``audit_ok``
-    (r6 verdict #6) pins the kernel invariants in the recorded rows:
-    rank within [1, k], never a self-neighbor, cosine within
-    [-1, 1] (no -inf tail fill)."""
+    Registered under the expr path's FULL oracle VERBATIM (r9 verdict
+    #4, the ``dedup_simhash_probes`` pattern): the kernel changes the
+    compute substrate, never the answer — ties break on the same
+    (rounded sim desc, neighbor id) order, boundary pairs re-evaluated
+    with the expression engine's exact sequential float fold — so the
+    value-hash check proves kernel/expr equivalence at artifact level
+    every round, strictly stronger than the r6-era ``audit_ok``
+    invariant column it replaces (neighbor-set parity also
+    pytest-asserted in ``tests/test_nlist_auto.py``)."""
     from deftunes_spark.ext.similarity import knn_join_grouped
 
     emb = _t_cpu(spark, sf_dir, "embeddings")
-    out = knn_join_grouped(
+    return knn_join_grouped(
         emb, _IVF_CENTROIDS, k=_KNN_K, cache=True
     ).select(
         "vec_id", "neighbor_id", "cosine_sim", "rank"
-    )
-    return out.withColumn(
-        "audit_ok",
-        F.col("rank").between(1, _KNN_K)
-        & (F.col("vec_id") != F.col("neighbor_id"))
-        & F.col("cosine_sim").between(-1.000001, 1.000001),
     )

@@ -1,8 +1,12 @@
-"""r6 verdict #6: the 8 rows-only registry queries must be
+"""r6 verdict #6: the rows-only registry queries must be
 self-evidencing — each output now carries invariant audit columns the
 driver pins via row identity. This suite asserts ZERO violations at
 sf0.01, and at a 10x-replicated fixture for the kernels where skew
-blowup lives (semantic_dedup_auto / ann_knn_join_fast)."""
+blowup lives (semantic_dedup_auto / the grouped knn kernel).
+``ann_knn_join_fast`` left this list in r10: it is registered under
+the expr path's FULL value-hash oracle now (strictly stronger than
+its old audit_ok column), but its kernel is still stressed at 10x
+below."""
 
 from __future__ import annotations
 
@@ -17,7 +21,6 @@ ROWS_ONLY_AUDITED = [
     "bpe_merges",
     "unigram_vocab",
     "source_overlap_minhash",
-    "ann_knn_join_fast",
 ]
 
 
