@@ -937,6 +937,19 @@ _PROBE_MASKS_MAX = 4096
 _BANDS_CANDIDATE_BUDGET = 1e8
 
 
+def simhash_route(n_rows: int, max_hamming: int) -> tuple[str, float]:
+    """The ``mode='auto'`` routing decision of
+    :func:`simhash_near_pairs`, exposed so harnesses (and SCALE.md)
+    can RECORD which candidate scheme a corpus size selects instead
+    of inferring it: returns ``(mode, banded_candidate_estimate)``.
+    One definition — the auto path below calls this."""
+    est = (
+        float(n_rows) * n_rows * (max_hamming + 1)
+        / (2.0 ** (64 // (max_hamming + 1)))
+    )
+    return ("probes" if est > _BANDS_CANDIDATE_BUDGET else "bands", est)
+
+
 def _probe_plan(
     max_hamming: int,
 ) -> dict[int, tuple[float, list[int]]]:
@@ -1179,11 +1192,7 @@ def simhash_near_pairs(
     n_rows = None
     if mode == "auto":
         n_rows = sim_df.count()
-        est = (
-            float(n_rows) * n_rows * (max_hamming + 1)
-            / (2.0 ** (64 // (max_hamming + 1)))
-        )
-        mode = "probes" if est > _BANDS_CANDIDATE_BUDGET else "bands"
+        mode, _est = simhash_route(n_rows, max_hamming)
     cands = simhash_candidates(
         sim_df, id_col, max_hamming, mode=mode, n_chunks=n_chunks,
         n_rows=n_rows,

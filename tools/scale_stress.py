@@ -71,7 +71,35 @@ QUERIES = [
     "sft_role_audit",
     "sft_loss_mask_spans",
     "bpe_encode",
+    # r10 additions (r9 verdict #5/#3): the preference/RLHF family —
+    # the dedup row is the interesting one (the distinct-prompt
+    # relation grows with the corpus and the shingle join inherits
+    # the df-cap guard), FIM (pure projection, the ratio checks
+    # linear-in-bytes), and the probes-mode Hamming candidate scheme.
+    "preference_pair_audit",
+    "preference_pair_dedup",
+    "best_of_n_selection",
+    "fim_transform",
+    "dedup_simhash_probes",
 ]
+
+# Output-bound queries (full rewritten text / per-turn rows / token
+# streams): collecting millions of fat rows to the Python driver
+# times the TRANSFER, not the operator. These are timed under a
+# forced-computation aggregate instead — count + sum(xxhash64(*cols))
+# over every output column, which materializes every byte the query
+# produces and ships ONE row. r10 protocol: the SFT rows are
+# re-recorded under it at every tier this round (r9's collect-based
+# rows are not comparable across protocols — noted in SCALE.md).
+FORCED_AGG = {
+    "fim_transform",
+    "bpe_encode",
+    "sft_turn_flatten",
+    "sft_role_audit",
+    "sft_loss_mask_spans",
+    "preference_pair_audit",
+    "best_of_n_selection",
+}
 
 # r6 verdict #3: a second decade. The 100× tier runs the flagship
 # SCALE-PATH operators only (the md5/fixed-literal oracle-mirror
@@ -89,7 +117,59 @@ FLAGSHIP_100X = [
     "decontamination_bloom",
     "hot_ngrams_cms",
     "sequence_pack",
+    # r10 (r9 verdict #3): the r8/r9 operator families' second decade.
+    # The SFT family and the post-training transforms run under the
+    # FORCED_AGG protocol (output-bound); the Hamming rows use the
+    # xxhash64 mapside fingerprint (the production hash — the md5
+    # dict variant exists for the DuckDB mirror, same exclusion rule
+    # as dedup_minhash vs _fast). `simhash_auto` is the auto-routed
+    # run: at 100x the banded birthday estimate is ~1e12 >> the 1e8
+    # budget, so auto must select probes — the route is recorded in
+    # the output next to the estimate.
+    "bpe_encode",
+    "fim_transform",
+    "sft_turn_flatten",
+    "sft_role_audit",
+    "sft_loss_mask_spans",
+    "preference_pair_audit",
+    "preference_pair_dedup",
+    "simhash_probes_fast",
+    "simhash_auto",
 ]
+
+
+def _simhash_probes_fast(spark, sf_dir: str):
+    """Hamming near-pairs, probes candidates, production fingerprint
+    (zero-shuffle xxhash64 mapside — the md5 dict variant is the
+    DuckDB mirror, not the scale path)."""
+    from deftunes_spark.ext import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sims = D.simhash64_mapside(docs, "doc_id", "text")
+    return D.simhash_near_pairs(
+        sims, "doc_id", max_hamming=8, mode="probes"
+    )
+
+
+def _simhash_auto(spark, sf_dir: str):
+    """mode='auto' — the routing itself under test: the harness
+    prints the decision simhash_route makes for this corpus size."""
+    from pyspark.sql import functions as F
+
+    from deftunes_spark.ext import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.filter(F.col("text").isNotNull()).count()
+    route, est = D.simhash_route(n, 8)
+    print(
+        f"     simhash_auto route @ n={n}: {route} "
+        f"(banded estimate {est:.3g} vs budget "
+        f"{D._BANDS_CANDIDATE_BUDGET:.0g})"
+    )
+    sims = D.simhash64_mapside(docs, "doc_id", "text")
+    return D.simhash_near_pairs(
+        sims, "doc_id", max_hamming=8, mode="auto"
+    )
 
 
 def _ann_knn_auto(spark, sf_dir: str):
@@ -295,6 +375,58 @@ def sft_long_dialog_probe(spark) -> dict:
     return out
 
 
+def simhash_crossover_probe(spark) -> dict:
+    """Empirical evidence for the bands→probes auto-route crossover
+    (r9 verdict #3): at sf0.01 (~6k docs) the banded birthday estimate
+    n²(h+1)/2^(64/(h+1)) sits under the 1e8 candidate budget — auto
+    selects BANDS and bands is the cheaper measurement; at sf0.1
+    (~60k docs) the estimate crosses the budget — auto selects PROBES
+    and probes wins the measurement. Both modes are timed at both
+    corpus sizes (same zero-shuffle xxhash64 fingerprint, h=8), so
+    the cost table's crossover is OBSERVED, not asserted. Output row
+    sets are identical by pigeonhole (exactness pytest + the shared
+    full oracle of dedup_simhash_probes); the probe asserts it anyway
+    via the pair counts."""
+    from pyspark.sql import functions as F
+
+    from deftunes_spark.ext import dedup as D
+
+    out = {}
+    for label, sf_dir in (
+        ("sf0.01", "/root/testdata/sf0.01"),
+        ("sf0.1", BASE),
+    ):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = docs.filter(F.col("text").isNotNull()).count()
+        route, est = D.simhash_route(n, 8)
+        rec: dict = {
+            "n_docs": n,
+            "banded_candidate_estimate": round(est),
+            "auto_route": route,
+        }
+        for mode in ("bands", "probes"):
+            sims = D.simhash64_mapside(docs, "doc_id", "text")
+            pairs = D.simhash_near_pairs(
+                sims, "doc_id", max_hamming=8, mode=mode
+            )
+            pairs.collect()  # warm codegen
+            t0 = time.perf_counter()
+            n_pairs = len(pairs.collect())
+            rec[mode] = {
+                "sec": round(time.perf_counter() - t0, 2),
+                "pairs": n_pairs,
+            }
+        assert rec["bands"]["pairs"] == rec["probes"]["pairs"]
+        out[label] = rec
+        print(
+            f"crossover {label}: n={n} est={est:.3g} route={route} "
+            f"bands={rec['bands']['sec']}s "
+            f"probes={rec['probes']['sec']}s "
+            f"({rec['bands']['pairs']} pairs both)"
+        )
+    return out
+
+
 def main() -> None:
     from deftunes_spark.registry import QUERIES as REG
     from deftunes_spark.session import get_spark
@@ -316,19 +448,54 @@ def main() -> None:
         build_scale_dir(spark)
         print(f"built {SCALE_DIR} in {time.perf_counter() - t0:.1f}s")
 
+    local = {
+        "ann_knn_auto": _ann_knn_auto,
+        "simhash_probes_fast": _simhash_probes_fast,
+        "simhash_auto": _simhash_auto,
+    }
+
     def _resolve(name):
-        return _ann_knn_auto if name == "ann_knn_auto" else REG[name]
+        base = local.get(name) or REG[name]
+        if name not in FORCED_AGG:
+            return base
+        from pyspark.sql import functions as F
+
+        def forced(spark_, sf_dir_, _base=base):
+            df = _base(spark_, sf_dir_)
+            # bit_xor, not sum: xxhash64 spans the full signed-long
+            # range, and under ANSI mode a sum aggregate overflows
+            # on any real corpus; xor is closed over int64.
+            return df.select(
+                F.xxhash64(*[F.col(c) for c in df.columns]).alias(
+                    "_h"
+                )
+            ).agg(
+                F.count(F.lit(1)).alias("n_out"),
+                F.expr("bit_xor(_h)").alias("content_hash"),
+            )
+
+        return forced
 
     only = None
     for i, a in enumerate(sys.argv):
         if a == "--only" and i + 1 < len(sys.argv):
             only = set(sys.argv[i + 1].split(","))
 
+    def _rows(name, res):
+        # FORCED_AGG queries ship one aggregate row; the table
+        # records the materialized OUTPUT row count it carries.
+        return (
+            int(res[0]["n_out"]) if name in FORCED_AGG
+            else len(res)
+        )
+
     out: dict = {"load_avg": [round(x, 2) for x in os.getloadavg()]}
     for label, sf_dir in (("1x", BASE), ("10x", SCALE_DIR)):
         out[label] = {"buckets": bucket_maxima(spark, sf_dir)}
         names = QUERIES + (
-            ["ann_knn_auto"] if "--100x" in sys.argv else []
+            ["ann_knn_auto", "simhash_probes_fast", "simhash_auto"]
+            if "--100x" in sys.argv
+            else []
         )
         if only is not None:
             names = [n for n in names if n in only]
@@ -346,7 +513,7 @@ def main() -> None:
                 # under two different protocols.
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                rows = len(fn(spark, sf_dir).collect())
+                rows = _rows(name, fn(spark, sf_dir).collect())
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()
@@ -370,7 +537,10 @@ def main() -> None:
                 f"{time.perf_counter() - t0:.1f}s"
             )
         out["100x"] = {"buckets": bucket_maxima(spark, SCALE_DIR_100)}
-        for name in FLAGSHIP_100X:
+        names_100 = FLAGSHIP_100X
+        if only is not None:
+            names_100 = [n for n in names_100 if n in only]
+        for name in names_100:
             fn = _resolve(name)
             # One warm-up, one timed run. "Warm-up is noise at 30-s
             # walls" proved WRONG in r8: the cold first run of the
@@ -389,7 +559,7 @@ def main() -> None:
             # run so pins don't accumulate across the tier.
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            rows = len(fn(spark, SCALE_DIR_100).collect())
+            rows = _rows(name, fn(spark, SCALE_DIR_100).collect())
             dt = time.perf_counter() - t0
             spark.catalog.clearCache()
             # sec = min of the two runs (bench.py's estimator): the
@@ -407,6 +577,9 @@ def main() -> None:
                 f"(cold {cold:6.2f}s warm {dt:6.2f}s) "
                 f"{rows:>8} rows"
             )
+
+    if only is None or "simhash_crossover" in only:
+        out["simhash_crossover"] = simhash_crossover_probe(spark)
 
     out["sft_long_dialog"] = sft_long_dialog_probe(spark)
     for k, v in out["sft_long_dialog"].items():
@@ -431,7 +604,9 @@ def main() -> None:
         print("|---|---|---|---|---|")
         for name in FLAGSHIP_100X:
             a = out["10x"].get(name)
-            b = out["100x"][name]
+            b = out["100x"].get(name)
+            if b is None:
+                continue  # filtered by --only
             a_sec = a["sec"] if a else float("nan")
             ratio = (
                 f"{b['sec'] / max(a_sec, 1e-9):.1f}x" if a else "n/a"
