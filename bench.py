@@ -117,6 +117,12 @@ HEADLINE = [
     # candidate join over the prompt universe):
     "bpe_encode",
     "preference_pair_dedup",
+    # r10 additions: the decode inverse (pure codegen projection over
+    # the encode's output — benched as the full encode→decode chain)
+    # and the shard-export roundtrip (write n shards + read back +
+    # manifest — the one headline query that times a SINK path):
+    "bpe_decode",
+    "shard_export_manifest",
 ]
 
 WARMUP_RUNS = 2

@@ -234,3 +234,37 @@ def test_partition_pruning_on_partitioned_table(spark, tmp_path):
     # And the scan enumerates one partition's files only.
     assert q.rdd.getNumPartitions() <= 4
     assert q.count() == len([i for i in range(1000) if i % 7 == 3])
+
+
+def test_bpe_decode_is_pure_projection_over_encode(spark, queries):
+    """bpe_decode (r10) must add ZERO plan nodes beyond the encode
+    stage it consumes: no Exchange (the inverse-id map is a literal),
+    no extra Python boundary (decode is codegen, not a UDF) — the
+    whole chain is scan -> one MapInPandas (the encode) -> project."""
+    plan = _plan(queries["bpe_decode"](spark, SF))
+    assert plan.count("MapInPandas") == 1      # the encode, only
+    assert "BatchEvalPython" not in plan       # decode never Python
+    assert "hashpartitioning" not in plan.lower()  # no key shuffle
+
+
+def test_shard_manifest_single_partial_final_agg(spark, tmp_path):
+    """The shard manifest over a read-back export: ONE hash aggregate
+    pair (partial map-side, final after a single shard-key exchange),
+    no UDF, no sort — the shape that holds at any shard count."""
+    import pyspark.sql.functions as F
+
+    from deftunes_spark.ext.export import shard_export, shard_manifest
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("text"),
+    )
+    path = str(tmp_path / "mshards")
+    shard_export(docs, path, n_shards=4)
+    plan = _plan(shard_manifest(spark.read.parquet(path)))
+    low = plan.lower()
+    assert low.count("exchange") == 1          # one shard-key shuffle
+    assert "partial" in low                    # map-side combine
+    assert "batchevalpython" not in low
+    assert "mapinpandas" not in low
+    assert "sort" not in low                   # agg, never a sort

@@ -377,24 +377,25 @@ def sft_long_dialog_probe(spark) -> dict:
 
 def simhash_crossover_probe(spark) -> dict:
     """Empirical evidence for the bands→probes auto-route crossover
-    (r9 verdict #3): at sf0.01 (~6k docs) the banded birthday estimate
-    n²(h+1)/2^(64/(h+1)) sits under the 1e8 candidate budget — auto
-    selects BANDS and bands is the cheaper measurement; at sf0.1
-    (~60k docs) the estimate crosses the budget — auto selects PROBES
-    and probes wins the measurement. Both modes are timed at both
-    corpus sizes (same zero-shuffle xxhash64 fingerprint, h=8), so
-    the cost table's crossover is OBSERVED, not asserted. Output row
-    sets are identical by pigeonhole (exactness pytest + the shared
-    full oracle of dedup_simhash_probes); the probe asserts it anyway
-    via the pair counts."""
+    (r9 verdict #3): at 1x (sf0.1, ~5k docs) the banded birthday
+    estimate n²(h+1)/2^(64/(h+1)) sits under the 1e8 candidate
+    budget — auto selects BANDS and bands is the cheaper
+    measurement; at 10x (~50k docs) the estimate crosses the budget
+    — auto selects PROBES and probes wins the measurement. Both
+    modes are timed at both corpus sizes (same zero-shuffle xxhash64
+    fingerprint, h=8), so the cost table's crossover is OBSERVED,
+    not asserted. Output row sets are identical by pigeonhole
+    (exactness pytest + the shared full oracle of
+    dedup_simhash_probes); the probe asserts it anyway via the pair
+    counts."""
     from pyspark.sql import functions as F
 
     from deftunes_spark.ext import dedup as D
 
     out = {}
     for label, sf_dir in (
-        ("sf0.01", "/root/testdata/sf0.01"),
-        ("sf0.1", BASE),
+        ("1x", BASE),
+        ("10x", SCALE_DIR),
     ):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         n = docs.filter(F.col("text").isNotNull()).count()
