@@ -211,6 +211,19 @@ def _prompt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shingle document-frequency cap (r10): the plant suffix is appended
+# AFTER any corpus transformation, so its shingles are shared by
+# EVERY planted variant — df ∝ corpus, Σdf² ∝ corpus², and the 100×
+# stress measured exactly that (4.7 s → 290 s per decade, 1.25e9
+# candidate rows landing on TWO shuffle keys). The cap is the same
+# engineered stopword-shingle guard as `dedup_jaccard_dfcap`:
+# benign within-text shingle families stay ≤ ~25 df at every tested
+# scale, the corpus-proportional suffix shingles cross 64 at sf0.1
+# and beyond. Semantics = exact Jaccard of the FILTERED sets,
+# mirrored verbatim in the oracle (at sf0.01 nothing crosses the
+# cap, so the r9 output is reproduced bit-for-bit).
+_PREF_DEDUP_MAXDF = 64
+
 _PREF_DEDUP_ORACLE = f"""
 WITH prom AS (
     SELECT doc_id AS prompt_id, substr(text, 1, 200) AS prompt
@@ -224,11 +237,20 @@ WITH prom AS (
     SELECT prompt_id,
            regexp_split_to_array(trim(prompt), '{_WS}') AS toks
     FROM prom
-), sets AS (
+), sets0 AS (
     SELECT prompt_id, list_distinct(list_transform(
         range(1, greatest(len(toks) - 2, 1) + 1),
         i -> array_to_string(toks[i:i+2], ' '))) AS ss
     FROM toklist
+), toks0 AS (
+    SELECT prompt_id, unnest(ss) AS shingle FROM sets0
+), dfreq AS (
+    SELECT shingle, COUNT(*) AS c FROM toks0 GROUP BY 1
+), sets AS (
+    SELECT prompt_id, list(shingle) AS ss
+    FROM toks0 JOIN dfreq USING (shingle)
+    WHERE c <= {_PREF_DEDUP_MAXDF}
+    GROUP BY 1
 ), pairs AS (
     SELECT a.prompt_id AS id_a, b.prompt_id AS id_b,
            len(list_intersect(a.ss, b.ss)) AS o,
@@ -253,13 +275,19 @@ def q_preference_pair_dedup(
     — the leakage check before an RM/DPO train-eval split. Planted
     suffix-variant duplicates guarantee pairs at every sf; the oracle
     is an independent brute-force all-pairs intersect, so the hash
-    check also proves the candidate pruning drops nothing."""
+    check also proves the candidate pruning drops nothing. Runs under
+    the `max_doc_freq` stopword-shingle guard (see _PREF_DEDUP_MAXDF:
+    the plant suffix's shingles are corpus-proportional and made the
+    unguarded join quadratic at 100× — 4.7→290 s per decade); the
+    oracle mirrors the cap, so the check is the exact Jaccard of the
+    filtered sets at every sf."""
     return P.preference_prompt_dedup(
         _prompt_pairs(spark, sf_dir),
         "prompt_id",
         "prompt",
         n=3,
         threshold=0.5,
+        max_doc_freq=_PREF_DEDUP_MAXDF,
     )
 
 
