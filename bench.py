@@ -123,6 +123,13 @@ HEADLINE = [
     # manifest — the one headline query that times a SINK path):
     "bpe_decode",
     "shard_export_manifest",
+    # r10 batch 2: the unigram-LM apply (Viterbi mapInPandas riding
+    # the scan — the second tokenizer family's hot path), the sparse
+    # per-language KL (two corpus-pass aggs + scalar broadcasts), and
+    # the shingle doc-frequency novelty rollup (aggregate-then-join):
+    "unigram_encode_roundtrip",
+    "unigram_kl_divergence",
+    "ngram_novelty",
 ]
 
 WARMUP_RUNS = 2

@@ -58,3 +58,201 @@ def q_shard_export_manifest(
     path = tempfile.mkdtemp(prefix="deftunes_shardexp_") + "/docs"
     shard_export(docs, path, n_shards=_N_SHARDS)
     return shard_manifest(spark.read.parquet(path))
+
+
+# =====================================================================
+# Unigram-LM encode (tokenizer-family symmetry: the SentencePiece
+# twin of the r9 BPE encode loop)
+# =====================================================================
+
+from pyspark.sql import functions as F  # noqa: E402
+
+_UNI_MARK = "▁"  # ext.tokenizer.WORD_MARK
+
+_UNIGRAM_ROUNDTRIP_ORACLE = f"""
+SELECT doc_id,
+       array_to_string(list_filter(regexp_split_to_array(
+           lower(trim(text)), '{_WS}'), x -> x <> ''), ' ')
+           AS reconstructed,
+       CAST(len(list_filter(regexp_split_to_array(
+           lower(trim(text)), '{_WS}'), x -> x <> '')) AS BIGINT)
+           AS n_words
+FROM documents
+WHERE text IS NOT NULL AND strpos(text, '{_UNI_MARK}') = 0
+"""
+
+
+def _unigram_vocab_cached(spark: SparkSession, sf_dir: str):
+    """Train once per (session, sf_dir) — the ``_bpe_merges_cached``
+    discipline: the encode query must measure the ENCODE stage, not
+    re-pay the trainer's corpus pass per invocation, and it must pin
+    the same (vocab_size=80, seed_size=400) table the ``unigram_vocab``
+    trainer query registers."""
+    from deftunes_spark.ext.tokenizer import unigram_train
+
+    key = ("_unigram_vocab", sf_dir)
+    cache = getattr(spark, "_deftunes_bpe_cache", None)
+    if cache is None:
+        cache = {}
+        spark._deftunes_bpe_cache = cache
+    if key not in cache:
+        docs = _t_cpu(spark, sf_dir, "documents")
+        cache[key] = unigram_train(
+            docs, vocab_size=80, seed_size=400
+        )
+    return cache[key]
+
+
+@query("unigram_encode_roundtrip", _UNIGRAM_ROUNDTRIP_ORACLE)
+def q_unigram_encode_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-scale unigram-LM APPLY (ext.tokenizer.unigram_encode) —
+    the SentencePiece-family twin of ``bpe_encode``, completing the
+    tokenizer loop for the repo's second trainer: ship the trained
+    piece-score table in the task closure, Viterbi-segment every
+    document in one Arrow-batched mapInPandas stage (zero shuffle,
+    linear in tokens), and emit units with Kudo's U+2581 word-boundary
+    marker prefixed to each word-initial piece. Because Viterbi spans
+    partition each word exactly and unknown characters fall back to
+    single-char pieces, concatenating the units and turning markers
+    back into spaces MUST reconstruct the whitespace-normalized
+    lowercased text, and the marker count MUST equal the word count —
+    both value-checked against the SQL oracle (the
+    ``bpe_encode_roundtrip`` pattern; segmentation itself is
+    parity-pinned against the local Viterbi reference in
+    tests/test_r10_ops.py). Docs containing the reserved marker
+    literal are excluded on both sides."""
+    from deftunes_spark.ext.tokenizer import (
+        WORD_MARK,
+        unigram_encode,
+    )
+
+    vocab = _unigram_vocab_cached(spark, sf_dir)
+    docs = _t_cpu(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.instr(F.col("text"), WORD_MARK) == 0)
+    )
+    enc = unigram_encode(docs, vocab, emit="units")
+    return enc.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.array_join(F.col("units"), ""), WORD_MARK, " "
+            )
+        ).alias("reconstructed"),
+        F.size(
+            F.filter(
+                F.col("units"),
+                lambda u: u.startswith(WORD_MARK),
+            )
+        ).cast("bigint").alias("n_words"),
+    )
+
+
+# =====================================================================
+# Corpus divergence: per-language unigram KL vs the corpus mixture
+# =====================================================================
+
+_KL_ALPHA = 0.5
+
+# The oracle computes the DENSE textbook definition (full group x
+# vocab grid); the Spark side computes the sparse observed-cells
+# decomposition — the value-hash match proves the decomposition
+# algebra itself every round (the probes/bands proof pattern).
+_KL_ORACLE = f"""
+WITH w AS (
+    SELECT lang AS grp, unnest(list_filter(regexp_split_to_array(
+        lower(trim(text)), '{_WS}'), x -> x <> '')) AS word
+    FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+), wc AS (
+    SELECT grp, word, CAST(count(*) AS DOUBLE) AS c
+    FROM w GROUP BY 1, 2
+), wt AS (
+    SELECT word, sum(c) AS cw FROM wc GROUP BY 1
+), gt AS (
+    SELECT grp, sum(c) AS ng FROM wc GROUP BY 1
+), tot AS (
+    SELECT sum(cw) AS nt, CAST(count(*) AS DOUBLE) AS v FROM wt
+), grid AS (
+    SELECT g.grp, g.ng, t.cw, coalesce(c.c, 0.0) AS c,
+           tot.nt, tot.v
+    FROM gt g CROSS JOIN wt t CROSS JOIN tot
+    LEFT JOIN wc c ON c.grp = g.grp AND c.word = t.word
+)
+SELECT grp AS lang,
+       CAST(ng AS BIGINT) AS n_words,
+       CAST(v AS BIGINT) AS vocab_size,
+       round(sum(
+           ((c + {_KL_ALPHA}) / (ng + {_KL_ALPHA} * v))
+           * ln(((c + {_KL_ALPHA}) / (ng + {_KL_ALPHA} * v))
+                / ((cw + {_KL_ALPHA}) / (nt + {_KL_ALPHA} * v)))
+       ), 6) AS kl
+FROM grid
+GROUP BY grp, ng, v
+"""
+
+
+@query("unigram_kl_divergence", _KL_ORACLE)
+def q_unigram_kl_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language unigram KL divergence vs the corpus mixture
+    (ext.curation.unigram_kl_by_group) — the lexical drift monitor
+    next to embedding_drift_psi. Spark evaluates the SPARSE
+    decomposition (observed cells + two corpus scalars; no
+    groups x vocab grid, the 100 TB shape); the oracle evaluates the
+    dense textbook sum over the full grid, so the hash match proves
+    the decomposition algebra, not just the plumbing."""
+    from deftunes_spark.ext.curation import unigram_kl_by_group
+
+    docs = _t_cpu(spark, sf_dir, "documents")
+    return unigram_kl_by_group(docs, "lang", alpha=_KL_ALPHA)
+
+
+# =====================================================================
+# N-gram novelty (memorization / boilerplate curation signal)
+# =====================================================================
+
+_NOVELTY_N = 3
+
+_NOVELTY_ORACLE = f"""
+WITH toklist AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '{_WS}') AS toks
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), sh AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i:i+{_NOVELTY_N - 1}], ' ') AS shingle
+    FROM toklist,
+         UNNEST(range(1, greatest(len(toks) - {_NOVELTY_N - 1}, 1) + 1))
+             AS t(i)
+), dfc AS (
+    SELECT shingle, count(*) AS dfreq FROM sh GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN d.dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       round(CAST(sum(CASE WHEN d.dfreq = 1 THEN 1 ELSE 0 END)
+           AS DOUBLE) / count(*), 6) AS novelty
+FROM sh s JOIN dfc d USING (shingle)
+GROUP BY 1
+"""
+
+
+@query("ngram_novelty", _NOVELTY_ORACLE)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-3-gram novelty (ext.curation.ngram_novelty):
+    the fraction of a doc's distinct shingles occurring in no other
+    document — the boilerplate/originality curation signal. Canonical
+    shingles_mapside explode (zero-exchange per-doc dedup), ONE
+    map-side-combined doc-frequency aggregate, keyed join back,
+    groupBy(doc) rollup; aggregate-then-join rather than
+    count-over-window so a hot boilerplate shingle collapses map-side
+    instead of buffering one window partition."""
+    from deftunes_spark.ext.curation import ngram_novelty
+
+    docs = _t_cpu(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    return ngram_novelty(docs, n=_NOVELTY_N)

@@ -1335,3 +1335,165 @@ def substring_dedup(
             .alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Corpus divergence: per-group unigram KL vs the corpus mixture
+# ---------------------------------------------------------------------
+
+
+def unigram_kl_by_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group unigram-distribution KL divergence against the corpus
+    mixture — the lexical complement of ``embedding_drift_psi`` for
+    mixture monitoring: KL(P_g || Q) over the full corpus vocabulary
+    with additive (Laplace ``alpha``) smoothing, where P_g is group
+    g's smoothed word distribution and Q the corpus-wide one.
+
+    Scale design — the SPARSE DECOMPOSITION, never the dense grid.
+    The textbook definition sums over |groups| x |vocab| cells; at a
+    100 TB corpus vocabulary (1e8+ words) that grid is the cost. But
+    every unobserved cell of group g shares one probability
+    p0_g = alpha / (n_g + alpha*V), so
+
+        KL_g = sum_observed [ p*ln(p/q) - p0_g*ln(p0_g/q) ]
+               + p0_g * ( V*ln(p0_g) - sum_vocab ln(q) )
+
+    needs only the OBSERVED (group, word) cells plus two corpus
+    scalars (V and the ln-q sum). The plan is therefore: one
+    tokenize + groupBy(group, word) corpus pass, a vocab-sized
+    groupBy(word) rollup, one equi-join of observed cells to per-word
+    q, and bounded-row broadcasts for the scalars — everything keyed,
+    nothing quadratic, no S x V explosion. The driver oracle computes
+    the DENSE definition in SQL, so the value-hash match proves the
+    decomposition algebra itself every round.
+
+    Output: (group_col, n_words, vocab_size, kl) with ``kl`` rounded
+    to ``round_to`` (float-sum association noise is ~1e-12 at these
+    magnitudes; the repo-wide rounding discipline)."""
+    words = (
+        df.filter(
+            F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.split(
+                    F.lower(F.trim(F.col(text_col))),
+                    "[ \\t\\n\\x0B\\f\\r]+",
+                )
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    wc = words.groupBy("grp", "word").agg(
+        F.count("*").cast("double").alias("c_gw")
+    )
+    word_tot = wc.groupBy("word").agg(F.sum("c_gw").alias("c_w"))
+    grp_tot = wc.groupBy("grp").agg(F.sum("c_gw").alias("n_g"))
+    totals = word_tot.agg(
+        F.sum("c_w").alias("n_tot"),
+        F.count("*").cast("double").alias("v"),
+    )
+    a = F.lit(float(alpha))
+    word_q = word_tot.crossJoin(F.broadcast(totals)).select(
+        "word",
+        ((F.col("c_w") + a) / (F.col("n_tot") + a * F.col("v"))).alias(
+            "q_w"
+        ),
+    )
+    l_sum = word_q.agg(F.sum(F.log("q_w")).alias("l_sum"))
+    p0 = a / (F.col("n_g") + a * F.col("v"))
+    obs = (
+        wc.join(word_q, "word")
+        .join(F.broadcast(grp_tot), "grp")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "grp",
+            (
+                ((F.col("c_gw") + a) / (F.col("n_g") + a * F.col("v")))
+                * F.log(
+                    ((F.col("c_gw") + a) / (F.col("n_g") + a * F.col("v")))
+                    / F.col("q_w")
+                )
+                - p0 * F.log(p0 / F.col("q_w"))
+            ).alias("term"),
+        )
+    )
+    return (
+        obs.groupBy("grp")
+        .agg(F.sum("term").alias("s_obs"))
+        .join(F.broadcast(grp_tot), "grp")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(l_sum))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_g").cast("bigint").alias("n_words"),
+            F.col("v").cast("bigint").alias("vocab_size"),
+            F.round(
+                F.col("s_obs")
+                + p0 * (F.col("v") * F.log(p0) - F.col("l_sum")),
+                round_to,
+            ).alias("kl"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# N-gram novelty (memorization / boilerplate signal)
+# ---------------------------------------------------------------------
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word n-grams that occur in NO other document — high
+    novelty marks original content, low novelty marks boilerplate /
+    template families (the inverse of what ``segment_dedup`` excises)
+    and is a standard pretraining-curation signal next to the Gopher
+    rules.
+
+    Shape: the canonical ``shingles_mapside`` explode (zero-exchange
+    per-doc dedup), ONE map-side-combined groupBy(shingle) for the
+    doc-frequency table, an equi-join back on shingle, and a
+    groupBy(doc) rollup. The df-table join is deliberately
+    aggregate-then-join rather than a count-over-window: partial
+    aggregation collapses a hot shingle (a million-doc boilerplate
+    line) to one row map-side, and AQE's skew-join handles the probe
+    side, whereas a window partitioned by shingle would buffer the
+    hot key's entire partition in one task. All joins keyed, nothing
+    quadratic; doc text never shuffles (only (id, shingle) pairs)."""
+    from deftunes_spark.ext.dedup import shingles_mapside
+
+    sh = shingles_mapside(df, id_col, text_col, n)
+    dfc = sh.groupBy("shingle").agg(
+        F.count("*").alias("_doc_freq")
+    )
+    return (
+        sh.join(dfc, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                (F.col("_doc_freq") == 1).cast("bigint")
+            ).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_shingles"), round_to
+            ).alias("novelty"),
+        )
+    )

@@ -705,6 +705,31 @@ def unigram_train(
     return sorted((p, scores[p]) for p in pieces)
 
 
+def _unigram_seg_word(
+    word: str,
+    scores: dict[str, float],
+    max_piece_len: int,
+    unk_score: float,
+) -> list[str]:
+    """Segment ONE word with a trained unigram vocabulary — the shared
+    kernel of ``unigram_segment_udf`` and ``unigram_encode`` (one
+    definition, the ``_apply_merges`` discipline, so the corpus-scale
+    encode can never desync from the reference segmenter it is
+    parity-tested against). Unknown characters are admitted as
+    single-char fallback pieces scored below every vocabulary piece,
+    so coverage is total and the Viterbi partition always
+    reconstructs the word exactly."""
+    if any(ch not in scores for ch in word):
+        # Rare path: augment only for words with unknown chars —
+        # the common case reuses the shared dict with no copy.
+        aug = dict(scores)
+        for ch in word:
+            if ch not in aug:
+                aug[ch] = unk_score
+        return _viterbi_segment(word, aug, max_piece_len) or list(word)
+    return _viterbi_segment(word, scores, max_piece_len) or list(word)
+
+
 def unigram_segment_udf(
     vocab: list[tuple[str, float]], max_piece_len: int | None = None
 ):
@@ -714,7 +739,10 @@ def unigram_segment_udf(
     expression case. Unknown characters surface as single-char
     fallback pieces so coverage is total. The DP span bound defaults
     to the vocabulary's own longest piece — passing a smaller value
-    would silently make longer pieces unreachable."""
+    would silently make longer pieces unreachable. Tokenizes with the
+    repo-wide explicit whitespace class (``_ws_tokens``), never
+    Python ``str.split()``'s Unicode set — the r9-advice parity class
+    that bit ``bpe_encode``'s strip."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -723,25 +751,126 @@ def unigram_segment_udf(
         max_piece_len = max((len(p) for p in scores), default=1)
     unk = min(scores.values(), default=0.0) - 10.0
 
-    def seg_word(word: str) -> list[str]:
-        if any(ch not in scores for ch in word):
-            # Rare path: augment only for words with unknown chars —
-            # the common case reuses the shared dict with no copy.
-            aug = dict(scores)
-            for ch in word:
-                if ch not in aug:
-                    aug[ch] = unk
-            return _viterbi_segment(word, aug, max_piece_len) or list(word)
-        return _viterbi_segment(word, scores, max_piece_len) or list(word)
-
     def _segment(texts):
         out = []
         for t in texts:
             units: list[str] = []
-            for w in (t or "").lower().split():
-                units.extend(seg_word(w))
+            for w in _ws_tokens(t):
+                units.extend(
+                    _unigram_seg_word(w, scores, max_piece_len, unk)
+                )
             out.append(units)
         return pd.Series(out)
 
     _segment.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return pandas_udf(_segment, "array<string>")
+
+
+# SentencePiece's word-boundary marker (Kudo 2018): prefixed to each
+# word-INITIAL piece at emission time — pieces themselves stay plain
+# vocabulary members — so a flat unit stream round-trips to the
+# normalized text by concat + marker→space. Any non-corpus character
+# works; U+2581 is the published convention.
+WORD_MARK = "▁"
+
+
+def unigram_vocab_ids(vocab: list[tuple[str, float]]) -> dict[str, int]:
+    """Deterministic piece → id table for a trained unigram
+    vocabulary: sorted-piece order. A pure function of the vocabulary
+    (scores don't participate), so every executor, batch, and later
+    ingest derives the same ids with no coordination — the
+    ``bpe_vocab_ids`` contract for the unigram family."""
+    return {p: i for i, p in enumerate(sorted(p for p, _s in vocab))}
+
+
+def unigram_encode(
+    df: DataFrame,
+    vocab: list[tuple[str, float]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emit: str = "units",
+    max_piece_len: int | None = None,
+) -> DataFrame:
+    """Distributed unigram-LM APPLY — the SentencePiece-family twin of
+    :func:`bpe_encode`, completing the tokenizer loop for the second
+    trainer: encode each document with a TRAINED unigram vocabulary in
+    one Arrow-batched ``mapInPandas`` stage, zero shuffle, linear in
+    tokens.
+
+    The score and id tables are vocab-sized driver objects shipped in
+    the task closure; per-row work is pure local compute
+    (explicit-whitespace-class word split → per-word Viterbi DP →
+    marker/id emission), so the stage rides the text scan with NO
+    exchange — the same 100 TB shape as the BPE encode.
+
+    ``emit='units'`` → (id, units array<string>, n_pieces, n_unk):
+    the piece strings with :data:`WORD_MARK` prefixed to each
+    word-initial piece, whose concatenation reconstructs the
+    normalized text exactly (marker → space) — the lossless-coverage
+    invariant the ``unigram_encode_roundtrip`` driver query
+    value-checks in SQL. ``emit='ids'`` → (id, piece_ids array<int>,
+    n_pieces, n_unk): marker-free pieces through
+    :func:`unigram_vocab_ids`; unknown-char fallback pieces outside
+    the vocabulary encode as −1 and are counted in ``n_unk`` rather
+    than silently dropped."""
+    if emit not in ("ids", "units"):
+        raise ValueError(f"unknown emit {emit!r}")
+    import pandas as pd
+
+    scores = dict(vocab)
+    if max_piece_len is None:
+        max_piece_len = max((len(p) for p in scores), default=1)
+    unk_score = min(scores.values(), default=0.0) - 10.0
+    ids = unigram_vocab_ids(vocab)
+    id_type = dict(df.dtypes)[id_col]
+    out_field = (
+        "piece_ids array<int>" if emit == "ids"
+        else "units array<string>"
+    )
+    schema = (
+        f"{id_col} {id_type}, {out_field}, "
+        "n_pieces bigint, n_unk bigint"
+    )
+    want_ids = emit == "ids"
+
+    def _encode(batches):
+        for pdf in batches:
+            out_col = []
+            n_pc = []
+            n_unk = []
+            for t in pdf[text_col]:
+                pieces: list[str] = []
+                marks: list[bool] = []
+                for w in _ws_tokens(t):
+                    seg = _unigram_seg_word(
+                        w, scores, max_piece_len, unk_score
+                    )
+                    pieces.extend(seg)
+                    marks.extend(
+                        i == 0 for i in range(len(seg))
+                    )
+                if want_ids:
+                    enc = [ids.get(p, -1) for p in pieces]
+                    out_col.append(enc)
+                    n_unk.append(sum(1 for x in enc if x < 0))
+                else:
+                    out_col.append(
+                        [
+                            (WORD_MARK + p) if m else p
+                            for p, m in zip(pieces, marks)
+                        ]
+                    )
+                    n_unk.append(
+                        sum(1 for p in pieces if p not in ids)
+                    )
+                n_pc.append(len(pieces))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    ("piece_ids" if want_ids else "units"): out_col,
+                    "n_pieces": n_pc,
+                    "n_unk": n_unk,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_encode, schema)

@@ -268,3 +268,46 @@ def test_shard_manifest_single_partial_final_agg(spark, tmp_path):
     assert "batchevalpython" not in low
     assert "mapinpandas" not in low
     assert "sort" not in low                   # agg, never a sort
+
+
+def test_unigram_encode_rides_the_scan_zero_exchange(spark):
+    """The corpus-scale unigram apply must be ONE Arrow mapInPandas
+    stage over the scan — vocab tables travel in the closure, so any
+    Exchange (or explode) in its plan is a regression (the bpe_encode
+    contract, held for the second tokenizer family)."""
+    from deftunes_spark.ext.tokenizer import unigram_encode
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = [("a", -1.0), ("b", -2.0), ("ab", -0.7)]
+    for emit in ("units", "ids"):
+        plan = _plan(unigram_encode(docs, vocab, emit=emit))
+        assert "Exchange" not in plan, emit
+        assert "MapInPandas" in plan, emit
+        assert "Generate" not in plan, emit
+
+
+def test_ngram_novelty_keyed_aggregate_then_join(spark, queries):
+    """Novelty = shingle explode → map-side-combined doc-frequency agg
+    → keyed join → doc rollup. Assert the join is a real equi-join
+    (never nested-loop/cartesian) and both aggs partial-combine; a
+    count-over-window rewrite (hot-shingle partition buffering) would
+    drop the partial_count and is caught here."""
+    fmt = _formatted(queries["ngram_novelty"](spark, SF))
+    assert "CartesianProduct" not in fmt
+    assert "BroadcastNestedLoopJoin" not in fmt
+    assert "Window" not in fmt
+    assert fmt.count("HashAggregate") >= 4  # partial+final × two aggs
+
+
+def test_unigram_kl_sparse_decomposition_no_grid(spark, queries):
+    """The KL plan must stay sparse: the observed-cells relation joins
+    per-word q via a KEYED equi-join; only 1-row scalar aggregates may
+    cross as broadcast nested loops (the audited class). A dense
+    groups × vocab grid would surface as a non-scalar cartesian."""
+    plan = _plan(queries["unigram_kl_divergence"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )

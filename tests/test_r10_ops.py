@@ -153,3 +153,223 @@ def test_rotation_err_rows_are_not_coverage(tmp_path, monkeypatch):
     assert covered["q_green"] == 5
     assert covered["q_rows_only"] == 5   # successful rows-only check
     assert "q_err" not in covered        # errored twice -> never covered
+
+
+# ---------------------------------------------------------------------
+# unigram_encode: the SentencePiece-family twin of bpe_encode —
+# parity with the local Viterbi reference, marker roundtrip, OOV ids.
+# ---------------------------------------------------------------------
+
+_UNI_DOCS = [
+    (1, "the cat sat"),
+    (2, "THE  hat\n"),
+    (3, "a cat hat"),
+    (4, ""),
+    (5, None),
+]
+
+
+def _uni_fixture(spark):
+    from deftunes_spark.ext.tokenizer import unigram_train
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in _UNI_DOCS if t is not None],
+        "doc_id bigint, text string",
+    ).union(
+        spark.createDataFrame(
+            [(5, None)], "doc_id bigint, text string"
+        )
+    )
+    vocab = unigram_train(docs, vocab_size=12, seed_size=30)
+    return docs, vocab
+
+
+def test_unigram_encode_parity_with_reference_segmenter(spark):
+    from deftunes_spark.ext.tokenizer import (
+        WORD_MARK,
+        _unigram_seg_word,
+        _ws_tokens,
+        unigram_encode,
+    )
+
+    docs, vocab = _uni_fixture(spark)
+    scores = dict(vocab)
+    max_len = max(len(p) for p in scores)
+    unk = min(scores.values()) - 10.0
+    got = {
+        r["doc_id"]: r["units"]
+        for r in unigram_encode(docs, vocab).collect()
+    }
+    for i, t in _UNI_DOCS:
+        if t is None:
+            continue
+        want = []
+        for w in _ws_tokens(t):
+            seg = _unigram_seg_word(w, scores, max_len, unk)
+            want.extend(
+                [(WORD_MARK + p) if j == 0 else p
+                 for j, p in enumerate(seg)]
+            )
+        assert got[i] == want, i
+
+
+def test_unigram_encode_marker_roundtrip_and_counts(spark):
+    from deftunes_spark.ext.tokenizer import WORD_MARK, unigram_encode
+
+    docs, vocab = _uni_fixture(spark)
+    rows = {
+        r["doc_id"]: r for r in unigram_encode(docs, vocab).collect()
+    }
+    for i, t in _UNI_DOCS:
+        if t is None:
+            continue
+        norm = " ".join((t or "").lower().split())
+        units = rows[i]["units"]
+        assert (
+            "".join(units).replace(WORD_MARK, " ").strip() == norm
+        )
+        assert rows[i]["n_pieces"] == len(units)
+        n_words = sum(1 for u in units if u.startswith(WORD_MARK))
+        assert n_words == len(norm.split())
+    # Empty text → empty unit stream, not a crash or a phantom word.
+    assert rows[4]["units"] == [] and rows[4]["n_pieces"] == 0
+
+
+def test_unigram_encode_ids_oov_counted_not_dropped(spark):
+    from deftunes_spark.ext.tokenizer import (
+        unigram_encode,
+        unigram_vocab_ids,
+    )
+
+    docs, _ = _uni_fixture(spark)
+    # Hand vocabulary WITHOUT 's': "sat" forces single-char fallback
+    # pieces outside the id table → -1 ids counted in n_unk.
+    vocab = [(p, -1.0) for p in
+             ["t", "h", "e", "c", "a", "the", "cat", "hat"]]
+    ids = unigram_vocab_ids(vocab)
+    enc = {
+        r["doc_id"]: r
+        for r in unigram_encode(docs, vocab, emit="ids").collect()
+    }
+    r1 = enc[1]  # "the cat sat"
+    assert -1 in r1["piece_ids"]
+    assert r1["n_unk"] == sum(1 for x in r1["piece_ids"] if x < 0)
+    assert r1["n_unk"] >= 1
+    # In-vocab pieces map through the deterministic sorted-piece table.
+    assert r1["piece_ids"][0] == ids["the"]
+    assert enc[3]["n_unk"] == 0  # "a cat hat" fully covered... 'a' in vocab
+
+
+def test_unigram_vocab_ids_pure_function_of_pieces():
+    from deftunes_spark.ext.tokenizer import unigram_vocab_ids
+
+    a = unigram_vocab_ids([("b", -1.0), ("a", -2.0), ("c", -0.5)])
+    b = unigram_vocab_ids([("c", -9.0), ("a", -1.0), ("b", -3.0)])
+    assert a == b == {"a": 0, "b": 1, "c": 2}
+
+
+# ---------------------------------------------------------------------
+# unigram_kl_by_group: sparse decomposition == dense definition.
+# ---------------------------------------------------------------------
+
+
+def test_unigram_kl_matches_dense_numpy(spark):
+    import math
+    from collections import Counter
+
+    from deftunes_spark.ext.curation import unigram_kl_by_group
+
+    rows = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the dog sat"),
+        (3, "de", "der hund sitzt auf der matte"),
+        (4, "de", "die katze"),
+        (5, None, "ignored group"),
+        (6, "en", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    )
+    got = {
+        r["lang"]: r
+        for r in unigram_kl_by_group(df, "lang", alpha=0.5).collect()
+    }
+    # Dense reference: full group x vocab grid.
+    by_g: dict[str, Counter] = {}
+    for _i, g, t in rows:
+        if g is None or t is None:
+            continue
+        by_g.setdefault(g, Counter()).update(t.lower().split())
+    vocab = sorted(set().union(*by_g.values()))
+    v = len(vocab)
+    tot = Counter()
+    for c in by_g.values():
+        tot.update(c)
+    n_tot = sum(tot.values())
+    a = 0.5
+    for g, cg in by_g.items():
+        n_g = sum(cg.values())
+        kl = 0.0
+        for w in vocab:
+            p = (cg.get(w, 0) + a) / (n_g + a * v)
+            q = (tot[w] + a) / (n_tot + a * v)
+            kl += p * math.log(p / q)
+        assert got[g]["n_words"] == n_g
+        assert got[g]["vocab_size"] == v
+        assert abs(got[g]["kl"] - round(kl, 6)) < 2e-6, g
+        assert got[g]["kl"] >= 0.0  # Gibbs: KL of proper dists
+    assert set(got) == {"en", "de"}  # NULL group/text excluded
+
+
+def test_unigram_kl_single_group_is_zero(spark):
+    from deftunes_spark.ext.curation import unigram_kl_by_group
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "en", "a b")],
+        "doc_id bigint, lang string, text string",
+    )
+    [r] = unigram_kl_by_group(df, "lang").collect()
+    # One group IS the corpus mixture → KL exactly 0 after rounding.
+    assert r["kl"] == 0.0
+
+
+# ---------------------------------------------------------------------
+# ngram_novelty: planted duplicates score 0, unique content scores 1.
+# ---------------------------------------------------------------------
+
+
+def test_ngram_novelty_planted(spark):
+    from deftunes_spark.ext.curation import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # exact dup of 1
+            (3, "zeta eta theta iota kappa"),       # fully unique
+            (4, "xy zz"),                           # < n tokens
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    # Duplicated docs: every shingle has df=2 → zero novelty.
+    assert got[1]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
+    assert got[1]["n_shingles"] == 3 and got[1]["n_novel"] == 0
+    # Unique doc: every shingle df=1 → novelty 1.
+    assert got[3]["novelty"] == 1.0 and got[3]["n_novel"] == 3
+    # Short doc contributes its full token string as ONE shingle
+    # (the canonical shingle contract) — unique here.
+    assert got[4]["n_shingles"] == 1 and got[4]["novelty"] == 1.0
+
+
+def test_ngram_novelty_repeated_shingle_within_doc_counts_once(spark):
+    from deftunes_spark.ext.curation import ngram_novelty
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "c d e")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(df, n=2).collect()}
+    # "a b" appears 3x in doc 1 but is ONE distinct shingle; both its
+    # shingles ("a b", "b a") are corpus-unique → novelty 1.
+    assert got[1]["n_shingles"] == 2
+    assert got[1]["novelty"] == 1.0

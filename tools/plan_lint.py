@@ -42,6 +42,12 @@ ALLOW_BNLJ = {
     "unique_not_null": "1-row scalar-aggregate grid join",
     "approx_uniqueness": "1-row scalar-aggregate grid join",
     "bm25_rank": "broadcast of the 1-row corpus-stats aggregate",
+    "unigram_kl_divergence": (
+        "two 1-row scalar broadcasts (corpus totals + the ln-q sum) "
+        "joined onto the observed-cells relation — the sparse-KL "
+        "decomposition's whole point is that ONLY scalars cross "
+        "group boundaries, never a groups × vocab grid"
+    ),
     "lm_perplexity": "broadcast of the 1-row vocab-size aggregate",
     "tfidf_terms": "broadcast of the 1-row doc-count aggregate",
     "decontamination": (

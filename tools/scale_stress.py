@@ -81,6 +81,16 @@ QUERIES = [
     "best_of_n_selection",
     "fim_transform",
     "dedup_simhash_probes",
+    # r10 batch 2: the unigram-LM apply (closure-shipped piece table,
+    # zero shuffle — the ratio checks linear-in-tokens like the BPE
+    # row), the sparse per-language KL (observed cells + scalar
+    # broadcasts — the ratio checks the vocab rollup stays the cost,
+    # never a groups×vocab grid), and the shingle doc-frequency
+    # novelty rollup (keyed agg+join — near-linear like the other
+    # shingle families).
+    "unigram_encode_roundtrip",
+    "unigram_kl_divergence",
+    "ngram_novelty",
 ]
 
 # Output-bound queries (full rewritten text / per-turn rows / token
@@ -94,6 +104,7 @@ QUERIES = [
 FORCED_AGG = {
     "fim_transform",
     "bpe_encode",
+    "unigram_encode_roundtrip",
     "sft_turn_flatten",
     "sft_role_audit",
     "sft_loss_mask_spans",
@@ -135,6 +146,14 @@ FLAGSHIP_100X = [
     "preference_pair_dedup",
     "simhash_probes_fast",
     "simhash_auto",
+    # r10 batch 2: unigram apply (linear-in-tokens claim at the
+    # second decade; the 100x trainer run is session setup, excluded
+    # by the min-of-2 protocol like the BPE row), sparse KL (vocab
+    # rollup stays the cost), shingle-df novelty (near-linear keyed
+    # agg+join).
+    "unigram_encode_roundtrip",
+    "unigram_kl_divergence",
+    "ngram_novelty",
 ]
 
 
