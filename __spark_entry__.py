@@ -97,12 +97,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from deftunes_spark.registry import QUERIES
 
     covered = _last_covered_round()
+    # Never-covered queries (new registrations, or err-demoted rows)
+    # slot just AFTER the stalest covered tier, not before it: they
+    # deserve prompt coverage, but a batch of new queries must never
+    # crowd the oldest-artifact queries out of the driver's fixed
+    # 50-query sample — the rotation's no-artifact-older-than-N
+    # guarantee is about THOSE, and a new query missing one round is
+    # harmless (it is green in the repo's own sweep and enters the
+    # artifact next round).
+    fallback: float = (
+        min(covered.values()) + 0.5 if covered else -1.0
+    )
 
-    def tier(n: str) -> int:
-        t = covered.get(n, -1)
+    def tier(n: str) -> float:
+        t: float = covered.get(n, fallback)
         for a, b in _ORACLE_TWINS.items():
             if n in (a, b):
-                t = min(t, covered.get(a, -1), covered.get(b, -1))
+                t = min(
+                    t,
+                    covered.get(a, fallback),
+                    covered.get(b, fallback),
+                )
         return t
 
     names = sorted(QUERIES, key=tier)

@@ -155,6 +155,29 @@ def test_rotation_err_rows_are_not_coverage(tmp_path, monkeypatch):
     assert "q_err" not in covered        # errored twice -> never covered
 
 
+def test_rotation_new_queries_slot_after_stalest_tier(
+    tmp_path, monkeypatch
+):
+    """Never-covered queries must sort just AFTER the oldest covered
+    tier: a batch of new registrations must never crowd the
+    stalest-artifact queries out of the driver's fixed 50-query
+    sample (the rotation's no-artifact-older-than-N guarantee is
+    about those), while still outranking every fresher tier."""
+    import __spark_entry__ as e
+
+    with open(tmp_path / "CORRECTNESS_r05.json", "w") as f:
+        json.dump({"q_old": {"err": None}}, f)
+    with open(tmp_path / "CORRECTNESS_r09.json", "w") as f:
+        json.dump({"q_fresh": {"err": None}}, f)
+    monkeypatch.setattr(e, "_REPO_DIR", str(tmp_path))
+    fake = {"q_fresh": object(), "q_new": object(), "q_old": object()}
+    monkeypatch.setattr(
+        "deftunes_spark.registry.QUERIES", fake
+    )
+    names = list(e.queries())
+    assert names == ["q_old", "q_new", "q_fresh"]
+
+
 # ---------------------------------------------------------------------
 # unigram_encode: the SentencePiece-family twin of bpe_encode —
 # parity with the local Viterbi reference, marker roundtrip, OOV ids.

@@ -105,6 +105,7 @@ FORCED_AGG = {
     "fim_transform",
     "bpe_encode",
     "unigram_encode_roundtrip",
+    "ngram_novelty",
     "sft_turn_flatten",
     "sft_role_audit",
     "sft_loss_mask_spans",
