@@ -130,6 +130,9 @@ HEADLINE = [
     "unigram_encode_roundtrip",
     "unigram_kl_divergence",
     "ngram_novelty",
+    # The unigram encode→decode chain (the bpe_decode analog — the
+    # decode itself is a pure projection riding the encode stage):
+    "unigram_decode",
 ]
 
 WARMUP_RUNS = 2

@@ -256,3 +256,43 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
     )
     return ngram_novelty(docs, n=_NOVELTY_N)
+
+
+_UNIGRAM_DECODE_ORACLE = f"""
+SELECT doc_id,
+       array_to_string(list_filter(regexp_split_to_array(
+           lower(trim(text)), '{_WS}'), x -> x <> ''), ' ')
+           AS decoded
+FROM documents
+WHERE text IS NOT NULL AND strpos(text, '{_UNI_MARK}') = 0
+"""
+
+
+@query("unigram_decode", _UNIGRAM_DECODE_ORACLE)
+def q_unigram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer loop closed (the ``bpe_decode`` bracket
+    pattern for the SECOND trainer family): ids → text through
+    ext.tokenizer.unigram_decode — the inverse of the deterministic
+    marked+plain ``unigram_vocab_ids`` table as a PURE CODEGEN
+    projection (literal map lookup + concat + marker→space; zero
+    UDF, zero shuffle). Word boundaries live in the id stream
+    (word-initial pieces hold marked ids) and the trainer retains
+    every single character of its corpus, so decode(encode(text))
+    MUST equal the whitespace-normalized lowercased text —
+    value-checked in SQL, and the invariant that exercises the id
+    TABLE itself (a wrong or colliding id decodes to the wrong
+    piece string). OOV → replacement char, never dropped
+    (tests/test_r10_ops.py)."""
+    from deftunes_spark.ext.tokenizer import (
+        WORD_MARK,
+        unigram_decode,
+        unigram_encode,
+    )
+
+    vocab = _unigram_vocab_cached(spark, sf_dir)
+    docs = _t_cpu(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.instr(F.col("text"), WORD_MARK) == 0)
+    )
+    enc = unigram_encode(docs, vocab, emit="ids")
+    return unigram_decode(enc, vocab).select("doc_id", "decoded")

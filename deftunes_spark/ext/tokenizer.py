@@ -776,11 +776,21 @@ WORD_MARK = "▁"
 
 def unigram_vocab_ids(vocab: list[tuple[str, float]]) -> dict[str, int]:
     """Deterministic piece → id table for a trained unigram
-    vocabulary: sorted-piece order. A pure function of the vocabulary
-    (scores don't participate), so every executor, batch, and later
-    ingest derives the same ids with no coordination — the
-    ``bpe_vocab_ids`` contract for the unigram family."""
-    return {p: i for i, p in enumerate(sorted(p for p, _s in vocab))}
+    vocabulary: each piece in sorted order gets TWO ids — the plain
+    (word-internal) form and the :data:`WORD_MARK`-prefixed
+    (word-initial) form, the SentencePiece convention that makes an
+    id stream losslessly invertible (word boundaries live in the ids
+    themselves, exactly as BPE's EOW-fused symbols do). A pure
+    function of the vocabulary (scores don't participate), so every
+    executor, batch, and later ingest derives the same ids with no
+    coordination — the ``bpe_vocab_ids`` contract for the unigram
+    family."""
+    ids: dict[str, int] = {}
+    for p in sorted({p for p, _s in vocab}):
+        for s in (p, WORD_MARK + p):
+            if s not in ids:
+                ids[s] = len(ids)
+    return ids
 
 
 def unigram_encode(
@@ -809,10 +819,12 @@ def unigram_encode(
     normalized text exactly (marker → space) — the lossless-coverage
     invariant the ``unigram_encode_roundtrip`` driver query
     value-checks in SQL. ``emit='ids'`` → (id, piece_ids array<int>,
-    n_pieces, n_unk): marker-free pieces through
-    :func:`unigram_vocab_ids`; unknown-char fallback pieces outside
-    the vocabulary encode as −1 and are counted in ``n_unk`` rather
-    than silently dropped."""
+    n_pieces, n_unk): the MARKED units through
+    :func:`unigram_vocab_ids` (word-initial pieces get the marked
+    id, so the id stream carries word boundaries and
+    :func:`unigram_decode` inverts it losslessly); unknown-char
+    fallback pieces outside the vocabulary encode as −1 and are
+    counted in ``n_unk`` rather than silently dropped."""
     if emit not in ("ids", "units"):
         raise ValueError(f"unknown emit {emit!r}")
     import pandas as pd
@@ -839,31 +851,25 @@ def unigram_encode(
             n_pc = []
             n_unk = []
             for t in pdf[text_col]:
-                pieces: list[str] = []
-                marks: list[bool] = []
+                units: list[str] = []
                 for w in _ws_tokens(t):
                     seg = _unigram_seg_word(
                         w, scores, max_piece_len, unk_score
                     )
-                    pieces.extend(seg)
-                    marks.extend(
-                        i == 0 for i in range(len(seg))
+                    units.extend(
+                        (WORD_MARK + p) if i == 0 else p
+                        for i, p in enumerate(seg)
                     )
                 if want_ids:
-                    enc = [ids.get(p, -1) for p in pieces]
+                    enc = [ids.get(u, -1) for u in units]
                     out_col.append(enc)
                     n_unk.append(sum(1 for x in enc if x < 0))
                 else:
-                    out_col.append(
-                        [
-                            (WORD_MARK + p) if m else p
-                            for p, m in zip(pieces, marks)
-                        ]
-                    )
+                    out_col.append(units)
                     n_unk.append(
-                        sum(1 for p in pieces if p not in ids)
+                        sum(1 for u in units if u not in ids)
                     )
-                n_pc.append(len(pieces))
+                n_pc.append(len(units))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -874,3 +880,52 @@ def unigram_encode(
             )
 
     return df.select(id_col, text_col).mapInPandas(_encode, schema)
+
+
+def unigram_decode(
+    df: DataFrame,
+    vocab: list[tuple[str, float]],
+    ids_col: str = "piece_ids",
+    out_col: str = "decoded",
+    unk: str = "�",
+) -> DataFrame:
+    """Inverse of :func:`unigram_encode`'s id mapping — ids → pieces
+    via the same deterministic :func:`unigram_vocab_ids` table
+    (marked + plain forms), concatenated with word markers restored
+    to spaces. The id stream carries word boundaries (word-initial
+    pieces hold the marked ids), so ``decode(encode(x))`` equals the
+    whitespace-normalized lowercased text whenever the vocabulary
+    covers the corpus — which the trainer's retain-all-single-chars
+    rule guarantees on its own training corpus: the full-oracle
+    invariant the ``unigram_decode`` driver query value-checks in
+    SQL (the ``bpe_decode`` bracket pattern for the second tokenizer
+    family).
+
+    Same shape as :func:`bpe_decode`: the inverse table is a literal
+    ``map<int,string>`` column, so decode is a PURE CODEGEN
+    PROJECTION — zero UDF, zero shuffle. OOV ids (−1, or anything
+    outside the table) decode to ``unk`` instead of vanishing; a
+    word-initial unknown swallows its boundary, faithfully
+    witnessed rather than papered over (pytest-pinned). For
+    production-scale vocabularies ship the inverse dict in a
+    mapInPandas closure instead (the :func:`bpe_encode` pattern)."""
+    inv = {v: k for k, v in unigram_vocab_ids(vocab).items()}
+    entries: list = []
+    for i in sorted(inv):
+        entries += [F.lit(i), F.lit(inv[i])]
+    table = F.create_map(*entries)
+    pieces = F.transform(
+        F.col(ids_col),
+        lambda x: F.coalesce(F.element_at(table, x), F.lit(unk)),
+    )
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.col(ids_col).isNotNull(),
+            F.trim(
+                F.regexp_replace(
+                    F.array_join(pieces, ""), WORD_MARK, " "
+                )
+            ),
+        ),
+    )

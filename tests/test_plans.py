@@ -311,3 +311,14 @@ def test_unigram_kl_sparse_decomposition_no_grid(spark, queries):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_unigram_decode_is_pure_projection_over_encode(spark, queries):
+    """unigram_decode must add ZERO plan nodes beyond the encode stage
+    it consumes — the bpe_decode contract held for the second
+    tokenizer family: no Exchange (the inverse-id map is a literal),
+    no extra Python boundary; scan -> one MapInPandas -> project."""
+    plan = _plan(queries["unigram_decode"](spark, SF))
+    assert plan.count("MapInPandas") == 1      # the encode, only
+    assert "BatchEvalPython" not in plan       # decode never Python
+    assert "hashpartitioning" not in plan.lower()  # no key shuffle

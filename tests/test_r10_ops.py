@@ -278,9 +278,74 @@ def test_unigram_encode_ids_oov_counted_not_dropped(spark):
     assert -1 in r1["piece_ids"]
     assert r1["n_unk"] == sum(1 for x in r1["piece_ids"] if x < 0)
     assert r1["n_unk"] >= 1
-    # In-vocab pieces map through the deterministic sorted-piece table.
-    assert r1["piece_ids"][0] == ids["the"]
-    assert enc[3]["n_unk"] == 0  # "a cat hat" fully covered... 'a' in vocab
+    # Word-initial pieces carry the MARKED id (boundaries live in the
+    # id stream — the SentencePiece convention that makes decode
+    # lossless); word-internal pieces the plain id.
+    from deftunes_spark.ext.tokenizer import WORD_MARK
+
+    assert r1["piece_ids"][0] == ids[WORD_MARK + "the"]
+    assert enc[3]["n_unk"] == 0  # "a cat hat" fully covered
+
+
+def test_unigram_decode_inverts_encode(spark):
+    from deftunes_spark.ext.tokenizer import (
+        unigram_decode,
+        unigram_encode,
+    )
+
+    docs, vocab = _uni_fixture(spark)
+    # The trainer retains every single char of its corpus, so encode
+    # over the SAME corpus has n_unk == 0 and decode must reproduce
+    # the whitespace-normalized lowercased text exactly.
+    enc = unigram_encode(docs, vocab, emit="ids")
+    got = {
+        r["doc_id"]: r["decoded"]
+        for r in unigram_decode(enc, vocab).collect()
+    }
+    for i, t in _UNI_DOCS:
+        if t is None:
+            continue
+        assert got[i] == " ".join(t.lower().split()), i
+
+
+def test_unigram_decode_oov_witnessed_not_dropped(spark):
+    from deftunes_spark.ext.tokenizer import (
+        unigram_decode,
+        unigram_encode,
+    )
+
+    docs, _ = _uni_fixture(spark)
+    vocab = [(p, -1.0) for p in
+             ["t", "h", "e", "c", "a", "the", "cat", "hat"]]
+    enc = unigram_encode(docs, vocab, emit="ids")
+    dec = {
+        r["doc_id"]: r
+        for r in unigram_decode(enc, vocab).collect()
+    }
+    # "the cat sat": 's' is OOV → its -1 decodes to the replacement
+    # char, one per negative id, never silently dropped.
+    r1 = {r["doc_id"]: r for r in enc.collect()}[1]
+    assert dec[1]["decoded"].count("�") == sum(
+        1 for x in r1["piece_ids"] if x < 0
+    ) >= 1
+    # Fully-covered docs still roundtrip exactly.
+    assert dec[2]["decoded"] == "the hat"
+
+
+def test_unigram_decode_null_and_empty_ids(spark):
+    from deftunes_spark.ext.tokenizer import unigram_decode
+
+    vocab = [("a", -1.0), ("b", -2.0)]
+    df = spark.createDataFrame(
+        [(1, [1, 0]), (2, []), (3, None)],
+        "doc_id bigint, piece_ids array<int>",
+    )
+    rows = {
+        r["doc_id"]: r["decoded"]
+        for r in unigram_decode(df, vocab).collect()
+    }
+    assert rows[2] == ""
+    assert rows[3] is None
 
 
 def test_unigram_vocab_ids_pure_function_of_pieces():
