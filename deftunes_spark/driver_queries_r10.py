@@ -67,7 +67,7 @@ def q_shard_export_manifest(
 
 from pyspark.sql import functions as F  # noqa: E402
 
-_UNI_MARK = "▁"  # ext.tokenizer.WORD_MARK
+from deftunes_spark.ext.tokenizer import WORD_MARK as _UNI_MARK  # noqa: E402
 
 _UNIGRAM_ROUNDTRIP_ORACLE = f"""
 SELECT doc_id,
@@ -187,7 +187,7 @@ SELECT grp AS lang,
            ((c + {_KL_ALPHA}) / (ng + {_KL_ALPHA} * v))
            * ln(((c + {_KL_ALPHA}) / (ng + {_KL_ALPHA} * v))
                 / ((cw + {_KL_ALPHA}) / (nt + {_KL_ALPHA} * v)))
-       ), 6) AS kl
+       ), 5) AS kl
 FROM grid
 GROUP BY grp, ng, v
 """
@@ -207,7 +207,12 @@ def q_unigram_kl_divergence(
     from deftunes_spark.ext.curation import unigram_kl_by_group
 
     docs = _t_cpu(spark, sf_dir, "documents")
-    return unigram_kl_by_group(docs, "lang", alpha=_KL_ALPHA)
+    # round_to=5 (not the function default 6): the sparse-vs-dense
+    # association noise is ~1e-12, so 5 decimals carries a 10x margin
+    # against a boundary flip in the value-hash compare (r10 ADVICE).
+    return unigram_kl_by_group(
+        docs, "lang", alpha=_KL_ALPHA, round_to=5
+    )
 
 
 # =====================================================================

@@ -353,7 +353,11 @@ def test_unigram_vocab_ids_pure_function_of_pieces():
 
     a = unigram_vocab_ids([("b", -1.0), ("a", -2.0), ("c", -0.5)])
     b = unigram_vocab_ids([("c", -9.0), ("a", -1.0), ("b", -3.0)])
-    assert a == b == {"a": 0, "b": 1, "c": 2}
+    # Dual-id design (e290150): each piece gets a plain (word-internal)
+    # id and a WORD_MARK-prefixed (word-initial) id, in sorted-piece
+    # order — scores never participate, so any score permutation yields
+    # the identical table.
+    assert a == b == {"a": 0, "▁a": 1, "b": 2, "▁b": 3, "c": 4, "▁c": 5}
 
 
 # ---------------------------------------------------------------------
