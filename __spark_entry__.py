@@ -121,6 +121,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return t
 
     names = sorted(QUERIES, key=tier)
+
+    # Guarantee prompt coverage: the after-the-stalest-tier rule can
+    # push never-covered queries just past the sample boundary when
+    # the stalest tier alone fills it (r10: exactly 50 r7-tier queries
+    # left ngram_novelty/unigram_decode/unigram_kl_divergence at
+    # positions 50-52). Reserve a bounded block INSIDE the first
+    # _SAMPLE slots for up to _NEW_CAP never-covered queries — bounded
+    # so a big new batch still can't crowd out the stale tier, and the
+    # displaced covered queries become next round's stalest.
+    _SAMPLE, _NEW_CAP = 50, 12
+    never = [n for n in names if n not in covered][:_NEW_CAP]
+    if never and any(names.index(n) >= _SAMPLE for n in never):
+        rest = [n for n in names if n not in never]
+        cut = max(0, _SAMPLE - len(never))
+        names = rest[:cut] + never + rest[cut:]
     return {n: QUERIES[n] for n in names}
 
 
