@@ -80,7 +80,9 @@ _ORACLE_TWINS = {
     "bpe_merges": "bpe_pair_counts",
     "unigram_vocab": "unigram_seed_counts",
     "semantic_dedup_auto": "semantic_dedup",
-    "source_overlap_minhash": "source_overlap",
+    # r11: the KMV md5 variant replays the FULL sketch/estimator
+    # algebra under a value-hash oracle — the closest twin.
+    "source_overlap_minhash": "source_overlap_kmv_md5",
     "sequence_pack_bestfit": "sequence_pack",
     "bpe_encode": "bpe_encode_roundtrip",
 }

@@ -878,6 +878,7 @@ def source_overlap_minhash(
     text_col: str = "text",
     n: int = 3,
     k: int = 256,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Sketch variant of :func:`source_overlap`: per-group KMV
     (bottom-k) sketches replace the exact distinct (group, shingle)
@@ -906,6 +907,8 @@ def source_overlap_minhash(
     """
     if k < 2:
         raise ValueError("k must be >= 2 (KMV needs a k-th minimum)")
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError("hash_fn must be xxhash64 or md5")
     from pyspark.sql import Window
 
     from deftunes_spark.ext.dedup import shingle_array_sql
@@ -916,9 +919,20 @@ def source_overlap_minhash(
     # permutation, not the banded k-seed family), bottom-k per doc:
     # the group bottom-k is a subset of its docs' bottom-k unions, so
     # per-doc truncation loses nothing (standard KMV merge property).
+    # hash_fn="md5" is the oracle-mirrorable family (15 hex digits →
+    # a non-negative 60-bit bigint, the repo's established md5→int
+    # convention); xxhash64 is the production path (~6× cheaper, no
+    # string materialization per shingle).
+    if hash_fn == "md5":
+        h_sql = (
+            "cast(conv(substring(md5(concat('kmv|', s)), 1, 15), "
+            "16, 10) as bigint)"
+        )
+    else:
+        h_sql = "xxhash64(concat('kmv|', s))"
     doc_bk = F.expr(
         f"slice(array_sort(array_distinct(transform({sh_expr}, "
-        f"s -> xxhash64(concat('kmv|', s))))), 1, {k})"
+        f"s -> {h_sql}))), 1, {k})"
     )
     per_doc = (
         df.filter(F.col(text_col).isNotNull())
@@ -933,7 +947,16 @@ def source_overlap_minhash(
         .groupBy("g")
         .agg(F.sort_array(F.collect_list("h")).alias("sk"))
     )
-    _u = kmv_uniform
+    if hash_fn == "md5":
+        # 60-bit non-negative hash → (0, 1]: (h+1)/2^60. Plain
+        # integer-shift arithmetic, mirrored verbatim in the DuckDB
+        # oracle, so the estimator algebra value-hash-matches.
+        def _u(h):
+            return (h.cast("double") + F.lit(1.0)) / F.lit(
+                float(2**60)
+            )
+    else:
+        _u = kmv_uniform
 
     def _card(sk):
         sz = F.size(sk)

@@ -106,3 +106,49 @@ def test_sketch_epsilon_on_sf001_documents(spark):
         ), key
         assert s.n_a == pytest.approx(e.n_a, rel=0.15), key
         assert s.n_b == pytest.approx(e.n_b, rel=0.15), key
+
+
+def test_md5_variant_epsilon_and_parity(spark):
+    """hash_fn="md5" (the oracle family, r10 verdict #8) carries the
+    identical estimator algebra: same pair set as the xxhash64 twin,
+    same ε-envelope vs exact. The two hash families are independent
+    permutations, so values agree statistically, not bitwise."""
+    from deftunes_spark.ext.curation import (
+        source_overlap,
+        source_overlap_minhash,
+    )
+
+    def doc(lo, hi):
+        return " ".join(f"w{i}" for i in range(lo, hi))
+
+    rows = []
+    for d in range(40):
+        rows.append((f"a{d}", "A", doc(d * 100, d * 100 + 103)))
+    for d in range(10):
+        rows.append((f"b{d}", "B", doc(d * 100, d * 100 + 103)))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    exact = _collect(source_overlap(df, "source", "text", n=3))
+    md5 = _collect(
+        source_overlap_minhash(df, "source", "text", n=3, k=256,
+                               hash_fn="md5")
+    )
+    xxh = _collect(source_overlap_minhash(df, "source", "text", n=3, k=256))
+    assert set(exact) == set(md5) == set(xxh)
+    for key, e in exact.items():
+        s = md5[key]
+        assert s.jaccard == pytest.approx(e.jaccard, abs=0.08)
+        assert s.containment == pytest.approx(e.containment, abs=0.12)
+        for f in ("n_a", "n_b"):
+            assert getattr(s, f) == pytest.approx(
+                getattr(e, f), rel=0.20
+            )
+
+
+def test_md5_variant_rejects_unknown_hash(spark):
+    from deftunes_spark.ext.curation import source_overlap_minhash
+
+    df = spark.createDataFrame(
+        [("a", "A", "x y z")], ["doc_id", "source", "text"]
+    )
+    with pytest.raises(ValueError):
+        source_overlap_minhash(df, "source", "text", hash_fn="sha1")
