@@ -7,6 +7,9 @@
   cardinality / containment estimators) is value-hash-checked against
   a pure-SQL DuckDB replication. The xxhash64 entry stays the benched
   production path.
+- ``bpe_byte_roundtrip``: byte-fallback BPE (r10 verdict #6) —
+  decode(encode(x)) == whitespace-normalized x for ARBITRARY text,
+  with no lowercasing and no marker-literal exclusion.
 
 Each entry follows the registry contract: a Spark builder plus a
 DuckDB value-hash oracle mirroring the full chain.
@@ -113,4 +116,88 @@ def q_source_overlap_kmv_md5(
     docs = _t_cpu(spark, sf_dir, "documents")
     return C.source_overlap_minhash(
         docs, "source", "text", n=_KMV_N, k=_KMV_K, hash_fn="md5"
+    )
+
+
+# =====================================================================
+# Byte-level (byte-fallback) BPE roundtrip (r10 verdict #6)
+# =====================================================================
+
+# No lower(), no marker-literal exclusion: byte-level BPE round-trips
+# ARBITRARY text (emoji, CJK, control bytes, even the char-level
+# path's "</w>" marker literal) — the only normalization is the
+# whitespace-class split/join both tokenizer families share.
+_BYTE_BPE_ORACLE = f"""
+SELECT doc_id,
+       array_to_string(list_filter(regexp_split_to_array(
+           text, '{_WS}'), x -> x <> ''), ' ') AS decoded,
+       CAST(len(list_filter(regexp_split_to_array(
+           text, '{_WS}'), x -> x <> '')) AS BIGINT) AS n_words
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+
+def _byte_merges_cached(spark: SparkSession, sf_dir: str):
+    """Train-once-per-session byte-level merge table (the r9
+    _bpe_merges_cached pattern: training is one-time setup, so the
+    benched region times encode/decode, not the trainer)."""
+    key = ("_byte_bpe_merges", sf_dir)
+    cache = getattr(spark, "_deftunes_bpe_cache", None)
+    if cache is None:
+        cache = {}
+        spark._deftunes_bpe_cache = cache
+    if key not in cache:
+        from deftunes_spark.ext.tokenizer import bpe_train
+
+        docs = _t_cpu(spark, sf_dir, "documents")
+        cache[key] = bpe_train(
+            docs.filter(F.col("text").isNotNull()),
+            num_merges=8,
+            min_freq=2,
+            byte_level=True,
+        )
+    return cache[key]
+
+
+@query("bpe_byte_roundtrip", _BYTE_BPE_ORACLE)
+def q_bpe_byte_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Byte-fallback BPE encode→decode closure
+    (ext.tokenizer.bpe_train/bpe_encode/bpe_decode(byte_level=True)):
+    every UTF-8 byte of each word becomes a latin-1 unit symbol over
+    the FIXED 256-symbol base alphabet, so nothing is ever OOV
+    (n_unk structurally 0) and decode(encode(x)) == the whitespace-
+    normalized ORIGINAL text — case, emoji, CJK, control bytes, and
+    the char-level marker literal included. A strictly stronger
+    invariant than the char-level roundtrip (which lowercases and
+    must exclude marker-literal docs), value-checked against the
+    pure-SQL normalization with NO exclusion filter. Encode is the
+    same zero-shuffle Arrow mapInPandas riding the scan; decode stays
+    a pure codegen projection (map literal + ISO-8859-1→UTF-8
+    recode, both JVM built-ins)."""
+    from deftunes_spark.ext.tokenizer import (
+        BYTE_ALPHABET,
+        bpe_decode,
+        bpe_encode,
+    )
+
+    merges = _byte_merges_cached(spark, sf_dir)
+    docs = _t_cpu(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    enc = bpe_encode(docs, merges, byte_level=True)
+    dec = bpe_decode(enc, merges, BYTE_ALPHABET, byte_level=True)
+    # decoded is single-space-joined words, so its space-split size IS
+    # the word count (empty text → 0) — the same derivation the
+    # oracle applies to the source text, reached through the full
+    # encode→ids→decode chain.
+    return dec.select(
+        "doc_id",
+        "decoded",
+        F.when(F.col("decoded") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("decoded"), " ")))
+        .cast("bigint")
+        .alias("n_words"),
     )

@@ -33,16 +33,42 @@ from deftunes_spark.ext.lineage import cut_lineage
 # non-corpus character works (standard BPE uses </w>).
 EOW = "</w>"
 
+# Byte-level mode (the production byte-fallback convention): each
+# UTF-8 byte of a word becomes ONE latin-1 unit symbol
+# (``word.encode('utf-8').decode('latin-1')``), so the base alphabet
+# is the FIXED 256 latin-1 characters and NOTHING is ever OOV — no
+# corpus alphabet scan, no n_unk. The end-of-word marker must then be
+# a symbol no byte can produce: U+0100, the first codepoint past
+# latin-1, can never collide with any byte sequence (the char-level
+# path has to EXCLUDE documents containing its "</w>" literal; the
+# byte path round-trips arbitrary text, markers included).
+BYTE_EOW = "Ā"
+BYTE_ALPHABET = [chr(i) for i in range(256)]
+
+
+def _word_to_bytes(word: str) -> str:
+    """UTF-8 bytes of ``word`` as a latin-1 string: one char per
+    byte, the GPT-2-family byte-level representation that lets the
+    whole char-level merge machinery run unchanged on bytes."""
+    return word.encode("utf-8").decode("latin-1")
+
 
 def word_vocab(
-    df: DataFrame, text_col: str = "text", min_freq: int = 1
+    df: DataFrame,
+    text_col: str = "text",
+    min_freq: int = 1,
+    lower: bool = True,
 ) -> DataFrame:
-    """(word, freq) over lowercased whitespace tokens — the single
-    full-corpus pass of BPE training."""
+    """(word, freq) over whitespace tokens (lowercased by default —
+    ``lower=False`` is the byte-level trainer's case-preserving mode)
+    — the single full-corpus pass of BPE training."""
+    base = F.trim(F.col(text_col))
+    if lower:
+        base = F.lower(base)
     toks = df.select(
         F.explode(
             F.filter(
-                F.split(F.lower(F.trim(F.col(text_col))), "[ \\t\\n\\x0B\\f\\r]+"),
+                F.split(base, "[ \\t\\n\\x0B\\f\\r]+"),
                 lambda t: t != "",
             )
         ).alias("word")
@@ -142,7 +168,9 @@ def _merge_expr(col: str, left: str, right: str) -> str:
 
 
 def _bpe_merge_loop_local(
-    word_freqs: list[tuple[str, int]], num_merges: int
+    word_freqs: list[tuple[str, int]],
+    num_merges: int,
+    eow: str = EOW,
 ) -> list[tuple[str, str, int]]:
     """In-memory merge loop over a collected (word, freq) vocabulary.
 
@@ -170,7 +198,7 @@ def _bpe_merge_loop_local(
     from collections import Counter
 
     seqs: list[tuple[list[str], int]] = [
-        (list(w[:-1]) + [w[-1] + EOW], f) for w, f in word_freqs if w
+        (list(w[:-1]) + [w[-1] + eow], f) for w, f in word_freqs if w
     ]
     pair_counts: Counter = Counter()
     pair_words: dict[tuple[str, str], set[int]] = {}
@@ -237,6 +265,7 @@ def bpe_train(
     reliable: bool = False,
     strategy: str = "auto",
     local_vocab_max: int = 5_000_000,
+    byte_level: bool = False,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merge rules from the corpus.
 
@@ -256,7 +285,21 @@ def bpe_train(
     """
     if strategy not in ("auto", "local", "distributed"):
         raise ValueError(f"unknown strategy {strategy!r}")
-    vocab = word_vocab(df, text_col, min_freq)
+    if byte_level and strategy == "distributed":
+        # The distributed path's symbol-init expression splits JVM
+        # strings per character; a byte split would need binary-typed
+        # symbol arrays for no benefit — the merge loop is
+        # VOCABULARY-bounded, so the local loop (over the collected
+        # (word, freq) table produced by the one distributed corpus
+        # pass) is the 100 TB path either way.
+        raise ValueError(
+            "byte_level BPE uses the local merge loop "
+            "(strategy='local' or 'auto')"
+        )
+    # Byte level trains case-preserving (the production convention:
+    # the tokenizer must round-trip arbitrary text, so no lossy
+    # normalization is baked into the vocabulary).
+    vocab = word_vocab(df, text_col, min_freq, lower=not byte_level)
     if strategy == "auto":
         # Bounded count decides the mode WITHOUT driver
         # materialization: limit(N+1).count() never moves more than a
@@ -264,6 +307,12 @@ def bpe_train(
         # over-threshold vocabulary can't OOM the very driver the
         # threshold protects (a probe-collect of N+1 Rows would).
         n_probe = vocab.limit(local_vocab_max + 1).count()
+        if byte_level and n_probe > local_vocab_max:
+            raise ValueError(
+                "byte_level BPE: distinct-word vocabulary exceeds "
+                f"local_vocab_max={local_vocab_max}; raise the cap "
+                "or pre-truncate with min_freq"
+            )
         strategy = (
             "local" if n_probe <= local_vocab_max else "distributed"
         )
@@ -278,6 +327,13 @@ def bpe_train(
         word_freqs = [
             (r["word"], int(r["freq"])) for r in vocab.collect()
         ]
+        if byte_level:
+            word_freqs = [
+                (_word_to_bytes(w), f) for w, f in word_freqs
+            ]
+            return _bpe_merge_loop_local(
+                word_freqs, num_merges, eow=BYTE_EOW
+            )
         return _bpe_merge_loop_local(word_freqs, num_merges)
     # Initial symbols: characters, with the end-of-word marker fused
     # onto the last character (standard BPE formulation).
@@ -322,7 +378,9 @@ def bpe_train(
 
 
 def _apply_merges(
-    word: str, rules: list[tuple[str, str, str]]
+    word: str,
+    rules: list[tuple[str, str, str]],
+    eow: str = EOW,
 ) -> list[str]:
     """Segment ONE word with the trained rules, applied sequentially
     in merge order with the same left-to-right non-overlapping fold
@@ -332,7 +390,7 @@ def _apply_merges(
     against)."""
     if not word:
         return []
-    syms = list(word[:-1]) + [word[-1] + EOW]
+    syms = list(word[:-1]) + [word[-1] + eow]
     for a, b, ab in rules:
         out: list[str] = []
         for x in syms:
@@ -364,7 +422,9 @@ def corpus_alphabet(df: DataFrame, text_col: str = "text") -> list[str]:
 
 
 def bpe_vocab_ids(
-    merges: list[tuple[str, str, int]], alphabet: list[str]
+    merges: list[tuple[str, str, int]],
+    alphabet: list[str],
+    eow: str = EOW,
 ) -> dict[str, int]:
     """Deterministic symbol → id table for a trained BPE: sorted base
     symbols first (each alphabet character plain and EOW-fused), then
@@ -374,7 +434,7 @@ def bpe_vocab_ids(
     every later ingest derives the same ids with no coordination."""
     ids: dict[str, int] = {}
     for c in sorted(set(alphabet)):
-        for s in (c, c + EOW):
+        for s in (c, c + eow):
             if s not in ids:
                 ids[s] = len(ids)
     for a, b, _n in merges:
@@ -390,7 +450,7 @@ def bpe_vocab_ids(
 _WS_RE = None  # compiled lazily inside workers
 
 
-def _ws_tokens(text: str | None) -> list[str]:
+def _ws_tokens(text: str | None, lower: bool = True) -> list[str]:
     # Boundary whitespace is handled by split-then-filter, NOT
     # str.strip(): Python strip removes the full Unicode whitespace
     # set (NBSP, U+2028, ...) while the explicit class — and every
@@ -402,9 +462,10 @@ def _ws_tokens(text: str | None) -> list[str]:
         import re
 
         _WS_RE = re.compile("[ \t\n\x0B\f\r]+")
-    return [
-        w for w in _WS_RE.split((text or "").lower()) if w != ""
-    ]
+    s = text or ""
+    if lower:
+        s = s.lower()
+    return [w for w in _WS_RE.split(s) if w != ""]
 
 
 def bpe_encode(
@@ -414,6 +475,7 @@ def bpe_encode(
     text_col: str = "text",
     alphabet: list[str] | None = None,
     emit: str = "ids",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Distributed BPE APPLY — the hottest operator of a real
     pretraining ingest (every token of a 100 TB corpus flows through
@@ -441,9 +503,16 @@ def bpe_encode(
         raise ValueError(f"unknown emit {emit!r}")
     import pandas as pd
 
-    if alphabet is None:
+    eow = BYTE_EOW if byte_level else EOW
+    if byte_level:
+        # Fixed 256-byte alphabet — no corpus scan, nothing OOV ever
+        # (the byte-fallback property): every unit is either a base
+        # byte symbol or a merge product, both in the id table, so
+        # n_unk is structurally 0.
+        alphabet = BYTE_ALPHABET
+    elif alphabet is None:
         alphabet = corpus_alphabet(df, text_col)
-    ids = bpe_vocab_ids(merges, alphabet)
+    ids = bpe_vocab_ids(merges, alphabet, eow=eow)
     rules = [(a, b, a + b) for a, b, _n in merges]
     id_type = dict(df.dtypes)[id_col]
     out_field = (
@@ -463,8 +532,10 @@ def bpe_encode(
             n_unk = []
             for t in pdf[text_col]:
                 units: list[str] = []
-                for w in _ws_tokens(t):
-                    units.extend(_apply_merges(w, rules))
+                for w in _ws_tokens(t, lower=not byte_level):
+                    if byte_level:
+                        w = _word_to_bytes(w)
+                    units.extend(_apply_merges(w, rules, eow=eow))
                 if want_ids:
                     enc = [ids.get(u, -1) for u in units]
                     out_ids_col.append(enc)
@@ -494,6 +565,7 @@ def bpe_decode(
     ids_col: str = "token_ids",
     out_col: str = "decoded",
     unk: str = "�",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Inverse of :func:`bpe_encode`'s id mapping — ids → subword
     units via the same deterministic :func:`bpe_vocab_ids` table,
@@ -513,7 +585,17 @@ def bpe_decode(
     codegen constant pool — ship the inverse dict in a mapInPandas
     closure instead (the :func:`bpe_encode` pattern); the id table
     derivation is shared either way."""
-    inv = {v: k for k, v in bpe_vocab_ids(merges, alphabet).items()}
+    eow = BYTE_EOW if byte_level else EOW
+    if byte_level:
+        alphabet = BYTE_ALPHABET
+        if unk == "�":
+            # Latin-1 bytes of UTF-8 U+FFFD: survives the byte→utf8
+            # decode below as the replacement character itself.
+            unk = "\xef\xbf\xbd"
+    inv = {
+        v: k
+        for k, v in bpe_vocab_ids(merges, alphabet, eow=eow).items()
+    }
     entries: list = []
     for i in sorted(inv):
         entries += [F.lit(i), F.lit(inv[i])]
@@ -522,14 +604,17 @@ def bpe_decode(
         F.col(ids_col),
         lambda x: F.coalesce(F.element_at(table, x), F.lit(unk)),
     )
+    joined = F.rtrim(
+        F.regexp_replace(F.array_join(units, ""), eow, " ")
+    )
+    if byte_level:
+        # latin-1 byte symbols (+ the spaces the markers became) →
+        # raw bytes → UTF-8 text. Both conversions are JVM built-ins,
+        # so byte decode stays a pure codegen projection too.
+        joined = F.decode(F.encode(joined, "ISO-8859-1"), "UTF-8")
     return df.withColumn(
         out_col,
-        F.when(
-            F.col(ids_col).isNotNull(),
-            F.rtrim(
-                F.regexp_replace(F.array_join(units, ""), EOW, " ")
-            ),
-        ),
+        F.when(F.col(ids_col).isNotNull(), joined),
     )
 
 
