@@ -85,7 +85,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(
-    n: int = 2, num_hashes: int = 32, bands: int = 8, threshold: float = 0.3
+    n: int = 2, num_hashes: int = 32, bands: int = 8, threshold: float = 0.3,
+    relation: str = "documents",
 ) -> str:
     """DuckDB mirror of ``minhash_dedup_pairs(hash_fn='md5',
     hash_band_key=False)``: same shingling, same seeded-md5 minwise
@@ -112,7 +113,7 @@ def _minhash_oracle(
     return f"""
     WITH toklist AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
-        FROM documents
+        FROM {relation}
     ), sh AS (
         SELECT DISTINCT doc_id,
                array_to_string(toks[i:i+{n - 1}], ' ') AS shingle

@@ -324,6 +324,7 @@ def minhash_dedup_pairs(
     dict_hashes: bool = False,
     reliable: bool = False,
     signature_strategy: str = "auto",
+    signature_materialize: bool = True,
 ) -> DataFrame:
     """End-to-end near-duplicate pairs: shingle → MinHash → LSH bands →
     estimated-Jaccard filter. Returns (id_a, id_b, est_jaccard).
@@ -362,7 +363,14 @@ def minhash_dedup_pairs(
     # once or the whole shingle→hash→agg pipeline re-executes per
     # branch. At scale this is the standard persisted minhash-signature
     # table (n_docs × k hashes — orders of magnitude under the text).
-    sig = cut_lineage(sig, reliable)
+    # ``signature_materialize=False`` skips the checkpoint and leaves
+    # branch-sharing to Catalyst's ReusedExchange — the LAZY mode for
+    # callers composing this into one larger single-action plan (the
+    # e2e pipeline contract: no intermediate driver action). The
+    # default stays the persisted signature table, right whenever the
+    # pair relation is consumed by more than one action.
+    if signature_materialize:
+        sig = cut_lineage(sig, reliable)
     pairs = lsh_candidate_pairs(
         sig, id_col, num_hashes, bands, hash_band_key
     )

@@ -223,6 +223,7 @@ def sequence_pack_concat(
     text_col: str,
     capacity: int = 512,
     shards: int = 16,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: within each shard, documents
     are laid end-to-end in id order and the token stream is cut into
@@ -245,7 +246,25 @@ def sequence_pack_concat(
     from pyspark.sql import Window
 
     w = Window.partitionBy("shard").orderBy(id_col)
-    counted = _counted_with_shard(docs, id_col, text_col, shards)
+    if count_col is not None:
+        # Pack on a PRECOMPUTED token count (e.g. a tokenizer
+        # stage's n_tokens) instead of re-counting whitespace words
+        # from text — the e2e pipeline path, same shard hash.
+        shard = (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % shards
+        ).cast("int")
+        counted = docs.select(
+            F.col(id_col),
+            shard.alias("shard"),
+            F.col(count_col).cast("long").alias("token_count"),
+        )
+    else:
+        counted = _counted_with_shard(docs, id_col, text_col, shards)
     packed = counted.withColumn(
         "start_offset",
         F.coalesce(

@@ -154,3 +154,73 @@ def test_byte_decode_oov_id_yields_replacement_char(spark):
     )
     out = bpe_decode(df, [], BYTE_ALPHABET, byte_level=True).collect()
     assert out[0].decoded == "hi �"
+
+
+# ---------------------------------------------------------------------
+# pretrain_pipeline_e2e: single-job-graph composition
+# ---------------------------------------------------------------------
+
+
+def test_e2e_chain_is_one_plan_no_intermediate_action(spark):
+    """Building the full chain (filter → dedup → mixture → encode →
+    decode → pack) triggers ZERO Spark jobs — every stage composes
+    lazily into one plan; the export write is the chain's only
+    action. The physical plan must contain the encode's
+    MapInPandas, the pack window, and joins, with no RDD scan /
+    cached-table barrier splitting the graph."""
+    import os
+
+    from deftunes_spark.driver_queries_r11 import (
+        build_pretrain_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        import pytest
+
+        pytest.skip("testdata not present")
+
+    tracker = spark.sparkContext.statusTracker()
+    # A fresh job group isolates the count from other tests' jobs.
+    spark.sparkContext.setJobGroup("e2e-plan-test", "plan-only")
+    try:
+        chain = build_pretrain_pipeline(spark, sf)
+        plan = chain._jdf.queryExecution().executedPlan().toString()
+        jobs_in_group = tracker.getJobIdsForGroup("e2e-plan-test")
+        # The parquet OPEN may run one scan-metadata job; no pipeline
+        # STAGE may run one (dict_hashes-style dictionary
+        # materialization would show up here as several).
+        assert len(jobs_in_group or []) <= 1, (
+            "chain construction ran Spark jobs: %s" % (jobs_in_group,)
+        )
+    finally:
+        spark.sparkContext.setJobGroup("default", "")
+    assert "MapInPandas" in plan          # the tokenize stage
+    assert "Window" in plan               # the pack stage
+    assert "Scanned RDD" not in plan and "ExistingRDD" not in plan
+    assert "InMemoryTableScan" not in plan
+
+
+def test_e2e_manifest_invariants(spark):
+    """The exported manifest accounts for every surviving doc exactly
+    once: shard ids dense in [0, 8), positive rows, n_seqs >=
+    ceil(byte_tokens/512) per shard aggregate."""
+    import os
+
+    import pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("testdata not present")
+    from deftunes_spark.driver_queries_r11 import (
+        build_pretrain_pipeline,
+        q_pretrain_pipeline_e2e,
+    )
+
+    man = {r.shard: r for r in q_pretrain_pipeline_e2e(spark, sf).collect()}
+    n_docs = build_pretrain_pipeline(spark, sf).count()
+    assert sum(r.n_rows for r in man.values()) == n_docs
+    assert all(0 <= s < 8 for s in man)
+    for r in man.values():
+        assert r.n_rows > 0
+        assert r.n_seqs >= r.n_rows  # every doc spans >= 1 sequence
