@@ -143,6 +143,13 @@ HEADLINE = [
     "compact_roundtrip",
     "events_windowed_rollup",
     "graph_triangles",
+    # r11 operators: the byte-fallback tokenizer chain (train cached,
+    # encode+decode timed — the hottest ingest op in its production
+    # byte-level form) and the composed end-to-end pipeline (filter →
+    # dedup → mixture → tokenize → pack → export + manifest: the
+    # whole-ingest wall in one number).
+    "bpe_byte_roundtrip",
+    "pretrain_pipeline_e2e",
 ]
 
 WARMUP_RUNS = 2

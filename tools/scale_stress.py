@@ -91,6 +91,26 @@ QUERIES = [
     "unigram_encode_roundtrip",
     "unigram_kl_divergence",
     "ngram_novelty",
+    # r11 additions (r10 verdict #4): the never-stressed heavyweights.
+    # shard_export_manifest: the one op with a real file write — the
+    # ratio checks the one-shuffle export and whether one-file-per-
+    # shard serializes (n_shards is caller-sized; the escape hatch is
+    # raising it, documented in SCALE.md). reward_margin_calibration:
+    # n_bins groups at any corpus. pagerank_sales/graph_triangles:
+    # fixed supersteps / per-order pair joins over a LINEARLY GROWING
+    # edge list (the replica builder now scales orders+lineitem with
+    # disjoint ids). events_windowed_rollup: availableNow streaming
+    # over the scaled events replica. bpe_byte_roundtrip: the
+    # byte-fallback encode→decode chain (linear-in-bytes claim).
+    # pretrain_pipeline_e2e: the composed filter→dedup→mixture→
+    # tokenize→pack→export chain — the whole-pipeline wall at scale.
+    "shard_export_manifest",
+    "reward_margin_calibration",
+    "pagerank_sales",
+    "graph_triangles",
+    "events_windowed_rollup",
+    "bpe_byte_roundtrip",
+    "pretrain_pipeline_e2e",
 ]
 
 # Output-bound queries (full rewritten text / per-turn rows / token
@@ -111,6 +131,8 @@ FORCED_AGG = {
     "sft_loss_mask_spans",
     "preference_pair_audit",
     "best_of_n_selection",
+    # r11: decoded full text per doc — output-bound like the encodes.
+    "bpe_byte_roundtrip",
 }
 
 # r6 verdict #3: a second decade. The 100× tier runs the flagship
@@ -155,6 +177,17 @@ FLAGSHIP_100X = [
     "unigram_encode_roundtrip",
     "unigram_kl_divergence",
     "ngram_novelty",
+    # r11 (r10 verdict #4): the never-stressed heavyweights' second
+    # decade — export write, graph supersteps over a 100x edge list,
+    # calibration rollup, streaming rollup, the byte tokenizer chain,
+    # and the full e2e composition.
+    "shard_export_manifest",
+    "reward_margin_calibration",
+    "pagerank_sales",
+    "graph_triangles",
+    "events_windowed_rollup",
+    "bpe_byte_roundtrip",
+    "pretrain_pipeline_e2e",
 ]
 
 
@@ -275,10 +308,35 @@ def build_scale_dir(
     )
     scaled_ev.repartition(32).write.mode("overwrite").parquet(ev_dst)
 
+    # Orders + lineitem scale too (r10 verdict #4: the graph family's
+    # stress rows need a GROWING edge list): per-replica disjoint
+    # order/customer/supplier ids — each replica is an isomorphic copy
+    # of the 1x trade graph, so edges and triangles grow exactly
+    # linearly while per-replica density (the quantity the join plans
+    # actually feel) stays constant. Before r11 both were symlinked
+    # unscaled, which would have measured N x vs 1x of the same graph.
+    for t, keys in (
+        ("orders", ("o_orderkey", "o_custkey")),
+        ("lineitem", ("l_orderkey", "l_suppkey", "l_partkey")),
+    ):
+        dst = f"{scale_dir}/{t}.parquet"
+        if os.path.islink(dst):
+            os.unlink(dst)  # pre-r11 replica layout
+        tb = spark.read.parquet(f"{BASE}/{t}.parquet")
+        shifted = tb.crossJoin(F.broadcast(reps)).select(
+            *[
+                (
+                    (F.col(c) + F.col("rep") * 10_000_000).alias(c)
+                    if c in keys
+                    else F.col(c)
+                )
+                for c in tb.columns
+            ]
+        )
+        shifted.repartition(32).write.mode("overwrite").parquet(dst)
+
     # The harness loaders resolve sibling tables from the same dir.
-    for t in (
-        "region nation customer supplier part orders lineitem"
-    ).split():
+    for t in "region nation customer supplier part".split():
         dst = f"{scale_dir}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{BASE}/{t}.parquet", dst)
@@ -464,6 +522,9 @@ def main() -> None:
         # the SFT rows against it would silently measure 10x vs 1x
         # of the same data (r9 review)
         or os.path.islink(f"{SCALE_DIR}/events.parquet")
+        # pre-r11 layout symlinked orders/lineitem UNSCALED — the
+        # graph rows would silently measure Nx vs 1x of one graph
+        or os.path.islink(f"{SCALE_DIR}/orders.parquet")
     ):
         t0 = time.perf_counter()
         build_scale_dir(spark)
@@ -550,6 +611,7 @@ def main() -> None:
             "--rebuild" in sys.argv
             or not os.path.exists(f"{SCALE_DIR_100}/documents.parquet")
             or os.path.islink(f"{SCALE_DIR_100}/events.parquet")
+            or os.path.islink(f"{SCALE_DIR_100}/orders.parquet")
         ):
             t0 = time.perf_counter()
             build_scale_dir(spark, SCALE_DIR_100, 100)
