@@ -117,6 +117,7 @@ def connected_triangles(
     src: str = "src",
     dst: str = "dst",
     orient: str = "degree",
+    closing: str = "broadcast",
 ) -> DataFrame:
     """Per-node triangle counts — the local clustering signal (spam
     rings in link graphs, tight duplicate cliques in near-dup graphs).
@@ -161,15 +162,33 @@ def connected_triangles(
     ab = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
     ac = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    # Closing join: the probe side is the WEDGE STREAM (Σ deg² rows —
+    # orders of magnitude over the edge list on dense graphs), the
+    # build side the ORIENTED EDGE LIST. Broadcasting the edge list
+    # keeps the wedge stream pipelined in its producing stage — no
+    # shuffle, no sort, no spill of the stream that dominates the
+    # operator (r11 stress: the 10× tier measured 18.8×/decade under
+    # the old sort-merge closing join — wedge-stream spill — and the
+    # per-node rollup re-enumerated every triangle three times via
+    # union; both fixed here). At a scale where the oriented edge
+    # list itself outgrows executor memory, Spark's broadcast build
+    # fails fast — pass ``closing="shuffle"`` there (and size
+    # ``spark.sql.shuffle.partitions`` to the wedge volume); a bloom
+    # prefilter of wedges is the usual middle path on sparse graphs.
     tri = (
         ab.join(bc, "b")
-        .join(ac, ["a", "c"])  # closing edge
-        .select("a", "b", "c")
-    )
+        .join(F.broadcast(ac), ["a", "c"])  # closing edge
+        if closing == "broadcast"
+        else ab.join(bc, "b").join(ac, ["a", "c"])
+    ).select("a", "b", "c")
+    # ONE enumeration: each triangle contributes its three corners
+    # via an explode — the union-of-three-projections formulation
+    # recomputed the entire two-join enumeration per branch (3× the
+    # dominant cost at every scale).
     per_node = (
-        tri.select(F.col("a").alias("node"))
-        .union(tri.select(F.col("b").alias("node")))
-        .union(tri.select(F.col("c").alias("node")))
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
