@@ -299,7 +299,9 @@ FROM r GROUP BY 1
 """
 
 
-def build_pretrain_pipeline(spark: SparkSession, sf_dir: str):
+def build_pretrain_pipeline(
+    spark: SparkSession, sf_dir: str, stopword_rule: bool = True
+):
     """The lazy end-to-end plan (everything up to the export write):
     curation filter → md5-minhash keep-set → in-plan mixture
     downsample → byte-level tokenize (mapInPandas) → decode → pack —
@@ -322,9 +324,16 @@ def build_pretrain_pipeline(spark: SparkSession, sf_dir: str):
     flags = gopher_quality_flags(docs).select(
         "doc_id", "pass_word_count", "pass_stopwords"
     )
+    keep = F.col("pass_word_count")
+    if stopword_rule:
+        # The stress replicas suffix every token (the_r3), which no
+        # English stopword survives — the scaled harness passes
+        # stopword_rule=False so the chain it measures is non-empty;
+        # the registered query keeps the full subset.
+        keep = keep & F.col("pass_stopwords")
     g = (
         docs.join(flags, "doc_id")
-        .filter(F.col("pass_word_count") & F.col("pass_stopwords"))
+        .filter(keep)
         .select("doc_id", "source", "text")
     )
     pairs = D.minhash_dedup_pairs(
@@ -427,16 +436,33 @@ def q_pretrain_pipeline_e2e(
     composition end-to-end (tests/test_r11_ops.py asserts the chain
     builds as a single job graph: no intermediate action, no
     materialization barrier between stages)."""
+    return run_pretrain_pipeline(spark, sf_dir)
+
+
+def run_pretrain_pipeline(
+    spark: SparkSession, sf_dir: str, stopword_rule: bool = True
+) -> DataFrame:
+    """Chain build → export → read-back manifest; split out so the
+    scale harness can run the replica-compatible variant
+    (``stopword_rule=False`` — the replica protocol suffixes every
+    token, which no English stopword survives)."""
     import tempfile
 
     from deftunes_spark.ext.export import shard_export
 
-    chain = build_pretrain_pipeline(spark, sf_dir)
+    chain = build_pretrain_pipeline(
+        spark, sf_dir, stopword_rule=stopword_rule
+    )
     path = tempfile.mkdtemp(prefix="deftunes_e2e_") + "/shards"
     shard_export(
         chain, path, n_shards=_E2E_EXPORT_SHARDS, text_col="text"
     )
-    back = spark.read.parquet(path)
+    # Explicit schema on read-back: a fully-filtered corpus exports
+    # ZERO data files (partitionBy writes nothing for an empty
+    # relation) and schema inference would throw where the correct
+    # answer is an empty manifest matching the oracle's zero rows.
+    back_schema = chain.schema.add("shard", "integer")
+    back = spark.read.schema(back_schema).parquet(path)
     ws_toks = F.size(
         F.filter(
             F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), _WS),

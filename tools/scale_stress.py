@@ -110,7 +110,7 @@ QUERIES = [
     "graph_triangles",
     "events_windowed_rollup",
     "bpe_byte_roundtrip",
-    "pretrain_pipeline_e2e",
+    "pretrain_e2e_scaled",
 ]
 
 # Output-bound queries (full rewritten text / per-turn rows / token
@@ -187,8 +187,20 @@ FLAGSHIP_100X = [
     "graph_triangles",
     "events_windowed_rollup",
     "bpe_byte_roundtrip",
-    "pretrain_pipeline_e2e",
+    "pretrain_e2e_scaled",
 ]
+
+
+def _pretrain_e2e_scaled(spark, sf_dir: str):
+    """The e2e pipeline under the replica protocol: identical chain
+    minus the stopword gopher rule — replica token suffixing (the_rN)
+    defeats every English stopword, which would measure an EMPTY
+    pipeline (caught when the 10x run exported zero files). The
+    word-count rule, dedup, mixture, tokenize, pack, and export
+    stages all operate unchanged on suffixed text."""
+    from deftunes_spark.driver_queries_r11 import run_pretrain_pipeline
+
+    return run_pretrain_pipeline(spark, sf_dir, stopword_rule=False)
 
 
 def _simhash_probes_fast(spark, sf_dir: str):
@@ -531,6 +543,7 @@ def main() -> None:
         print(f"built {SCALE_DIR} in {time.perf_counter() - t0:.1f}s")
 
     local = {
+        "pretrain_e2e_scaled": _pretrain_e2e_scaled,
         "ann_knn_auto": _ann_knn_auto,
         "simhash_probes_fast": _simhash_probes_fast,
         "simhash_auto": _simhash_auto,
