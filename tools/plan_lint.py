@@ -82,6 +82,11 @@ ALLOW_BNLJ = {
         "(one ~2 KB bottom-k array per group), broadcast — fan-out "
         "bounded by (groups choose 2), never corpus-sized"
     ),
+    "source_overlap_kmv_md5": (
+        "same group-pair stage as source_overlap_minhash (the md5 "
+        "oracle twin, r11): G-row bottom-k sketch table broadcast, "
+        "fan-out bounded by (groups choose 2)"
+    ),
     "dedup_prefix_filter": (
         "1-row candidate-fan-out gate (assert_true filter over the "
         "Σc² estimate × 1-row doc-count) broadcast onto the prefix "
