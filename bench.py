@@ -331,10 +331,25 @@ def _bands(
     """query -> [band_min, band_med] over its last ≤BAND_WINDOW
     uncontended appearances in the kept records (records from a
     different scale factor are excluded; legacy records with no sf
-    field are treated as the canonical sf0.1)."""
+    field are treated as the canonical sf0.1).
+
+    Record hygiene (r11 verdict #3 + advice): a record self-marked
+    ``sweep_quality == "contaminated"`` is dropped entirely — its
+    "uncontended" entries were still measured under a sentinel breach
+    (r11 measured them ~1.2x inflated on unchanged code) and would
+    drag every band upward. Records stamped with a different host
+    identity are dropped too (the stored-floor pattern): bands are
+    plan-cost envelopes for THIS hardware, not cross-host ratios.
+    Legacy records carrying neither field predate the stamps and are
+    kept — they are the known-quiet r07-r10 sweeps from this host."""
     per_q: dict[str, list[float]] = {}
+    this_host = _host_identity()
     for rec in history:
         if sf is not None and str(rec.get("sf", "0.1")) != str(sf):
+            continue
+        if rec.get("sweep_quality") == "contaminated":
+            continue
+        if rec.get("host") is not None and rec["host"] != this_host:
             continue
         contended = set(rec.get("contended", []))
         for q, t in rec.get("queries", {}).items():
@@ -356,14 +371,21 @@ def _append_history(
     timings: dict[str, float],
     contended: list[str],
     sf: str,
+    sweep_quality: str = "clean",
 ) -> None:
     """Append this sweep's record (kept = quiet or explicitly listed
-    contended so bands exclude it) and cap retention."""
+    contended so bands exclude it) and cap retention. The record is
+    stamped with its sweep_quality and host identity so ``_bands``
+    can drop contaminated and foreign-host records (r11 verdict #3:
+    a contaminated sweep's "uncontended" timings are still ~1.2x
+    inflated and must never enter future bands)."""
     records = _load_history()
     records.append(
         {
             "label": label,
             "sf": sf,
+            "sweep_quality": sweep_quality,
+            "host": _host_identity(),
             "queries": timings,
             "contended": contended,
         }
@@ -686,6 +708,7 @@ def main() -> None:
             r["label"]
             for r in history
             if not r.get("contended")
+            and r.get("sweep_quality") != "contaminated"
             and str(r.get("sf", "0.1")) == str(sf)
         ]
         out["clean_ref"] = (
@@ -694,10 +717,16 @@ def main() -> None:
             else "BENCH_HISTORY.json"
         )
     if flags:
-        # name -> [current_sec, band_min, band_med, flag]; enough to
-        # adjudicate each flagged entry from the artifact alone.
+        # name -> [current_sec, band_min|null, band_med|null, flag];
+        # FIXED four-element shape (r11 advice: a bandless contended
+        # entry used to serialize as [cur, flag], forcing positional
+        # consumers to guess arity) — missing bands pad with nulls.
         out["flagged"] = {
-            q: ([round(timings[q], 3)] + bands.get(q, []) + [why])
+            q: (
+                [round(timings[q], 3)]
+                + (bands.get(q) or [None, None])
+                + [why]
+            )
             for q, why in flags.items()
         }
     out["bands_file"] = "BENCH_BANDS.json"
@@ -722,8 +751,9 @@ def main() -> None:
     # Keep the stdout line inside the harness's tail cap (the "contended"
     # name list is NOT duplicated on stdout — flagged entries carry the
     # 'contended' tag; the full list lives in the sidecar). On overflow,
-    # trim flagged entries worst-excess-first so what remains is still
-    # the most adjudication-worthy, then drop the slim sentinel.
+    # trim flagged entries LEAST-excess-first (pop the smallest
+    # cur/band ratio) so what remains is still the most
+    # adjudication-worthy, then drop the slim sentinel.
     if "flagged" in out and len(json.dumps(out)) > STDOUT_BUDGET:
         by_excess = sorted(
             out["flagged"],
@@ -804,13 +834,16 @@ def main() -> None:
         pass
 
     # This sweep becomes history for the NEXT sweep's bands (its
-    # contended entries are recorded so bands always exclude them).
+    # contended entries are recorded so bands always exclude them;
+    # a contaminated sweep is appended for the audit trail but
+    # carries the quality stamp that makes _bands drop it whole).
     if timings:
         _append_history(
             time.strftime("%Y%m%dT%H%M%SZ", time.gmtime()),
             timings,
             contended,
             sf,
+            sweep_quality,
         )
 
     sidecar = {
@@ -819,11 +852,16 @@ def main() -> None:
         "bands": bands_record,
         "contended": contended,
         "flagged": {
-            q: ([round(timings[q], 3)] + bands.get(q, []) + [why])
+            q: (
+                [round(timings[q], 3)]
+                + (bands.get(q) or [None, None])
+                + [why]
+            )
             for q, why in flags.items()
         },
         "errors": errors,
         "runs": all_runs,
+        "host": _host_identity(),
         "isolation": "per-query subprocess, min of adaptive %d-%d runs"
         " (2 warm-ups; stops when the two fastest agree within 5%%)"
         % (TIMED_RUNS, MAX_TIMED_RUNS),

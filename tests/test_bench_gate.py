@@ -78,3 +78,73 @@ def test_host_floor_store_min_merges_and_keys_on_host(
             f,
         )
     assert bench._load_host_floor() is None
+
+
+def test_bands_drop_contaminated_and_foreign_host_records():
+    """r11 verdict #3 + advice: a sweep self-marked contaminated must
+    never contribute to bands (its 'uncontended' timings were still
+    measured under a sentinel breach, ~1.2x inflated), and a record
+    stamped with another host's identity must not gate this host.
+    Legacy records with neither stamp are kept (the known-quiet
+    r07-r10 sweeps predate the stamps)."""
+    me = bench._host_identity()
+    history = [
+        # Legacy quiet record (no stamps) — kept.
+        {"label": "r09", "queries": {"q": 1.0}, "contended": []},
+        # Contaminated record — dropped whole, even the entries it
+        # did NOT list as contended.
+        {
+            "label": "bad",
+            "sweep_quality": "contaminated",
+            "host": me,
+            "queries": {"q": 9.0, "only_in_bad": 5.0},
+            "contended": [],
+        },
+        # Foreign-host clean record — dropped.
+        {
+            "label": "other-box",
+            "sweep_quality": "clean",
+            "host": {"cpu_model": "other", "cores": 8},
+            "queries": {"q": 0.1},
+            "contended": [],
+        },
+        # This-host clean record — kept.
+        {
+            "label": "r12",
+            "sweep_quality": "clean",
+            "host": me,
+            "queries": {"q": 1.2},
+            "contended": [],
+        },
+    ]
+    bands = bench._bands(history)
+    assert bands["q"] == [1.0, 1.2]          # only r09 + r12 survive
+    assert "only_in_bad" not in bands        # contaminated dropped whole
+
+
+def test_append_history_stamps_quality_and_host(tmp_path, monkeypatch):
+    path = str(tmp_path / "hist.json")
+    monkeypatch.setattr(bench, "HISTORY_PATH", path)
+    bench._append_history("t1", {"q": 1.0}, [], "0.1", "contaminated")
+    bench._append_history("t2", {"q": 1.1}, [], "0.1")  # default clean
+    recs = bench._load_history()
+    assert [r["sweep_quality"] for r in recs] == ["contaminated", "clean"]
+    assert recs[0]["host"] == bench._host_identity()
+    # And the stamp round-trips into band exclusion:
+    assert bench._bands(recs, "0.1")["q"] == [1.1, 1.1]
+
+
+def test_committed_history_r11_record_is_stamped_contaminated():
+    """The r11 sweep 20260816T160006Z was appended to history before
+    the quality stamp existed; it was retro-stamped in r12 so bands
+    can never inherit its ~1.2x-inflated timings."""
+    import os
+    p = os.path.join(os.path.dirname(bench.__file__), "BENCH_HISTORY.json")
+    with open(p) as f:
+        recs = json.load(f)["records"]
+    bad = [r for r in recs if r["label"] == "20260816T160006Z"]
+    assert all(r.get("sweep_quality") == "contaminated" for r in bad)
+    live = {q for q in bench._bands(recs, "0.1")}
+    # graph_triangles appeared ONLY in the contaminated r11 sweep, so
+    # it must have no band until a clean sweep lands.
+    assert bad and "graph_triangles" not in live
