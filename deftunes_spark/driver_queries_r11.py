@@ -445,15 +445,33 @@ def run_pretrain_pipeline(
     """Chain build → export → read-back manifest; split out so the
     scale harness can run the replica-compatible variant
     (``stopword_rule=False`` — the replica protocol suffixes every
-    token, which no English stopword survives)."""
-    import tempfile
+    token, which no English stopword survives).
+
+    Export lands at a FIXED path keyed on (sf_dir, variant), wiped
+    before each write (r11 advice: the old per-invocation mkdtemp was
+    never removed, and this query runs in bench warm-ups + adaptive
+    runs + both stress tiers — repeated sweeps accumulated unbounded
+    exported-corpus copies under /tmp). Disk use is now bounded at
+    one export per (corpus, variant). Consequence to document: a
+    DataFrame returned by an EARLIER invocation of the same
+    (sf_dir, variant) goes stale once a new invocation rewrites the
+    path — every harness (driver, bench, sweep, pytest) collects the
+    manifest before re-invoking, so this trade is safe here."""
+    import hashlib
+    import shutil
 
     from deftunes_spark.ext.export import shard_export
 
     chain = build_pretrain_pipeline(
         spark, sf_dir, stopword_rule=stopword_rule
     )
-    path = tempfile.mkdtemp(prefix="deftunes_e2e_") + "/shards"
+    key = "%s-%s" % (
+        hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+        "stop" if stopword_rule else "nostop",
+    )
+    base = "/tmp/deftunes_e2e_export/%s" % key
+    shutil.rmtree(base, ignore_errors=True)
+    path = base + "/shards"
     shard_export(
         chain, path, n_shards=_E2E_EXPORT_SHARDS, text_col="text"
     )
