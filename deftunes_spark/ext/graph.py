@@ -112,12 +112,23 @@ def pagerank(
     return ranks
 
 
+#: connected_triangles(closing="auto"): oriented-edge count above
+#: which the closing join falls back from broadcast to shuffle. 20M
+#: edges ≈ 320 MB raw (two longs) ≈ 1-2 GB as a broadcast hash
+#: relation — comfortably inside this rig's driver/executor memory
+#: and a conservative default for generic 8-16 GB executors. The r11
+#: measured ceiling on THIS box is ~50M edges; callers with bigger
+#: executors raise the threshold, callers on small ones lower it.
+AUTO_BROADCAST_MAX_EDGES = 20_000_000
+
+
 def connected_triangles(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     orient: str = "degree",
-    closing: str = "broadcast",
+    closing: str = "auto",
+    auto_broadcast_max_edges: int = AUTO_BROADCAST_MAX_EDGES,
 ) -> DataFrame:
     """Per-node triangle counts — the local clustering signal (spam
     rings in link graphs, tight duplicate cliques in near-dup graphs).
@@ -135,6 +146,16 @@ def connected_triangles(
     on a power-law graph at scale. ``orient="id"`` keeps plain id
     ordering (deterministic, and exactly mirrorable in short SQL —
     the oracle's choice).
+
+    ``closing`` picks the plan for the join that closes each wedge:
+    ``"broadcast"`` builds the oriented edge list as a broadcast hash
+    relation (the wedge stream — the Σ deg² side that dominates —
+    stays pipelined, no shuffle/sort/spill; r11's measured winner),
+    ``"shuffle"`` sort-merges (slower, but has no edge-list memory
+    ceiling), and the default ``"auto"`` counts the oriented list and
+    broadcasts iff it is ≤ ``auto_broadcast_max_edges`` — so graphs
+    beyond the broadcast ceiling degrade to the working plan instead
+    of failing the build (r11 advice).
 
     Returns (node, n_triangles), nodes in ≥1 triangle.
     """
@@ -159,6 +180,23 @@ def connected_triangles(
         oriented = und.filter(F.col("u") < F.col("v")).distinct()
     else:
         raise ValueError(f"unknown orient {orient!r}")
+    if closing == "auto":
+        # Size-based plan choice (r11 advice: an unconditional
+        # broadcast hint turns "slow but working" into a hard failure
+        # once the oriented edge list outgrows the broadcast limit).
+        # Plain count on the ORIGINAL lineage — deliberately NOT a
+        # localCheckpoint-then-count: a checkpoint erases the plan
+        # statistics under the three enumeration branches, which
+        # demotes the wedge join from its broadcast conversion to a
+        # full sort-merge shuffle (measured 2× the whole operator at
+        # sf0.1, vs +25% for the bare count). The count is linear in
+        # the edge list while the enumeration is Σ deg² — at scale
+        # the sizing pass is noise against the work it de-risks.
+        n_edges = oriented.count()
+        closing = (
+            "broadcast" if n_edges <= auto_broadcast_max_edges
+            else "shuffle"
+        )
     ab = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
     ac = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -172,9 +210,14 @@ def connected_triangles(
     # per-node rollup re-enumerated every triangle three times via
     # union; both fixed here). At a scale where the oriented edge
     # list itself outgrows executor memory, Spark's broadcast build
-    # fails fast — pass ``closing="shuffle"`` there (and size
-    # ``spark.sql.shuffle.partitions`` to the wedge volume); a bloom
-    # prefilter of wedges is the usual middle path on sparse graphs.
+    # fails fast — the default ``closing="auto"`` counts the oriented
+    # list and falls back to the sort-merge closing join above
+    # ``auto_broadcast_max_edges`` (size spark.sql.shuffle.partitions
+    # to the wedge volume there); a bloom prefilter of wedges is the
+    # usual middle path on sparse graphs. Both closings are
+    # parity-asserted and stress-measured (SCALE.md round-12).
+    if closing not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown closing {closing!r}")
     tri = (
         ab.join(bc, "b")
         .join(F.broadcast(ac), ["a", "c"])  # closing edge

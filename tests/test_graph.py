@@ -142,3 +142,56 @@ def test_triangle_orientations_agree(spark):
     }
     assert a == b
     assert a == {1: 2, 2: 1, 3: 3, 4: 2, 5: 1}
+
+
+def test_triangle_closing_plans_agree_and_auto_picks(spark):
+    """r11 advice + verdict #4: the shuffle closing join (the
+    no-memory-ceiling escape hatch) must count exactly the triangles
+    the broadcast plan counts, and closing="auto" must pick broadcast
+    under the edge threshold and shuffle above it — degrading to the
+    working plan instead of failing the broadcast build."""
+    from deftunes_spark.ext.graph import connected_triangles
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),
+        (3, 4), (4, 5), (3, 5),
+        (1, 4), (5, 6), (6, 7),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    expect = {1: 2, 2: 1, 3: 3, 4: 2, 5: 1}
+    for closing in ("broadcast", "shuffle", "auto"):
+        got = {
+            r.node: r.n_triangles
+            for r in connected_triangles(df, closing=closing).collect()
+        }
+        assert got == expect, closing
+    # auto with a tiny threshold = the shuffle path, still correct.
+    got = {
+        r.node: r.n_triangles
+        for r in connected_triangles(
+            df, closing="auto", auto_broadcast_max_edges=2
+        ).collect()
+    }
+    assert got == expect
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        connected_triangles(df, closing="hash")
+
+
+def test_triangle_closing_plan_shapes(spark):
+    """closing='broadcast' must put a BroadcastHashJoin on the closing
+    edge; closing='shuffle' must not broadcast the closing join (the
+    whole point of the escape hatch is no driver-sized build)."""
+    from deftunes_spark.ext.graph import connected_triangles
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"]
+    )
+    bc_plan = connected_triangles(
+        df, closing="broadcast"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bc_plan
+    sh_plan = connected_triangles(
+        df, closing="shuffle"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in sh_plan or "ShuffledHashJoin" in sh_plan
