@@ -90,8 +90,27 @@ def pagerank(
         .select("s", "d", (F.lit(1.0) / F.col("outdeg")).alias("w")),
         reliable,
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    return _pagerank_supersteps(
+        weighted, nodes, n, iterations, damping,
+        checkpoint_every, reliable,
+    )
 
+
+def _pagerank_supersteps(
+    weighted: DataFrame,
+    nodes: DataFrame,
+    n: int,
+    iterations: int,
+    damping: float,
+    checkpoint_every: int,
+    reliable: bool,
+) -> DataFrame:
+    """The shared superstep loop: one join (scatter rank·w along the
+    pre-weighted edges) + one groupBy (gather) per iteration.
+    ``weighted`` is (s, d, w) with w = 1/outdeg(s); ``nodes`` is the
+    node universe; ``n`` its count."""
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(iterations):
         contribs = weighted.join(ranks, weighted["s"] == ranks["node"]).select(
             weighted["d"].alias("to"),
@@ -110,6 +129,40 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = cut_lineage(ranks, reliable)
     return ranks
+
+
+def pagerank_preweighted(
+    weighted: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+    reliable: bool = False,
+) -> DataFrame:
+    """PageRank over a PRE-WEIGHTED edge table — the cluster-scale
+    entry point this module's header promises: persist (s, d, w) with
+    w = 1/outdeg(s) ONCE as a table bucketed on ``s`` (io.writers.
+    write_bucketed_table, n_buckets == spark.sql.shuffle.partitions),
+    and every superstep's scatter join consumes the bucket layout
+    instead of re-shuffling the edge list — the dominant side of the
+    join, static across supersteps and across runs. Only the gather
+    groupBy exchanges, so each superstep is exactly ONE shuffle of
+    rank-sized rows (plan-asserted in tests/test_graph.py;
+    driver query ``pagerank_bucketed``).
+
+    ``weighted`` must carry columns (s, d, w); ``nodes`` the node
+    universe as a single ``node`` column (for an undirected graph,
+    SELECT DISTINCT s from the bucketed table — itself exchange-free
+    on the bucket layout). Semantics identical to ``pagerank``:
+    rank₀ = 1/N; rankₜ₊₁(v) = (1−d)/N + d·Σ rankₜ(u)·w(u→v).
+    """
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    return _pagerank_supersteps(
+        weighted.select("s", "d", "w"), nodes, n, iterations,
+        damping, checkpoint_every, reliable,
+    )
 
 
 #: connected_triangles(closing="auto"): oriented-edge count above

@@ -18,5 +18,6 @@ import deftunes_spark.driver_queries_r8  # noqa: E402,F401
 import deftunes_spark.driver_queries_r9  # noqa: E402,F401
 import deftunes_spark.driver_queries_r10  # noqa: E402,F401
 import deftunes_spark.driver_queries_r11  # noqa: E402,F401
+import deftunes_spark.driver_queries_r12  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES"]

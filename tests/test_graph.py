@@ -1,4 +1,5 @@
 import numpy as np
+from pyspark.sql import functions as F
 
 from deftunes_spark.ext.graph import pagerank
 
@@ -195,3 +196,58 @@ def test_triangle_closing_plan_shapes(spark):
         df, closing="shuffle"
     )._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in sh_plan or "ShuffledHashJoin" in sh_plan
+
+
+def test_pagerank_bucketed_one_exchange_per_superstep(spark, tmp_path):
+    """The graph-module header's cluster claim, proven in the plan
+    (r11 verdict #6): with the weighted edge table bucketed on the
+    scatter key and n_buckets == shuffle.partitions, each superstep
+    plans exactly ONE shuffle Exchange (the gather) — the scatter
+    join and the rank-update join consume the bucket layout. Ranks
+    must equal the plain (re-shuffling) path bit-for-bit."""
+    import re
+
+    from deftunes_spark.ext.graph import pagerank, pagerank_preweighted
+    from deftunes_spark.io.writers import write_bucketed_table
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (6, 1)],
+        ["src", "dst"],
+    )
+    e = edges.select(
+        F.col("src").alias("s"), F.col("dst").alias("d")
+    ).distinct()
+    und = e.union(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    outdeg = und.groupBy(F.col("s").alias("_n")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    weighted = und.join(outdeg, und["s"] == outdeg["_n"]).select(
+        "s", "d", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    )
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    write_bucketed_table(
+        weighted, "pgbkt_test", "s", nb, "s",
+        path=str(tmp_path / "pgbkt_test"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        wt = spark.table("pgbkt_test")
+        nodes = wt.select(F.col("s").alias("node")).distinct()
+        iters = 3
+        ranks = pagerank_preweighted(wt, nodes, iterations=iters)
+        plan = ranks._jdf.queryExecution().executedPlan().toString()
+        n_shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_shuffles == iters, plan
+        assert "BroadcastExchange" not in plan
+        got = {r.node: round(r.rank, 10) for r in ranks.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS pgbkt_test")
+    want = {
+        r.node: round(r.rank, 10)
+        for r in pagerank(edges, iterations=3, undirected=True).collect()
+    }
+    assert got == want

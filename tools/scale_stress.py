@@ -111,6 +111,13 @@ QUERIES = [
     "events_windowed_rollup",
     "bpe_byte_roundtrip",
     "pretrain_e2e_scaled",
+    # r12 (r11 verdict #4/#6): the triangle closing-join escape hatch
+    # (sort-merge, no broadcast ceiling — how does "slow but working"
+    # actually scale?) and the bucketed-edge PageRank (scatter join
+    # co-located on the bucket layout; the write is session setup,
+    # excluded by the warm-run like the BPE trainer).
+    "graph_triangles_shuffle",
+    "pagerank_bucketed",
 ]
 
 # Output-bound queries (full rewritten text / per-turn rows / token
@@ -188,7 +195,44 @@ FLAGSHIP_100X = [
     "events_windowed_rollup",
     "bpe_byte_roundtrip",
     "pretrain_e2e_scaled",
+    # r12: second decade for the closing-join escape hatch and the
+    # bucketed-edge supersteps.
+    "graph_triangles_shuffle",
+    "pagerank_bucketed",
 ]
+
+
+def _graph_triangles_shuffle(spark, sf_dir: str):
+    """The r11-documented broadcast-ceiling escape hatch under its own
+    stress row (r11 verdict #4): identical supplier co-purchase graph
+    as `graph_triangles`, closing join forced to sort-merge — the plan
+    a graph beyond ~auto_broadcast_max_edges oriented edges gets from
+    closing='auto'. Parity with the broadcast plan is pytest-asserted
+    (tests/test_graph.py); this row measures what the fallback COSTS
+    per decade so the auto threshold is a measured trade, not a hope."""
+    from pyspark.sql import functions as F
+
+    from deftunes_spark.ext.graph import connected_triangles
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .select(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return connected_triangles(edges, orient="id", closing="shuffle")
 
 
 def _pretrain_e2e_scaled(spark, sf_dir: str):
@@ -547,6 +591,7 @@ def main() -> None:
         "ann_knn_auto": _ann_knn_auto,
         "simhash_probes_fast": _simhash_probes_fast,
         "simhash_auto": _simhash_auto,
+        "graph_triangles_shuffle": _graph_triangles_shuffle,
     }
 
     def _resolve(name):
