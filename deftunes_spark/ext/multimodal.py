@@ -7,13 +7,16 @@ and predicate pushdown works on the metadata.
 
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages: the Spark-side plumbing (schemas, batching,
-partitioning) is real and tested. The codec itself is OPTIONAL: when
-PIL (Pillow) is importable, ``fake_features=False`` /
-``fake_resize=False`` run a real decode/resize through the ONE marked
-boundary function (``_decode_image``); without it the deterministic
-fake keeps the full pipeline shape testable and the real path raises
-with a clear message. ffmpeg-class audio/video decode remains a
-documented stub.
+partitioning) is real and tested. The codec behind the ONE marked
+boundary function (``_decode_image``) is tiered: Pillow when
+importable (any format it reads); else the vendored pure-numpy PNM
+codec (binary P5/P6 — real byte parsing, bilinear resample,
+re-encode), so the ``fake_*=False`` real paths run in CI even in
+containers without image libraries (r11 verdict #8); formats neither
+tier reads raise a clear NotImplementedError. The deterministic-fake
+branches remain the ORACLE-mirrorable paths the driver queries check
+cross-engine. ffmpeg-class audio/video decode remains a documented
+stub.
 """
 
 from __future__ import annotations
@@ -33,16 +36,153 @@ except ImportError:  # pragma: no cover - exercised via codec_available
     _PILImage = None
 
 
+class _PnmImage:
+    """Vendored minimal image codec: binary PNM (P5 grayscale / P6
+    RGB, maxval ≤ 255) decoded to a numpy array, with the three
+    operations the real-codec paths need (grayscale convert, bilinear
+    resize, re-encode). Pure numpy, no third-party image library —
+    exists so the real-codec branch of every multimodal operator runs
+    in CI even where Pillow is not installable (r11 verdict #8: the
+    PIL branch was effectively dead code in this container). When
+    Pillow IS present it takes precedence; PNM was chosen because PIL
+    reads/writes it too, so the same fixtures exercise either codec.
+    """
+
+    def __init__(self, arr) -> None:
+        import numpy as np
+
+        self.arr = np.asarray(arr, dtype=np.float64)  # (H, W) or (H, W, 3)
+
+    # -- the PIL-shaped surface the operators use ----------------------
+    @property
+    def size(self) -> tuple[int, int]:
+        return (self.arr.shape[1], self.arr.shape[0])  # (W, H)
+
+    def convert(self, mode: str) -> "_PnmImage":
+        if mode != "L":
+            raise NotImplementedError(f"builtin codec: mode {mode!r}")
+        if self.arr.ndim == 2:
+            return _PnmImage(self.arr)
+        # ITU-R 601 luma, the same weights PIL's "L" uses.
+        r, g, b = self.arr[..., 0], self.arr[..., 1], self.arr[..., 2]
+        return _PnmImage(r * 0.299 + g * 0.587 + b * 0.114)
+
+    def resize(self, wh: tuple[int, int], resample=None) -> "_PnmImage":
+        """Bilinear resample on pixel centers (align-corners=False).
+        Not bit-identical to PIL's filtered implementation — the
+        builtin is its own codec, not a PIL emulator; tests assert
+        properties (dims, value range, constant-image fixpoints), not
+        cross-codec pixel equality."""
+        import numpy as np
+
+        w, h = wh
+        src_h, src_w = self.arr.shape[0], self.arr.shape[1]
+        ys = (np.arange(h) + 0.5) * (src_h / h) - 0.5
+        xs = (np.arange(w) + 0.5) * (src_w / w) - 0.5
+        y0 = np.clip(np.floor(ys).astype(int), 0, src_h - 1)
+        x0 = np.clip(np.floor(xs).astype(int), 0, src_w - 1)
+        y1 = np.clip(y0 + 1, 0, src_h - 1)
+        x1 = np.clip(x0 + 1, 0, src_w - 1)
+        wy = np.clip(ys - y0, 0.0, 1.0)
+        wx = np.clip(xs - x0, 0.0, 1.0)
+        a = self.arr
+        if a.ndim == 2:
+            top = a[np.ix_(y0, x0)] * (1 - wx) + a[np.ix_(y0, x1)] * wx
+            bot = a[np.ix_(y1, x0)] * (1 - wx) + a[np.ix_(y1, x1)] * wx
+            out = top * (1 - wy)[:, None] + bot * wy[:, None]
+        else:
+            top = (
+                a[np.ix_(y0, x0)] * (1 - wx)[None, :, None]
+                + a[np.ix_(y0, x1)] * wx[None, :, None]
+            )
+            bot = (
+                a[np.ix_(y1, x0)] * (1 - wx)[None, :, None]
+                + a[np.ix_(y1, x1)] * wx[None, :, None]
+            )
+            out = (
+                top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
+            )
+        return _PnmImage(out)
+
+    def getdata(self) -> list:
+        import numpy as np
+
+        q = np.clip(np.rint(self.arr), 0, 255).astype(np.uint8)
+        if q.ndim == 2:
+            return [int(v) for v in q.reshape(-1)]
+        return [tuple(int(c) for c in px) for px in q.reshape(-1, q.shape[-1])]
+
+    def save(self, buf: "io.BytesIO", format: str = "PNM") -> None:
+        import numpy as np
+
+        if format not in ("PNM", "PPM", "PGM"):
+            raise NotImplementedError(
+                f"builtin codec: save format {format!r}"
+            )
+        q = np.clip(np.rint(self.arr), 0, 255).astype(np.uint8)
+        magic = b"P5" if q.ndim == 2 else b"P6"
+        buf.write(
+            magic + b"\n%d %d\n255\n" % (q.shape[1], q.shape[0])
+        )
+        buf.write(q.tobytes())
+
+
+def _pnm_decode(payload: bytes) -> _PnmImage:
+    """Parse binary PNM (P5/P6, maxval ≤ 255, '#' comments allowed)."""
+    import numpy as np
+
+    if payload[:2] not in (b"P5", b"P6"):
+        raise NotImplementedError(
+            "builtin codec supports binary PNM (P5/P6) only"
+        )
+    channels = 1 if payload[:2] == b"P5" else 3
+    pos, fields = 2, []
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PNM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while payload[pos : pos + 1].isdigit():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        else:
+            raise ValueError(f"bad PNM header byte {c!r}")
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("builtin codec: maxval > 255")
+    pos += 1  # exactly one whitespace byte separates header and raster
+    need = width * height * channels
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError("truncated PNM raster")
+    arr = np.frombuffer(raster, dtype=np.uint8)
+    shape = (height, width) if channels == 1 else (height, width, 3)
+    return _PnmImage(arr.reshape(shape))
+
+
 def codec_available() -> bool:
-    """True when a real image codec (Pillow) is importable."""
-    return _PILImage is not None
+    """True when a real image codec path exists. Always true since
+    r12: Pillow when importable, else the vendored PNM codec — the
+    distinction an operator caller needs is :func:`codec_mode`."""
+    return True
 
 
 def codec_mode() -> str:
-    """The codec the multimodal operators run with, as recorded in the
-    bench/correctness artifacts — single-sourced here so the two
-    artifacts can never disagree on the mode string."""
-    return "pillow" if codec_available() else "deterministic-fake"
+    """The codec the real-path multimodal operators run with, as
+    recorded in the bench/correctness artifacts — single-sourced here
+    so the two artifacts can never disagree on the mode string.
+    ``pillow`` = full-format Pillow; ``pnm-builtin`` = the vendored
+    pure-numpy PNM codec (real byte parsing / bilinear resample /
+    re-encode, PNM payloads only). The deterministic-fake branches
+    (``fake_*=True``) remain the ORACLE-mirrorable paths regardless of
+    codec — this mode string records which REAL branch CI verified."""
+    return "pillow" if _PILImage is not None else "pnm-builtin"
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -104,37 +244,50 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_image(payload: bytes) -> "object":
-    """CODEC BOUNDARY — the only function that touches a real image
-    library. PIL when installed; a clear error otherwise (the build
-    container ships no image libs — use the ``fake_*`` paths there)."""
-    if _PILImage is None:
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "use fake_features=True / fake_resize=True or install "
-            "Pillow"
-        )
-    return _PILImage.open(io.BytesIO(payload))
+    """CODEC BOUNDARY — the only function that touches an image
+    codec. PIL when installed (any format Pillow reads); else the
+    vendored PNM codec for P5/P6 payloads; a clear
+    NotImplementedError for formats neither handles (PNG/JPEG in this
+    container — use the ``fake_*`` paths or install Pillow)."""
+    if _PILImage is not None:
+        return _PILImage.open(io.BytesIO(payload))
+    if payload[:2] in (b"P5", b"P6"):
+        return _pnm_decode(payload)
+    raise NotImplementedError(
+        "image codec for this format not available in this "
+        "environment (builtin codec reads binary PNM only); use "
+        "fake_features=True / fake_resize=True or install Pillow"
+    )
+
+
+def _bilinear() -> "object":
+    """The resample flag for the active codec (the builtin ignores it
+    — bilinear is its only filter)."""
+    return _PILImage.BILINEAR if _PILImage is not None else None
 
 
 def _real_feature(payload: bytes, dim: int) -> list[float]:
     """Real image feature via the codec: grayscale, resize to a dim×1
-    strip (area-average), pixels scaled to [-1, 1] — a deterministic,
-    library-stable baseline embedding (a model-based encoder slots in
-    here unchanged: same batch shape, same output schema)."""
+    strip, pixels scaled to [-1, 1] — a deterministic, library-stable
+    baseline embedding (a model-based encoder slots in here unchanged:
+    same batch shape, same output schema)."""
     img = _decode_image(payload).convert("L").resize(
-        (dim, 1), resample=_PILImage.BILINEAR
+        (dim, 1), resample=_bilinear()
     )
     return [p / 127.5 - 1.0 for p in img.getdata()]
 
 
 def _real_resize(payload: bytes, width: int, height: int) -> bytes:
-    """Real resize via the codec; re-encodes as PNG (deterministic,
-    lossless — byte size varies with content, unlike the fake)."""
+    """Real resize via the codec; re-encodes deterministically and
+    losslessly in the active codec's output format (PIL → PNG,
+    builtin → binary PNM) — byte size varies with content, unlike the
+    fake. Either output re-opens through ``_decode_image`` under the
+    codec that produced it."""
     img = _decode_image(payload).resize(
-        (width, height), resample=_PILImage.BILINEAR
+        (width, height), resample=_bilinear()
     )
     buf = io.BytesIO()
-    img.save(buf, format="PNG")
+    img.save(buf, format="PNG" if _PILImage is not None else "PNM")
     return buf.getvalue()
 
 
@@ -334,7 +487,7 @@ def image_phash(
                     vals = _fake_pixels(data, 64)
                 else:
                     img = _decode_image(data).convert("L").resize(
-                        (8, 8), resample=_PILImage.BILINEAR
+                        (8, 8), resample=_bilinear()
                     )
                     vals = list(img.getdata())
                 s = sum(vals)

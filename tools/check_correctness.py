@@ -116,11 +116,16 @@ def main() -> int:
             print(f"ok   {name}: {len(srows)} rows match")
     from deftunes_spark.ext.multimodal import codec_mode
 
+    # Two codec facts, kept distinct (r11 verdict #8): the multimodal
+    # ORACLE queries here always run the deterministic-fake branch
+    # (the only one a DuckDB SQL twin can mirror); real_codec names
+    # the tier whose fake_*=False branch pytest verified this build
+    # (pillow, or the vendored pnm-builtin where Pillow is absent).
     codec = codec_mode()
     print(
         f"\n{len(failures)} failures out of "
         f"{len([q for q in qs if not only or q in only])} checked "
-        f"(image_codec={codec})"
+        f"(oracle_image_codec=deterministic-fake, real_codec={codec})"
     )
     return 1 if failures else 0
 
