@@ -17,7 +17,11 @@ it did not observe):
 3. Full correctness sweep (``python tools/check_correctness.py
    <sf_dir>``) over all registered queries.
 4. Plan lint (``python tools/plan_lint.py``) — regenerates
-   PLANLINT.md, so run it BEFORE the final commit you stamp.
+   PLANLINT.md and FAILS THE GATE when the regenerated report differs
+   from the committed one (r11 finding #1: an audit entry landed in
+   plan_lint.py without regenerating the report, shipping a phantom
+   violation in the snapshot commit). Run the lint and commit its
+   report BEFORE the head you stamp.
 
 Usage: python tools/final_head_gate.py [sf_dir]
 Exit 0 iff every stage passed; the JSON record is written either way.
@@ -94,19 +98,37 @@ def main() -> int:
         stages_green = rc == 0 and (m is None or int(m.group(1)) == 0)
 
     if stages_green:
+        # Snapshot the COMMITTED report before the lint regenerates it:
+        # if regeneration changes PLANLINT.md, the committed report was
+        # STALE — exactly the r11 breach (an audit entry landed in
+        # plan_lint.py without regenerating the report, shipping a
+        # phantom violation). A stale committed report fails the gate
+        # even when the lint itself is green; commit the regenerated
+        # file and re-run the gate at that head.
+        try:
+            with open(f"{REPO}/PLANLINT.md", "rb") as f:
+                before = f.read()
+        except OSError:
+            before = b""
         rc, out = run([sys.executable, "tools/plan_lint.py"])
         m = re.search(
             r"(\d+) violating queries, (\d+) audited exceptions, "
             r"(\d+) errors",
             out,
         )
+        try:
+            with open(f"{REPO}/PLANLINT.md", "rb") as f:
+                after = f.read()
+        except OSError:
+            after = b""
         record["plan_lint"] = {
             "rc": rc,
             "violations": int(m.group(1)) if m else None,
             "audited_exceptions": int(m.group(2)) if m else None,
             "errors": int(m.group(3)) if m else None,
+            "committed_report_was_stale": before != after,
         }
-        stages_green = rc == 0
+        stages_green = rc == 0 and before == after
 
     record["green"] = bool(stages_green)
     with open(OUT, "w") as f:
