@@ -113,3 +113,70 @@ def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.round("rank", 10).alias("pagerank"),
     )
+
+
+# =====================================================================
+# Gopher n-gram repetition filters (the duplicate-n-gram half of the
+# Rae et al. 2021 repetition rules; the unigram half is
+# `text_repetition`)
+# =====================================================================
+
+_WS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def _ngram_rep_oracle() -> str:
+    blocks, sels, joins = [], [], []
+    for n in (2, 3):
+        blocks.append(f"""
+    g{n} AS (
+        SELECT doc_id, array_to_string(tk[i:i+{n - 1}], ' ') AS gram
+        FROM tk,
+             unnest(range(1, greatest(len(tk) - {n - 1}, 0) + 1))
+                 AS t(i)
+    ), c{n} AS (
+        SELECT doc_id, gram, COUNT(*) AS c FROM g{n} GROUP BY 1, 2
+    ), a{n} AS (
+        SELECT doc_id, SUM(c) AS total, MAX(c) AS top,
+               SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+        FROM c{n} GROUP BY 1
+    )""")
+        sels.append(
+            f"CAST(COALESCE(a{n}.total, 0) AS BIGINT) AS n_{n}grams,\n"
+            f"       COALESCE(round(CAST(a{n}.top AS DOUBLE)"
+            f" / a{n}.total, 6), 0.0) AS top_{n}gram_frac,\n"
+            f"       COALESCE(round(CAST(a{n}.dup AS DOUBLE)"
+            f" / a{n}.total, 6), 0.0) AS dup_{n}gram_frac"
+        )
+        joins.append(f"LEFT JOIN a{n} USING (doc_id)")
+    sel_block = ",\n           ".join(sels)
+    return f"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '{_WS}'),
+                           x -> x <> '') AS tk
+        FROM documents
+    ),{",".join(blocks)}
+    SELECT d.doc_id,
+           {sel_block}
+    FROM (SELECT doc_id FROM documents) d
+    {" ".join(joins)}
+    """
+
+
+@query("gopher_ngram_repetition", _ngram_rep_oracle())
+def q_gopher_ngram_repetition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document duplicate-n-gram fractions (2- and 3-grams) — the
+    n-gram half of Gopher's repetition filter set, in the
+    explode+groupBy form that survives adversarially long documents
+    (ext.text.ngram_repetition: keyed aggregation on (doc, gram), so
+    per-task work tracks the shuffle partition, not the longest row;
+    gram construction rides the scan as pure codegen). The oracle
+    recomputes both n's dense gram tables in SQL; zero-gram documents
+    (shorter than n tokens) must report zeros on both engines."""
+    from deftunes_spark.ext.text import ngram_repetition
+
+    return ngram_repetition(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", ns=(2, 3)
+    )

@@ -363,6 +363,76 @@ def with_repetition_stats(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def ngram_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+    round_to: int = 6,
+) -> DataFrame:
+    """The n-gram half of Gopher's repetition filters (Rae et al.
+    2021 §A1.1): per document, for each n in ``ns``,
+
+    - ``top_{n}gram_frac``: occurrences of the most frequent word
+      n-gram / total n-gram occurrences (Gopher caps 2-grams at 0.2,
+      3-grams at 0.18);
+    - ``dup_{n}gram_frac``: fraction of n-gram OCCURRENCES whose gram
+      appears more than once in the document (the duplicate-n-gram
+      rule).
+
+    This is the explode+groupBy form ``with_repetition_stats``'s
+    docstring prescribes for long documents: the unigram operator's
+    in-row O(|vocab|·len) array scan becomes quadratic wall-time on a
+    single adversarially long row, while this plan is a keyed
+    aggregation on (doc, gram) — per-task work tracks the SHUFFLE
+    partition, not the longest row, so one 500 MB crawl artifact
+    cannot straggle a 100 TB scan. Gram construction itself stays
+    codegen (slice/concat over the token array; no UDF); the two
+    shuffles per n hash on (doc, gram) then doc. Documents with fewer
+    than n tokens report zero totals and fractions.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(col)), "[ \\t\\n\\x0B\\f\\r]+"),
+        lambda t: t != "",
+    )
+    base = df.select(F.col(id_col), toks.alias("tk"))
+    out = df.select(id_col)
+    for n in ns:
+        grams = F.when(
+            F.size("tk") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("tk", i, n)),
+            ),
+        )
+        cnt = (
+            base.select(id_col, F.explode(grams).alias("gram"))
+            .groupBy(id_col, "gram")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        agg = cnt.groupBy(id_col).agg(
+            F.sum("c").alias("total"),
+            F.max("c").alias("top"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias(
+                "dup"
+            ),
+        )
+        sel = agg.select(
+            F.col(id_col),
+            F.col("total").cast("bigint").alias(f"n_{n}grams"),
+            F.round(F.col("top") / F.col("total"), round_to).alias(
+                f"top_{n}gram_frac"
+            ),
+            F.round(F.col("dup") / F.col("total"), round_to).alias(
+                f"dup_{n}gram_frac"
+            ),
+        )
+        out = out.join(sel, id_col, "left")
+    # Documents shorter than n tokens have no gram rows: zero-fill
+    # (fillna covers the bigint totals and the double fractions).
+    return out.fillna(0)
+
+
 # PII scrubbing patterns (the canonical public shapes; a production
 # pipeline composes more). Applied in order — emails first so their
 # digits can't be half-eaten by the phone pattern.

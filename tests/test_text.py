@@ -206,3 +206,38 @@ def test_char_entropy_known_values(spark):
     h = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
     assert abs(out[4].char_entropy - h) < 1e-6
     assert out[3].n_chars_e == 4
+
+
+def test_ngram_repetition_fractions(spark):
+    """Hand-computed duplicate-n-gram fractions (the Gopher n-gram
+    repetition rules) including the degenerate shapes: a doc shorter
+    than n tokens, a NULL doc, and a fully-repetitive doc."""
+    from deftunes_spark.ext.text import ngram_repetition
+
+    rows = [
+        # "a b a b a": 2-grams [a b, b a, a b, b a] -> top 2/4, dup 4/4
+        #              3-grams [a b a, b a b, a b a] -> top 2/3, dup 2/3
+        (1, "a b a b a"),
+        # all distinct: "x y z": 2-grams [x y, y z] -> top 1/2, dup 0
+        (2, "x y z"),
+        (3, "solo"),        # shorter than 2 tokens -> zeros
+        (4, None),          # NULL text -> zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.asDict()
+        for r in ngram_repetition(df, "doc_id", "text").collect()
+    }
+    assert got[1]["n_2grams"] == 4
+    assert got[1]["top_2gram_frac"] == 0.5
+    assert got[1]["dup_2gram_frac"] == 1.0
+    assert got[1]["n_3grams"] == 3
+    assert got[1]["top_3gram_frac"] == round(2 / 3, 6)
+    assert got[1]["dup_3gram_frac"] == round(2 / 3, 6)
+    assert got[2]["n_2grams"] == 2
+    assert got[2]["top_2gram_frac"] == 0.5
+    assert got[2]["dup_2gram_frac"] == 0.0
+    for d in (3, 4):
+        assert got[d]["n_2grams"] == 0 and got[d]["n_3grams"] == 0
+        assert got[d]["top_2gram_frac"] == 0.0
+        assert got[d]["dup_3gram_frac"] == 0.0
