@@ -157,6 +157,9 @@ HEADLINE = [
     # plans round-over-round. The bucketed table write is session
     # setup (first warm-up run), not the steady-state cost.
     "pagerank_bucketed",
+    # r12: the n-gram repetition rules (two explode+groupBy keyed
+    # aggregations riding one scan).
+    "gopher_ngram_repetition",
 ]
 
 WARMUP_RUNS = 2

@@ -166,13 +166,18 @@ def pagerank_preweighted(
 
 
 #: connected_triangles(closing="auto"): oriented-edge count above
-#: which the closing join falls back from broadcast to shuffle. 20M
-#: edges ≈ 320 MB raw (two longs) ≈ 1-2 GB as a broadcast hash
-#: relation — comfortably inside this rig's driver/executor memory
-#: and a conservative default for generic 8-16 GB executors. The r11
-#: measured ceiling on THIS box is ~50M edges; callers with bigger
-#: executors raise the threshold, callers on small ones lower it.
-AUTO_BROADCAST_MAX_EDGES = 20_000_000
+#: which the closing join falls back from broadcast to shuffle. Both
+#: closings have a measured ceiling, and they are DIFFERENT resources:
+#: broadcast builds the oriented edge list as a hash relation
+#: (memory — a 45.4M-edge build completed on this 128 GiB rig at the
+#: r11 100× stress, ~1666 s; call it ~50M here), while shuffle
+#: materializes the Σ deg² WEDGE STREAM to shuffle disk (the r12 100×
+#: stress DIED on disk: ~1.7e10 wedges > 43 GB free on one box —
+#: viable only where aggregate cluster shuffle capacity covers it).
+#: Default to the measured broadcast ceiling of this rig; callers on
+#: small executors lower it (and had better size shuffle disk to the
+#: wedge volume), callers with bigger driver/executor memory raise it.
+AUTO_BROADCAST_MAX_EDGES = 50_000_000
 
 
 def connected_triangles(

@@ -118,6 +118,10 @@ QUERIES = [
     # excluded by the warm-run like the BPE trainer).
     "graph_triangles_shuffle",
     "pagerank_bucketed",
+    # r12: duplicate-n-gram fractions — keyed (doc, gram) aggregation,
+    # the explode+groupBy shape whose per-task work must track the
+    # shuffle partition, not the longest row.
+    "gopher_ngram_repetition",
 ]
 
 # Output-bound queries (full rewritten text / per-turn rows / token
@@ -199,6 +203,7 @@ FLAGSHIP_100X = [
     # bucketed-edge supersteps.
     "graph_triangles_shuffle",
     "pagerank_bucketed",
+    "gopher_ngram_repetition",
 ]
 
 
