@@ -174,10 +174,43 @@ def pagerank_preweighted(
 #: materializes the Σ deg² WEDGE STREAM to shuffle disk (the r12 100×
 #: stress DIED on disk: ~1.7e10 wedges > 43 GB free on one box —
 #: viable only where aggregate cluster shuffle capacity covers it).
-#: Default to the measured broadcast ceiling of this rig; callers on
-#: small executors lower it (and had better size shuffle disk to the
-#: wedge volume), callers with bigger driver/executor memory raise it.
+#: This rig's measured ceiling; ``_auto_broadcast_cap`` additionally
+#: bounds it by the session's actual heap (r12 advice: on a 1–4 GB
+#: driver the 128 GiB number would still pick a multi-hundred-MB
+#: broadcast build and OOM instead of degrading).
 AUTO_BROADCAST_MAX_EDGES = 50_000_000
+
+#: Conservative hash-relation cost per oriented edge (two longs plus
+#: HashedRelation entry/array overhead) and the fraction of the heap
+#: one broadcast build may claim, for the memory-derived auto cap.
+_BROADCAST_BYTES_PER_EDGE = 64
+_BROADCAST_HEAP_FRACTION = 0.25
+
+
+def _auto_broadcast_cap(spark, requested: int) -> int:
+    """min(requested, heap-derived edge cap) — the requested ceiling
+    is a measured 128 GiB-rig number; scale it down on smaller heaps
+    so ``closing='auto'`` degrades to the shuffle plan instead of
+    OOMing the broadcast build (r12 advice)."""
+    mem = spark.conf.get(
+        "spark.executor.memory",
+        spark.conf.get("spark.driver.memory", "1g"),
+    )
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    s = str(mem).strip().lower()
+    try:
+        if s[-1] in units:
+            heap = float(s[:-1]) * units[s[-1]]
+        elif s.endswith("b") and s[-2] in units:
+            heap = float(s[:-2]) * units[s[-2]]
+        else:
+            heap = float(s)
+    except (ValueError, IndexError):
+        return requested
+    derived = int(
+        heap * _BROADCAST_HEAP_FRACTION / _BROADCAST_BYTES_PER_EDGE
+    )
+    return min(requested, max(derived, 1))
 
 
 def connected_triangles(
@@ -217,42 +250,83 @@ def connected_triangles(
 
     Returns (node, n_triangles), nodes in ≥1 triangle.
     """
-    e = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).filter(F.col("u") != F.col("v")).distinct()
-    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Canonicalize in ONE pass: least/greatest + a single distinct
+    # yields exactly one row per undirected edge. (The old chain —
+    # distinct → union(reverse) → filter/distinct — deduped the edge
+    # list twice and doubled the union input; worse, the whole
+    # edge-construction pipeline upstream of `edges` was re-COMPILED
+    # under each of the three join branches because the per-branch
+    # filter pushdown left structurally different subtrees that
+    # ReusedExchange never matched: the r13 before-plan shows the
+    # lineitem self-join planned 3× plus a 4th full recompute for the
+    # auto-sizing count — 8 parquet scans for one operator.)
+    canon = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"),
+            F.greatest("u", "v").alias("v"),
+        )
+        .distinct()
+    )
     if orient == "degree":
-        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-        ranked = und.join(deg.withColumnRenamed("u", "_n"), F.col("u") == F.col("_n")) \
-            .select("u", "v", F.col("deg").alias("deg_u")) \
-            .join(
-                deg.withColumnRenamed("u", "_n").withColumnRenamed("deg", "deg_v"),
-                F.col("v") == F.col("_n"),
-            ) \
-            .select("u", "v", "deg_u", "deg_v")
-        oriented = ranked.filter(
-            (F.col("deg_u") < F.col("deg_v"))
-            | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v")))
-        ).select("u", "v").distinct()
+        # True undirected degree off the canonical list; each edge is
+        # then FLIPPED in place (a 1:1 projection — no union, no
+        # second distinct) to point up the (degree, id) order.
+        deg = canon.select(
+            F.explode(F.array("u", "v")).alias("_n")
+        ).groupBy("_n").agg(F.count(F.lit(1)).alias("deg"))
+        du = deg.select(
+            F.col("_n").alias("_nu"), F.col("deg").alias("deg_u")
+        )
+        dv = deg.select(
+            F.col("_n").alias("_nv"), F.col("deg").alias("deg_v")
+        )
+        up = (F.col("deg_u") < F.col("deg_v")) | (
+            (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+        )
+        oriented = (
+            canon.join(du, canon["u"] == du["_nu"])
+            .join(dv, canon["v"] == dv["_nv"])
+            .select(
+                F.when(up, F.col("u")).otherwise(F.col("v")).alias("u"),
+                F.when(up, F.col("v")).otherwise(F.col("u")).alias("v"),
+            )
+        )
     elif orient == "id":
-        oriented = und.filter(F.col("u") < F.col("v")).distinct()
+        oriented = canon  # least < greatest already
     else:
         raise ValueError(f"unknown orient {orient!r}")
+    # Materialize the oriented list ONCE: it feeds both wedge-join
+    # sides, the closing side, and (under auto) the sizing count —
+    # without the cut each consumer re-runs the full edge build.
+    # Join strategy no longer leans on Catalyst statistics (both
+    # broadcast-arm joins carry explicit hints below), so the
+    # checkpoint's stats erasure costs nothing.
+    oriented = cut_lineage(oriented)
+    # The checkpointed partitioning also FIXES the wedge-enumeration
+    # stage's task count, and per-partition work downstream is Σ deg²
+    # — orders of magnitude over the edge bytes AQE's coalescing sized
+    # the partitions for — so guarantee at least one task per core
+    # (scale-adaptive: defaultParallelism, not a constant). Checked
+    # AFTER the cut: .rdd on an unmaterialized AQE plan would execute
+    # the whole build; on the checkpointed frame it is metadata, and
+    # the corrective repartition+cut moves only edge-sized rows.
+    min_parts = oriented.sparkSession.sparkContext.defaultParallelism
+    if oriented.rdd.getNumPartitions() < min_parts:
+        oriented = cut_lineage(oriented.repartition(min_parts))
     if closing == "auto":
         # Size-based plan choice (r11 advice: an unconditional
         # broadcast hint turns "slow but working" into a hard failure
         # once the oriented edge list outgrows the broadcast limit).
-        # Plain count on the ORIGINAL lineage — deliberately NOT a
-        # localCheckpoint-then-count: a checkpoint erases the plan
-        # statistics under the three enumeration branches, which
-        # demotes the wedge join from its broadcast conversion to a
-        # full sort-merge shuffle (measured 2× the whole operator at
-        # sf0.1, vs +25% for the bare count). The count is linear in
-        # the edge list while the enumeration is Σ deg² — at scale
-        # the sizing pass is noise against the work it de-risks.
+        # The count reads the checkpointed blocks — near-free.
         n_edges = oriented.count()
         closing = (
-            "broadcast" if n_edges <= auto_broadcast_max_edges
+            "broadcast"
+            if n_edges
+            <= _auto_broadcast_cap(
+                oriented.sparkSession, auto_broadcast_max_edges
+            )
             else "shuffle"
         )
     ab = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
@@ -263,21 +337,24 @@ def connected_triangles(
     # build side the ORIENTED EDGE LIST. Broadcasting the edge list
     # keeps the wedge stream pipelined in its producing stage — no
     # shuffle, no sort, no spill of the stream that dominates the
-    # operator (r11 stress: the 10× tier measured 18.8×/decade under
-    # the old sort-merge closing join — wedge-stream spill — and the
-    # per-node rollup re-enumerated every triangle three times via
-    # union; both fixed here). At a scale where the oriented edge
-    # list itself outgrows executor memory, Spark's broadcast build
-    # fails fast — the default ``closing="auto"`` counts the oriented
-    # list and falls back to the sort-merge closing join above
-    # ``auto_broadcast_max_edges`` (size spark.sql.shuffle.partitions
-    # to the wedge volume there); a bloom prefilter of wedges is the
-    # usual middle path on sparse graphs. Both closings are
-    # parity-asserted and stress-measured (SCALE.md round-12).
+    # operator. Under the broadcast arm the WEDGE join's build side
+    # (bc) is the same edge-list-sized relation, so it carries the
+    # same explicit hint: the whole enumeration becomes one pipelined
+    # stage (scan cached edges → BHJ → BHJ → explode → partial agg)
+    # with a single Exchange at the final rollup, where the old plan
+    # sort-merged the wedge join (2 exchanges + sorts of the edge
+    # list). At a scale where the oriented edge list outgrows
+    # executor memory, ``closing="auto"`` counts the checkpointed
+    # list and falls back to the sort-merge closing join above the
+    # memory-capped ``auto_broadcast_max_edges`` (size
+    # spark.sql.shuffle.partitions to the wedge volume there); a
+    # bloom prefilter of wedges is the usual middle path on sparse
+    # graphs. Both closings are parity-asserted and stress-measured
+    # (SCALE.md round-12).
     if closing not in ("broadcast", "shuffle"):
         raise ValueError(f"unknown closing {closing!r}")
     tri = (
-        ab.join(bc, "b")
+        ab.join(F.broadcast(bc), "b")
         .join(F.broadcast(ac), ["a", "c"])  # closing edge
         if closing == "broadcast"
         else ab.join(bc, "b").join(ac, ["a", "c"])
