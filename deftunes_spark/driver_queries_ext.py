@@ -18,6 +18,7 @@ from deftunes_spark.ext import dedup as D
 from deftunes_spark.ext import multimodal as M
 from deftunes_spark.ext import similarity as S
 from deftunes_spark.ext import text as X
+from deftunes_spark.io.scratch import scratch_dir as _scratch
 from deftunes_spark.streaming.windows import (
     run_stream_once,
     session_stats_batch,
@@ -367,14 +368,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     old-vs-old pair. md5 + raw band keys so DuckDB mirrors the whole
     chain; the xxhash64 production path and the lifetime-union
     property are pytest-asserted (tests/test_dedup.py)."""
-    import tempfile as _tf
 
     docs = _t_cpu(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
     old = docs.filter(F.col("doc_id") % 3 != 0)
     new = docs.filter(F.col("doc_id") % 3 == 0)
-    store = _tf.mkdtemp(prefix="deftunes_incdedup_") + "/store"
+    store = _scratch("incdedup", sf_dir) + "/store"
     kw = dict(
         n=2, num_hashes=32, bands=8, threshold=0.3,
         hash_fn="md5", hash_band_key=False,
@@ -402,14 +402,13 @@ def q_dedup_incremental_fast(
     (r6 verdict #6) pins the incremental-pair invariants: estimate in
     [threshold, 1] and the pair is genuinely cross-batch or in-batch
     ordered (id_a != id_b)."""
-    import tempfile as _tf
 
     docs = _t_cpu(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
     old = docs.filter(F.col("doc_id") % 3 != 0)
     new = docs.filter(F.col("doc_id") % 3 == 0)
-    store = _tf.mkdtemp(prefix="deftunes_incfast_") + "/store"
+    store = _scratch("incfast", sf_dir) + "/store"
     kw = dict(
         n=2, num_hashes=32, bands=8, threshold=0.3,
         hash_fn="xxhash64", hash_band_key=True,
@@ -1392,7 +1391,6 @@ def q_events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow into a memory sink. Oracle: the equivalent batch
     join+aggregate — identical results for a bounded source, so the
     STREAMING operator itself is value-checked, not rows-only."""
-    import tempfile as _tf
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", "value"
@@ -1400,7 +1398,7 @@ def q_events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    src = _tf.mkdtemp(prefix="deftunes_enrich_src_")
+    src = _scratch("enrich-src", sf_dir)
     ev.write.mode("overwrite").parquet(src)
 
     def _enrich(stream):
@@ -1454,12 +1452,11 @@ def q_events_stream_stream_join(
     with availableNow; the emitted pairs are then batch-counted per
     user for a compact checked result. Oracle: the equivalent batch
     range self-join — identical pairs for a bounded on-time source."""
-    import tempfile as _tf
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
-    src = _tf.mkdtemp(prefix="deftunes_ssj_src_")
+    src = _scratch("ssj-src", sf_dir)
     ev.write.mode("overwrite").parquet(src)
 
     def _join(stream):
@@ -1518,13 +1515,12 @@ def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     forever). Emitted rows are batch-counted per event_type; the
     oracle is the original un-duplicated table aggregated the same
     way — dedup must collapse the injected copies exactly."""
-    import tempfile as _tf
 
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts", "value"
     )
     dup = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
-    src = _tf.mkdtemp(prefix="deftunes_sdedup_src_")
+    src = _scratch("sdedup-src", sf_dir)
     dup.write.mode("overwrite").parquet(src)
 
     def _dedup(stream):
@@ -1568,14 +1564,13 @@ def q_events_stream_versioned_sink(
     double-committed batch shifts counts/sums and fails the value
     hash. Replay idempotence itself is pytest-asserted
     (tests/test_streaming.py)."""
-    import tempfile as _tf
 
     from deftunes_spark.streaming.sinks import stream_to_versioned_table
 
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
-    src = _tf.mkdtemp(prefix="deftunes_vsink_src_")
+    src = _scratch("vsink-src", sf_dir)
     ev.repartition(4).write.mode("overwrite").parquet(src)
-    table = _tf.mkdtemp(prefix="deftunes_vsink_tbl_") + "/t"
+    table = _scratch("vsink-tbl", sf_dir) + "/t"
 
     snapshot = stream_to_versioned_table(
         spark,
@@ -1604,7 +1599,6 @@ def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     session out of state; sentinel sessions (start >= 2200) stay in
     state, so the emitted rows equal the batch/SQL sessionization
     exactly — the streaming operator is oracle-checked, not rows-only."""
-    import tempfile as _tf
 
     from deftunes_spark.streaming.stateful import session_stats_stateful
 
@@ -1614,7 +1608,7 @@ def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("ts", F.lit("2200-01-01 00:00:00").cast("timestamp"))
     )
-    src = _tf.mkdtemp(prefix="deftunes_stateful_src_")
+    src = _scratch("stateful-src", sf_dir)
     ev.unionByName(sentinels).write.mode("overwrite").parquet(src)
     result = run_stream_once(
         spark,
@@ -2082,7 +2076,6 @@ def q_events_stream_left_join(
     real event, so the no-data finalization batch flushes every
     pending null — making the streamed result equal the batch LEFT
     JOIN the oracle runs."""
-    import tempfile as _tf
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
@@ -2092,7 +2085,7 @@ def q_events_stream_left_join(
         [(-1, "view", max_ts), (-1, "click", max_ts)],
         "user_id bigint, event_type string, ts timestamp",
     ).withColumn("ts", F.col("ts") + F.expr("interval 12 hours"))
-    src = _tf.mkdtemp(prefix="deftunes_sslj_src_")
+    src = _scratch("sslj-src", sf_dir)
     ev.unionByName(sentinel).write.mode("overwrite").parquet(src)
 
     def _join(stream):
@@ -2200,14 +2193,13 @@ def q_events_windowed_rollup(
     uses the same far-future-sentinel trick as the left-outer join
     (both levels emit only when the watermark passes their window
     end), making the availableNow run equal the batch twin oracle."""
-    import tempfile as _tf
 
     ev = _t(spark, sf_dir, "events").select("event_type", "ts")
     max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
     sentinel = spark.createDataFrame(
         [("___sentinel", max_ts)], "event_type string, ts timestamp"
     ).withColumn("ts", F.col("ts") + F.expr("interval 12 hours"))
-    src = _tf.mkdtemp(prefix="deftunes_chain_src_")
+    src = _scratch("chain-src", sf_dir)
     ev.unionByName(sentinel).write.mode("overwrite").parquet(src)
 
     def _chain(stream):
@@ -2424,7 +2416,6 @@ def q_events_stream_scd2_enrich(
     to completion via availableNow. At 100 TB the dim is bucketed by
     user key instead of broadcast — the interval predicate is
     unchanged. Oracle: the identical batch point-in-time join."""
-    import tempfile as _tf
 
     from deftunes_spark.ext.scd import scd2_from_log
 
@@ -2451,7 +2442,7 @@ def q_events_stream_scd2_enrich(
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
     )
-    src = _tf.mkdtemp(prefix="deftunes_scd2stream_src_")
+    src = _scratch("scd2stream-src", sf_dir)
     purchases.write.mode("overwrite").parquet(src)
 
     def _enrich(stream):

@@ -457,21 +457,18 @@ def run_pretrain_pipeline(
     (sf_dir, variant) goes stale once a new invocation rewrites the
     path — every harness (driver, bench, sweep, pytest) collects the
     manifest before re-invoking, so this trade is safe here."""
-    import hashlib
-    import shutil
-
     from deftunes_spark.ext.export import shard_export
+    from deftunes_spark.io.scratch import scratch_dir
 
     chain = build_pretrain_pipeline(
         spark, sf_dir, stopword_rule=stopword_rule
     )
-    key = "%s-%s" % (
-        hashlib.md5(sf_dir.encode()).hexdigest()[:10],
-        "stop" if stopword_rule else "nostop",
-    )
-    base = "/tmp/deftunes_e2e_export/%s" % key
-    shutil.rmtree(base, ignore_errors=True)
-    path = base + "/shards"
+    # Per-user 0700 root + PID-scoped directory (r12 advice): the old
+    # fixed /tmp/deftunes_e2e_export/<key> could be rmtree'd mid-read
+    # by a concurrent harness process on the same (sf_dir, variant),
+    # and a pre-created path by another /tmp user would be followed.
+    key = "%s-%s" % (sf_dir, "stop" if stopword_rule else "nostop")
+    path = scratch_dir("e2e-export", key, wipe=True) + "/shards"
     shard_export(
         chain, path, n_shards=_E2E_EXPORT_SHARDS, text_col="text"
     )

@@ -41,15 +41,19 @@ _PR_BKT_TABLES: dict[tuple[str, str], str] = {}
 
 
 def _pagerank_bucketed_table(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile as _tf
     import uuid as _uuid
 
+    from deftunes_spark.io.scratch import scratch_dir
     from deftunes_spark.io.writers import write_bucketed_table
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PR_BKT_TABLES:
         table = f"pgbkt_edges_{_uuid.uuid4().hex[:10]}"
-        base = _tf.mkdtemp(prefix="deftunes_pgbkt_")
+        # Bounded scratch (r12 advice): the old per-process mkdtemp
+        # left one full edge-table copy per sweep/stress run. The
+        # scratch helper pins one live copy per (sf_dir, PID) and
+        # garbage-collects dead processes' copies.
+        base = scratch_dir("pgbkt", sf_dir, wipe=True)
         o = _t(spark, sf_dir, "orders")
         li = _t(spark, sf_dir, "lineitem")
         edges = (
