@@ -17,7 +17,7 @@ exist for.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from deftunes_spark.ext.lineage import cut_lineage
@@ -68,12 +68,18 @@ def pagerank(
         )
     e = cut_lineage(e, reliable)
 
-    nodes = cut_lineage(
+    # Node universe: with the symmetrized (undirected) list every node
+    # appears as a source, so the d-branch of the old two-sided union
+    # only re-derived the same set from twice the input; directed
+    # graphs still need both endpoints.
+    node_src = (
         e.select(F.col("s").alias("node"))
-        .union(e.select(F.col("d").alias("node")))
-        .distinct(),
-        reliable,
+        if undirected
+        else e.select(F.col("s").alias("node")).union(
+            e.select(F.col("d").alias("node"))
+        )
     )
+    nodes = cut_lineage(node_src.distinct(), reliable)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
@@ -81,13 +87,18 @@ def pagerank(
 
     # Edge weight 1/outdeg(src) is static across supersteps — fold it
     # into the edge list ONCE so each round is a single join + gather
-    # instead of re-joining the degree table every time.
-    outdeg = e.groupBy(F.col("s").alias("node")).agg(
-        F.count("*").alias("outdeg")
-    )
+    # instead of re-joining the degree table every time. The count is
+    # a window over the same key the groupBy would shuffle on — one
+    # exchange of the edge list, no degree-table join.
     weighted = cut_lineage(
-        e.join(outdeg, e["s"] == outdeg["node"])
-        .select("s", "d", (F.lit(1.0) / F.col("outdeg")).alias("w")),
+        e.select(
+            "s",
+            "d",
+            (
+                F.lit(1.0)
+                / F.count(F.lit(1)).over(Window.partitionBy("s"))
+            ).alias("w"),
+        ),
         reliable,
     )
     return _pagerank_supersteps(
