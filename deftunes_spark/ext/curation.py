@@ -815,9 +815,21 @@ def source_overlap(
     |group pairs| rows. No document payload ever joins.
     """
     from deftunes_spark.ext.dedup import shingles
+    from deftunes_spark.ext.lineage import cut_lineage
 
-    sh = shingles(
-        df.filter(F.col(text_col).isNotNull()), group_col, text_col, n
+    # Materialize the distinct (group, shingle) table ONCE: it feeds
+    # three plan branches (sizes + both self-join sides) and without
+    # the cut each branch recompiles the full split/explode/distinct
+    # build — the r13 before-plan carried 8 parquet scans and 28
+    # exchanges for what is one shingle table (same fix as the
+    # triangle enumeration).
+    sh = cut_lineage(
+        shingles(
+            df.filter(F.col(text_col).isNotNull()),
+            group_col,
+            text_col,
+            n,
+        )
     )
     sizes = sh.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shingles")
