@@ -144,7 +144,9 @@ def test_committed_history_r11_record_is_stamped_contaminated():
         recs = json.load(f)["records"]
     bad = [r for r in recs if r["label"] == "20260816T160006Z"]
     assert all(r.get("sweep_quality") == "contaminated" for r in bad)
-    live = {q for q in bench._bands(recs, "0.1")}
-    # graph_triangles appeared ONLY in the contaminated r11 sweep, so
-    # it must have no band until a clean sweep lands.
-    assert bad and "graph_triangles" not in live
+    # The contaminated record alone must contribute NO bands — its
+    # graph_triangles timing (which had no clean sibling until the
+    # r13 baseline sweep landed one) can never feed a band. (The old
+    # formulation asserted graph_triangles was band-less repo-wide,
+    # which correctly expired the moment a clean sweep recorded it.)
+    assert bad and bench._bands(bad, "0.1") == {}
