@@ -162,9 +162,46 @@ HEADLINE = [
     "gopher_ngram_repetition",
 ]
 
-WARMUP_RUNS = 2
-TIMED_RUNS = 4        # minimum timed runs
-MAX_TIMED_RUNS = 8    # adaptive cap when the min keeps improving
+# Run counts, r14 (VERDICT r13 #1): the driver's 32-core bench died at
+# rc=124 two rounds running. The measured quiet-sweep budget at the old
+# protocol (2 warm-ups + 4-8 adaptive timed runs) was ~36 min wall —
+# over the driver's kill budget BEFORE any noise retry. The estimator
+# (min of sentinel-gated warm runs in an isolated subprocess) is
+# unchanged; only the sample counts shrink: 1 warm-up (the min over >=3
+# timed runs discards a still-warming first run) and 3-6 adaptive timed
+# runs (same two-fastest-agree-within-5% stop rule). Old-protocol
+# numbers are preserved in tools/bench_r14_baseline.json + history.
+WARMUP_RUNS = 1
+TIMED_RUNS = 3        # minimum timed runs
+MAX_TIMED_RUNS = 6    # adaptive cap when the min keeps improving
+
+# Degraded mode for a sweep running out of wall-clock (VERDICT r13 #1):
+# children launched with $SPARK_GRAFT_BENCH_FAST=1 run 1 warm-up +
+# 2-4 timed runs, single attempt — still the min estimator, still
+# sentinel-stamped, but ~half the samples. The parent switches it on
+# only when the projected remaining cost exceeds the remaining budget,
+# and the affected queries are listed in the artifact.
+FAST_TIMED_RUNS = 2
+FAST_MAX_TIMED_RUNS = 4
+
+# Total sweep wall-clock budget (VERDICT r13 #1): the one-line JSON is
+# emitted when the deadline passes, with whatever completed and
+# "partial": true — an artifact with most queries beats two rounds of
+# rc=124 nothing. Override with $SPARK_GRAFT_BENCH_DEADLINE_SEC.
+# A SIGTERM (what `timeout` sends) triggers the same partial emission,
+# so even an external kill budget shorter than the deadline yields a
+# parseable artifact in the captured stdout tail.
+SWEEP_DEADLINE_SEC = float(
+    os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1500")
+)
+# Fixed per-child cost outside the timed runs (JVM launch + session +
+# cold first collect + teardown), measured r14 on this rig: ~12s.
+CHILD_OVERHEAD_SEC = 12.0
+# Run-count multipliers for projecting a query's recording cost from
+# its band median: warm-ups + adaptive timed runs, normal vs fast.
+NORMAL_RUNS_FACTOR = 1 + 4.0
+FAST_RUNS_FACTOR = 1 + 2.5
+DEFAULT_QUERY_EST_SEC = 1.5  # projection fallback for band-less queries
 
 # --- Noise floor (r6 verdict #2) -------------------------------------
 # Two consecutive rounds of "the 1.1-1.3x drift is host noise" is one
@@ -223,6 +260,12 @@ SENTINEL_RETRY_FACTOR = 1.3
 MAX_QUERY_ATTEMPTS = 4
 SWEEP_RETRY_BUDGET = 24
 RETRY_IDLE_WAIT_SEC = 90
+# Cumulative cap on retry idle-waiting across the whole sweep (VERDICT
+# r13 #1): the r14 baseline sweep burned ~450s in 5 post-contention
+# waits on an otherwise quiet host — unbounded, that alone can push the
+# sweep past the driver's kill budget. Once the cap is spent, retries
+# still happen (budget permitting) but without the idle wait.
+RETRY_WAIT_BUDGET_SEC = 120
 HOST_FLOOR_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_host_floor.json"
 )
@@ -276,8 +319,91 @@ class SentinelGate:
         return False
 
 
+def _effective_cpus() -> int:
+    """The core count Spark actually runs with — $SPARK_GRAFT_CPUS
+    (the driver benches at MORE THAN ONE core count), falling back to
+    the physical count. Bands and the stored sentinel floor are keyed
+    on this (VERDICT r13 #2): the constant-plan sentinel and every
+    query cost are functions of the core count, so an 8-core run
+    adjudicated against 32-core bands false-flags the most
+    core-sensitive queries (r13's unigram_encode_roundtrip case)."""
+    v = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if v.isdigit() and int(v) > 0:
+        return int(v)
+    return os.cpu_count() or 1
+
+
+class SweepClock:
+    """Wall-clock budget for the whole sweep (VERDICT r13 #1;
+    unit-tested: tests/test_bench_gate.py). Decides, from the time
+    left and per-query band estimates, whether to start another
+    recording, whether to degrade to fast mode, and how long a child
+    may run — so the sweep always reaches the one-line JSON emission
+    instead of being killed mid-recording with nothing on stdout."""
+
+    # Don't start a recording with less than this left: the child
+    # overhead alone would eat it and the kill would waste the tail.
+    MIN_START_SEC = 45.0
+
+    def __init__(
+        self,
+        deadline_sec: float,
+        bands: dict[str, list[float]] | None = None,
+        now: float | None = None,
+    ):
+        self.t0 = time.monotonic() if now is None else now
+        self.deadline = deadline_sec
+        self.bands = bands or {}
+
+    def remaining(self, now: float | None = None) -> float:
+        now = time.monotonic() if now is None else now
+        return self.deadline - (now - self.t0)
+
+    def _est_one(self, q: str, factor: float) -> float:
+        med = (self.bands.get(q) or [None, None])[1]
+        est = med if isinstance(med, (int, float)) else DEFAULT_QUERY_EST_SEC
+        return CHILD_OVERHEAD_SEC + factor * est
+
+    def projected(self, queries: list[str], fast: bool = False) -> float:
+        """Projected cost of recording ``queries`` once each."""
+        f = FAST_RUNS_FACTOR if fast else NORMAL_RUNS_FACTOR
+        return sum(self._est_one(q, f) for q in queries)
+
+    def should_start(self, now: float | None = None) -> bool:
+        return self.remaining(now) >= self.MIN_START_SEC
+
+    def use_fast(
+        self, queries_left: list[str], now: float | None = None
+    ) -> bool:
+        """Switch to fast mode when the normal-mode projection no
+        longer fits the time left (sticky at the caller)."""
+        return self.projected(queries_left, fast=False) > self.remaining(
+            now
+        )
+
+    def child_timeout(self, now: float | None = None) -> float:
+        """Per-child subprocess timeout: the time left (minus a margin
+        to emit output), clamped to [30, 1800]."""
+        return max(30.0, min(1800.0, self.remaining(now) - 10.0))
+
+    def allow_retry(
+        self, query: str, fast: bool, now: float | None = None
+    ) -> bool:
+        """A contended recording is only re-attempted when a full
+        re-recording still fits comfortably in the time left."""
+        f = FAST_RUNS_FACTOR if fast else NORMAL_RUNS_FACTOR
+        return self.remaining(now) >= 2.0 * self._est_one(query, f)
+
+
+class _SweepAbort(Exception):
+    """Raised by the SIGTERM handler to unwind to the JSON emission."""
+
+
 def _load_host_floor() -> float | None:
-    """Stored per-host sentinel floor, or None if absent/other host."""
+    """Stored per-(host, cpus) sentinel floor, or None if absent /
+    other host / other core count. Legacy records carry no ``cpus``
+    field — every pre-r14 floor was recorded at the full 32-core
+    local[32] config, so missing is treated as the physical count."""
     try:
         with open(HOST_FLOOR_PATH) as f:
             d = json.load(f)
@@ -285,21 +411,30 @@ def _load_host_floor() -> float | None:
         return None
     if d.get("host") != _host_identity():
         return None
+    if d.get("cpus", os.cpu_count()) != _effective_cpus():
+        return None
     v = d.get("floor_sec")
     return float(v) if isinstance(v, (int, float)) and v > 0 else None
 
 
 def _store_host_floor(floor: float) -> None:
     """Persist the quietest sentinel median ever observed on this
-    host (min-merged with any prior value) for the next sweep's
-    ceiling."""
+    (host, cpus) config (min-merged with any prior value) for the
+    next sweep's ceiling. A run at a different core count OVERWRITES
+    rather than merges — the file is a single-slot cache for the
+    config most recently benched, and a mixed-core merge would gate
+    one config with the other's floor."""
     prior = _load_host_floor()
     if prior is not None:
         floor = min(prior, floor)
     try:
         with open(HOST_FLOOR_PATH, "w") as f:
             json.dump(
-                {"host": _host_identity(), "floor_sec": round(floor, 4)},
+                {
+                    "host": _host_identity(),
+                    "cpus": _effective_cpus(),
+                    "floor_sec": round(floor, 4),
+                },
                 f,
                 indent=1,
             )
@@ -351,15 +486,25 @@ def _bands(
     identity are dropped too (the stored-floor pattern): bands are
     plan-cost envelopes for THIS hardware, not cross-host ratios.
     Legacy records carrying neither field predate the stamps and are
-    kept — they are the known-quiet r07-r10 sweeps from this host."""
+    kept — they are the known-quiet r07-r10 sweeps from this host.
+
+    Core-count keying (r14, VERDICT r13 #2): a record taken at a
+    different $SPARK_GRAFT_CPUS is dropped — bands are plan-cost
+    envelopes for one (host, cpus) config; the driver's 8-core run
+    false-flagged the most core-sensitive query against 32-core
+    bands. Legacy records carry no ``cpus`` field: every pre-r14
+    sweep ran the full 32-core config, so missing means 32."""
     per_q: dict[str, list[float]] = {}
     this_host = _host_identity()
+    this_cpus = _effective_cpus()
     for rec in history:
         if sf is not None and str(rec.get("sf", "0.1")) != str(sf):
             continue
         if rec.get("sweep_quality") == "contaminated":
             continue
         if rec.get("host") is not None and rec["host"] != this_host:
+            continue
+        if rec.get("cpus", 32) != this_cpus:
             continue
         contended = set(rec.get("contended", []))
         for q, t in rec.get("queries", {}).items():
@@ -396,6 +541,7 @@ def _append_history(
             "sf": sf,
             "sweep_quality": sweep_quality,
             "host": _host_identity(),
+            "cpus": _effective_cpus(),
             "queries": timings,
             "contended": contended,
         }
@@ -501,6 +647,9 @@ def _run_one(name: str, sf_dir: str) -> None:
     if fn is None:
         print(json.dumps({"name": name, "runs": None, "err": "unknown query"}))
         return
+    fast = os.environ.get("SPARK_GRAFT_BENCH_FAST") == "1"
+    timed_min = FAST_TIMED_RUNS if fast else TIMED_RUNS
+    timed_max = FAST_MAX_TIMED_RUNS if fast else MAX_TIMED_RUNS
     # Local-mode input-split sizing: the sf0.1 parquet files are ~10 MB,
     # so the cluster default (128 MB → 1 split) would serialize every
     # scan on one of 32 cores. Sizing splits to the file/core ratio is
@@ -521,12 +670,12 @@ def _run_one(name: str, sf_dir: str) -> None:
     # the reported min back toward true plan cost instead of
     # recording one lucky/unlucky draw.
     runs = []
-    for i in range(MAX_TIMED_RUNS):
+    for i in range(timed_max):
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         runs.append(round(time.perf_counter() - t0, 3))
         _release_run_state(spark)
-        if i + 1 >= TIMED_RUNS:
+        if i + 1 >= timed_min:
             lo = sorted(runs)[:2]
             if lo[1] <= lo[0] * 1.05:
                 # The two fastest runs corroborate each other — the
@@ -536,12 +685,15 @@ def _run_one(name: str, sf_dir: str) -> None:
                 break
     # 1-min load average bracketing the sweep: a spiked run with high
     # load reads as host steal, not a plan regression.
-    print(json.dumps({
+    rec = {
         "name": name,
         "runs": runs,
         "sentinel": sentinel,
         "load_avg_1m": round(os.getloadavg()[0], 2),
-    }))
+    }
+    if fast:
+        rec["fast"] = True
+    print(json.dumps(rec))
 
 
 def _codec_mode() -> str:
@@ -582,7 +734,16 @@ def main() -> None:
     errors: dict[str, str] = {}
     contended: list[str] = []
     requeued: dict[str, int] = {}
+    skipped: list[str] = []
+    fast_queries: list[str] = []
+    aborted = False
     retries_left = SWEEP_RETRY_BUDGET
+    retry_wait_left = RETRY_WAIT_BUDGET_SEC
+    # Bands are loaded up front: the SweepClock projects remaining
+    # sweep cost from band medians, and the flagging pass reuses them.
+    history = _load_history()
+    bands = _bands(history, sf)
+    clock = SweepClock(SWEEP_DEADLINE_SEC, bands)
     # Ceiling anchor (see the HOST_FLOOR_PATH block above): a stored
     # per-host floor gates absolutely; without one, the sweep
     # self-calibrates — accepted-quiet medians tighten the floor
@@ -594,30 +755,50 @@ def main() -> None:
 
     def _ceiling() -> float:
         return gate.ceiling()
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     here = os.path.abspath(__file__)
+    current_child: list = [None]  # Popen of the in-flight recording
 
-    def _one_attempt(name: str):
+    def _on_term(signum, frame):
+        # `timeout` (the likely driver wrapper) sends SIGTERM to this
+        # process only — unwind to the emission path so the stdout
+        # tail carries a parseable partial artifact instead of
+        # nothing (BENCH_r12/r13 were rc=124 with an empty tail).
+        raise _SweepAbort()
+
+    import signal
+
+    prev_term = signal.signal(signal.SIGTERM, _on_term)
+
+    def _one_attempt(name: str, fast: bool):
         """(rec, err): one isolated subprocess recording of a query."""
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        if fast:
+            env["SPARK_GRAFT_BENCH_FAST"] = "1"
+        proc = subprocess.Popen(
+            [sys.executable, here, "--one", name],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        current_child[0] = proc
         try:
-            proc = subprocess.run(
-                [sys.executable, here, "--one", name],
-                capture_output=True,
-                text=True,
-                env=env,
-                timeout=1800,
+            stdout, stderr = proc.communicate(
+                timeout=clock.child_timeout()
             )
         except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
             return None, "timeout"
+        finally:
+            current_child[0] = None
         line = (
-            proc.stdout.strip().splitlines()[-1]
-            if proc.stdout.strip()
-            else ""
+            stdout.strip().splitlines()[-1] if stdout.strip() else ""
         )
         try:
             rec = json.loads(line)
         except ValueError:
-            return None, (proc.stderr or "no output")[-500:]
+            return None, (stderr or "no output")[-500:]
         if not rec.get("runs"):
             return None, rec.get("err", "no runs")
         return rec, None
@@ -626,60 +807,101 @@ def main() -> None:
         s = sorted(rec.get("sentinel") or [])
         return s[len(s) // 2] if s else None
 
-    for name in HEADLINE:
-        attempts = []
-        err = None
-        for attempt in range(MAX_QUERY_ATTEMPTS):
-            rec, err = _one_attempt(name)
-            if rec is None:
-                break  # errors are code problems, not contention
-            attempts.append(rec)
-            s_med = _sentinel_median(rec)
-            if gate.judge(s_med):
-                break  # quiet recording — accept
-            if retries_left <= 0 or attempt + 1 >= MAX_QUERY_ATTEMPTS:
+    fast_mode = False
+    try:
+        for qi, name in enumerate(HEADLINE):
+            if not clock.should_start():
+                skipped = [n for n in HEADLINE[qi:]]
                 break
-            retries_left -= 1
-            requeued[name] = requeued.get(name, 0) + 1
-            # Contended recording: wait (bounded) for the load spike
-            # to decay before the re-run, instead of immediately
-            # re-measuring the same noise.
-            wait_t0 = time.time()
-            while (
-                os.getloadavg()[0] > IDLE_LOAD_GATE
-                and time.time() - wait_t0 < RETRY_IDLE_WAIT_SEC
-            ):
-                time.sleep(10)
-        if not attempts:
-            errors[name] = err or "no attempts"
-            continue
-        # Keep the attempt with the quietest sentinel — the recording
-        # closest to plan cost, by construction.
-        best = min(
-            attempts,
-            key=lambda r: _sentinel_median(r) or float("inf"),
-        )
-        best_med = _sentinel_median(best)
-        if best_med is not None and best_med > _ceiling():
-            contended.append(name)
-        all_runs[name] = {
-            "runs": best["runs"],
-            "sentinel": best.get("sentinel"),
-            "load_avg_1m": best.get("load_avg_1m"),
-            "attempts": len(attempts),
-            "discarded_attempts": [
-                {
-                    "runs": a["runs"],
-                    "sentinel": a.get("sentinel"),
-                    "load_avg_1m": a.get("load_avg_1m"),
-                }
-                for a in attempts
-                if a is not best
-            ],
-        }
-        if best.get("sentinel"):
-            sentinels.append(min(best["sentinel"]))
-        timings[name] = round(min(best["runs"]), 3)
+            if not fast_mode and clock.use_fast(HEADLINE[qi:]):
+                # Sticky degrade: from here on, children take fewer
+                # samples so the whole set still lands inside the
+                # budget (the affected queries are listed in the
+                # artifact; the estimator is unchanged).
+                fast_mode = True
+            attempts = []
+            err = None
+            for attempt in range(MAX_QUERY_ATTEMPTS):
+                rec, err = _one_attempt(name, fast_mode)
+                if rec is None:
+                    break  # errors are code problems, not contention
+                attempts.append(rec)
+                s_med = _sentinel_median(rec)
+                if gate.judge(s_med):
+                    break  # quiet recording — accept
+                if (
+                    retries_left <= 0
+                    or attempt + 1 >= MAX_QUERY_ATTEMPTS
+                    or not clock.allow_retry(name, fast_mode)
+                ):
+                    break
+                retries_left -= 1
+                requeued[name] = requeued.get(name, 0) + 1
+                # Contended recording: wait (bounded by BOTH the
+                # per-retry cap and the sweep-wide wait budget) for
+                # the load spike to decay before the re-run, instead
+                # of immediately re-measuring the same noise.
+                wait_t0 = time.time()
+                while (
+                    os.getloadavg()[0] > IDLE_LOAD_GATE
+                    and time.time() - wait_t0
+                    < min(RETRY_IDLE_WAIT_SEC, retry_wait_left)
+                ):
+                    time.sleep(10)
+                retry_wait_left = max(
+                    0.0, retry_wait_left - (time.time() - wait_t0)
+                )
+            if not attempts:
+                if err == "timeout" and not clock.should_start():
+                    # Killed by the shrinking deadline, not by the
+                    # query: everything from here is skipped, not
+                    # errored.
+                    skipped = [n for n in HEADLINE[qi:]]
+                    break
+                errors[name] = err or "no attempts"
+                continue
+            # Keep the attempt with the quietest sentinel — the
+            # recording closest to plan cost, by construction.
+            best = min(
+                attempts,
+                key=lambda r: _sentinel_median(r) or float("inf"),
+            )
+            best_med = _sentinel_median(best)
+            if best_med is not None and best_med > _ceiling():
+                contended.append(name)
+            if best.get("fast"):
+                fast_queries.append(name)
+            all_runs[name] = {
+                "runs": best["runs"],
+                "sentinel": best.get("sentinel"),
+                "load_avg_1m": best.get("load_avg_1m"),
+                "attempts": len(attempts),
+                "fast": bool(best.get("fast")),
+                "discarded_attempts": [
+                    {
+                        "runs": a["runs"],
+                        "sentinel": a.get("sentinel"),
+                        "load_avg_1m": a.get("load_avg_1m"),
+                    }
+                    for a in attempts
+                    if a is not best
+                ],
+            }
+            if best.get("sentinel"):
+                sentinels.append(min(best["sentinel"]))
+            timings[name] = round(min(best["runs"]), 3)
+    except _SweepAbort:
+        aborted = True
+        child = current_child[0]
+        if child is not None:
+            try:
+                child.kill()
+                child.communicate()
+            except OSError:
+                pass
+        skipped = [n for n in HEADLINE if n not in timings and n not in errors]
+    finally:
+        signal.signal(signal.SIGTERM, prev_term)
 
     # The consuming harness keeps only a short TAIL of stdout (r4's
     # artifact came back parsed=null because per-run arrays pushed the
@@ -693,8 +915,8 @@ def main() -> None:
     # keeps only the last 2000 chars of stdout, so the line carries the
     # verdict + inline bands for FLAGGED queries only; the full
     # per-query band table goes to BENCH_BANDS.json (committed).
-    history = _load_history()
-    bands = _bands(history, sf)
+    # (history/bands were loaded before the loop — the clock projects
+    # from the same band table the flagging pass reads.)
     flags: dict[str, str] = {}
     for q, t in timings.items():
         if q in contended:
@@ -715,6 +937,20 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "sweep_quality": sweep_quality,
     }
+    if skipped or aborted:
+        # Deadline/SIGTERM partial emission (VERDICT r13 #1): the
+        # artifact says what is missing instead of not existing. The
+        # total over a subset is NOT comparable to a full sweep's —
+        # consumers must compare per-query.
+        out["partial"] = True
+        out["n_skipped"] = len(skipped)
+        out["skipped"] = skipped[:8]
+        if aborted:
+            out["aborted"] = "sigterm"
+    if fast_queries:
+        # Queries recorded in degraded fast mode (fewer samples, same
+        # min estimator) — named in the sidecar, counted here.
+        out["n_fast"] = len(fast_queries)
     if sweep_quality == "contaminated":
         # Pointer to the last committed clean record (bands source).
         clean = [
@@ -875,9 +1111,14 @@ def main() -> None:
         "errors": errors,
         "runs": all_runs,
         "host": _host_identity(),
+        "cpus": _effective_cpus(),
+        "skipped": skipped,
+        "fast_queries": fast_queries,
+        "aborted": aborted,
+        "deadline_sec": SWEEP_DEADLINE_SEC,
         "isolation": "per-query subprocess, min of adaptive %d-%d runs"
-        " (2 warm-ups; stops when the two fastest agree within 5%%)"
-        % (TIMED_RUNS, MAX_TIMED_RUNS),
+        " (%d warm-up(s); stops when the two fastest agree within 5%%)"
+        % (TIMED_RUNS, MAX_TIMED_RUNS, WARMUP_RUNS),
         "image_codec": _codec_mode(),
         # Host-noise audit: this box is a VM subject to CPU steal;
         # per-run arrays plus the 1/5/15-min load averages let a

@@ -27,6 +27,7 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import stat
 import tempfile
 
 
@@ -35,6 +36,24 @@ def _root() -> str:
         tempfile.gettempdir(), f"deftunes_scratch_{os.getuid()}"
     )
     os.makedirs(root, mode=0o700, exist_ok=True)
+    # makedirs(exist_ok=True) accepts a PRE-EXISTING path without any
+    # ownership check — on a shared /tmp another user could pre-create
+    # the predictable name as a symlink or a world-writable dir, and
+    # the rmtree/parquet writes below would follow it (r13 advice: the
+    # exact hole this module exists to close). Verify the tempfile-
+    # style secure-dir properties on every call: a real directory (not
+    # a symlink — lstat), owned by us, no group/other write bits.
+    st = os.lstat(root)
+    if (
+        not stat.S_ISDIR(st.st_mode)
+        or st.st_uid != os.getuid()
+        or st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)
+    ):
+        raise RuntimeError(
+            f"scratch root {root!r} is not a private directory owned "
+            f"by uid {os.getuid()} (mode {oct(st.st_mode)}, uid "
+            f"{st.st_uid}) — refusing to use it"
+        )
     return root
 
 
@@ -57,6 +76,15 @@ def scratch_dir(purpose: str, key: str, wipe: bool = True) -> str:
     prior contents (for per-session memoized tables whose caller
     guards the build itself). Dead-PID siblings of the same purpose
     are garbage-collected on every call.
+
+    Assumptions (r13 advice, recorded): the path is unique per
+    (purpose, key, PID) — one invocation of a given query at a time
+    per process; a threaded harness invoking the same query
+    concurrently in one process would share (and wipe) the same path.
+    PID-liveness GC can be fooled by PID reuse into keeping a dead
+    sibling alive; with every current caller using ``wipe=True`` the
+    worst case is a stale directory surviving until its PID slot is
+    truly free, never stale contents being read.
     """
     root = _root()
     khash = hashlib.md5(key.encode()).hexdigest()[:10]

@@ -150,3 +150,86 @@ def test_committed_history_r11_record_is_stamped_contaminated():
     # formulation asserted graph_triangles was band-less repo-wide,
     # which correctly expired the moment a clean sweep recorded it.)
     assert bad and bench._bands(bad, "0.1") == {}
+
+
+def test_bands_keyed_on_effective_cpus(monkeypatch):
+    """r13 verdict #2: the driver's 8-core run false-flagged
+    unigram_encode_roundtrip (1.006 s, the most core-sensitive query)
+    against a 32-core band [0.665, 0.728]. Bands recorded at one core
+    count must not adjudicate a sweep at another; legacy records with
+    no cpus field are the pre-r14 32-core sweeps."""
+    me = bench._host_identity()
+    history = [
+        # Legacy 32-core record (no cpus field).
+        {"label": "r13", "host": me, "sweep_quality": "clean",
+         "queries": {"unigram_encode_roundtrip": 0.728}, "contended": []},
+        # Explicit 32-core record.
+        {"label": "r14", "host": me, "sweep_quality": "clean",
+         "cpus": 32,
+         "queries": {"unigram_encode_roundtrip": 0.665}, "contended": []},
+    ]
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert bench._effective_cpus() == 8
+    # At 8 cores the 32-core bands must vanish — nothing to flag.
+    assert bench._bands(history) == {}
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    assert bench._effective_cpus() == 32
+    bands = bench._bands(history)
+    assert bands["unigram_encode_roundtrip"] == [0.665, 0.728]
+
+
+def test_append_history_stamps_cpus(tmp_path, monkeypatch):
+    path = str(tmp_path / "hist.json")
+    monkeypatch.setattr(bench, "HISTORY_PATH", path)
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    bench._append_history("t8", {"q": 1.0}, [], "0.1")
+    recs = bench._load_history()
+    assert recs[0]["cpus"] == 8
+    # An 8-core record never gates a 32-core sweep.
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    assert bench._bands(recs, "0.1") == {}
+
+
+def test_host_floor_keyed_on_cpus(tmp_path, monkeypatch):
+    """The stored sentinel floor is a per-(host, cpus) quantity: a
+    32-task constant-plan sentinel runs ~4 waves at 8 cores, so a
+    32-core floor must not gate an 8-core sweep (and vice versa)."""
+    path = str(tmp_path / "floor.json")
+    monkeypatch.setattr(bench, "HOST_FLOOR_PATH", path)
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    bench._store_host_floor(0.05)
+    assert bench._load_host_floor() == 0.05
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert bench._load_host_floor() is None  # other config: no floor
+    bench._store_host_floor(0.2)             # 8-core run overwrites
+    assert bench._load_host_floor() == 0.2
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    assert bench._load_host_floor() is None
+
+
+def test_sweep_clock_deadline_and_fast_degrade():
+    """r13 verdict #1: the sweep must stop starting recordings when
+    the budget is gone and degrade to fast mode when the normal-mode
+    projection no longer fits — so the one-line JSON always lands."""
+    bands = {"a": [1.0, 2.0], "b": [3.0, 4.0]}
+    clock = bench.SweepClock(100.0, bands, now=0.0)
+    # Projection: overhead + factor * band_med per query.
+    exp_a = bench.CHILD_OVERHEAD_SEC + bench.NORMAL_RUNS_FACTOR * 2.0
+    assert clock.projected(["a"]) == exp_a
+    # Band-less query falls back to the default estimate.
+    assert clock.projected(["zz"]) == (
+        bench.CHILD_OVERHEAD_SEC
+        + bench.NORMAL_RUNS_FACTOR * bench.DEFAULT_QUERY_EST_SEC
+    )
+    # Enough budget: normal mode; tight budget: fast.
+    assert clock.use_fast(["a"], now=0.0) is False
+    assert clock.use_fast(["a", "b", "a", "b"], now=0.0) is True
+    # Deadline gates new recordings and clamps the child timeout.
+    assert clock.should_start(now=0.0) is True
+    assert clock.should_start(now=50.0) is True   # 50 left >= 45 floor
+    assert clock.should_start(now=60.0) is False  # 40 left < 45 floor
+    assert clock.child_timeout(now=0.0) == 90.0
+    assert clock.child_timeout(now=99.0) == 30.0  # floor
+    # Retries only when a re-recording still fits twice over.
+    assert clock.allow_retry("a", fast=False, now=0.0) is True
+    assert clock.allow_retry("a", fast=False, now=70.0) is False

@@ -47,7 +47,10 @@ def main() -> None:
             k: len(re.findall(p, fmt))
             for k, p in {
                 "scans": r"Scan parquet|Scan ExistingRDD|Scan orc",
-                "exch": r"\+- Exchange|^Exchange|:- Exchange",
+                # Formatted-mode node headers "(n) Exchange" count
+                # every Exchange including a root-level one (r13
+                # advice: "^Exchange" without re.M never matched).
+                "exch": r"\(\d+\) Exchange",
                 "smj": r"SortMergeJoin",
                 "bhj": r"BroadcastHashJoin",
                 "gen": r"Generate",
