@@ -121,18 +121,26 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 32,
     hash_fn: str = "xxhash64",
-    dict_hashes: bool = False,
+    dict_hashes: bool | str = False,
 ) -> DataFrame:
     """MinHash signature per document: one groupBy with ``num_hashes``
     min() aggregates over seeded shingle hashes — a single shuffle
     keyed by document id regardless of k.
 
-    ``dict_hashes=True`` hashes each DISTINCT shingle once and
-    broadcast-joins the k-hash dictionary back onto the (doc, shingle)
-    rows — identical signatures, but the k × md5 work drops from
-    O(doc-shingle rows) to O(distinct shingles). The win scales with
-    shingle repetition (natural-language corpora repeat heavily); keep
-    it off when the distinct-shingle set outgrows broadcast range.
+    ``dict_hashes`` hashes each DISTINCT shingle once and joins the
+    k-hash dictionary back onto the (doc, shingle) rows — identical
+    signatures, but the k × md5 work drops from O(doc-shingle rows)
+    to O(distinct shingles). The win scales with shingle repetition
+    (natural-language corpora repeat heavily). Two join physiques:
+
+    - ``True`` / ``"broadcast"``: the dictionary ships to every
+      executor — zero extra shuffle, but the distinct-shingle set
+      must fit broadcast range (it grows with the corpus — not the
+      100 TB default).
+    - ``"shuffle"``: a plain equi-join on the shingle — one extra
+      exchange of the (doc, shingle) rows, NO broadcast ceiling, and
+      the whole composition stays lazy (no driver-side dictionary
+      job), which the single-job-graph pipelines require.
     """
     if dict_hashes:
         hash_dict = shingle_df.select("shingle").distinct().select(
@@ -142,7 +150,12 @@ def minhash_signatures(
                 for i in range(num_hashes)
             ],
         )
-        joined = shingle_df.join(F.broadcast(hash_dict), "shingle")
+        if dict_hashes == "shuffle":
+            joined = shingle_df.join(hash_dict, "shingle")
+        elif dict_hashes in (True, "broadcast"):
+            joined = shingle_df.join(F.broadcast(hash_dict), "shingle")
+        else:
+            raise ValueError(f"unknown dict_hashes {dict_hashes!r}")
         aggs = [
             F.min(F.col(f"h_{i}")).alias(f"mh_{i}")
             for i in range(num_hashes)
@@ -321,7 +334,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
     hash_band_key: bool = True,
-    dict_hashes: bool = False,
+    dict_hashes: bool | str = False,
     reliable: bool = False,
     signature_strategy: str = "auto",
     signature_materialize: bool = True,

@@ -197,6 +197,18 @@ AUTO_BROADCAST_MAX_EDGES = 50_000_000
 _BROADCAST_BYTES_PER_EDGE = 64
 _BROADCAST_HEAP_FRACTION = 0.25
 
+#: connected_triangles(closing="chunked"): wedge rows one chunk may
+#: materialize to shuffle disk. The plain shuffle closing writes the
+#: WHOLE Σ in(b)·out(b) wedge stream to shuffle storage at once — the
+#: r12 100× stress died there (~1.7e10 wedges > the rig's free disk).
+#: Chunking the wedge MIDDLE node b into k hash buckets runs k bounded
+#: enumerate+close jobs; finished chunks' shuffle files are released
+#: before the next starts, so peak disk is ~Σ/k + one edge-list
+#: re-shuffle per chunk. 1e9 rows ≈ 10-20 GB of lz4'd shuffle on this
+#: rig — bounded well under its free disk while keeping chunk count
+#: (and the k× edge re-shuffle overhead) low.
+CHUNK_WEDGE_BUDGET = 1_000_000_000
+
 
 def _auto_broadcast_cap(spark, requested: int) -> int:
     """min(requested, heap-derived edge cap) — the requested ceiling
@@ -231,6 +243,8 @@ def connected_triangles(
     orient: str = "degree",
     closing: str = "auto",
     auto_broadcast_max_edges: int = AUTO_BROADCAST_MAX_EDGES,
+    closing_chunks: int | str = "auto",
+    chunk_wedge_budget: int = CHUNK_WEDGE_BUDGET,
 ) -> DataFrame:
     """Per-node triangle counts — the local clustering signal (spam
     rings in link graphs, tight duplicate cliques in near-dup graphs).
@@ -253,11 +267,19 @@ def connected_triangles(
     ``"broadcast"`` builds the oriented edge list as a broadcast hash
     relation (the wedge stream — the Σ deg² side that dominates —
     stays pipelined, no shuffle/sort/spill; r11's measured winner),
-    ``"shuffle"`` sort-merges (slower, but has no edge-list memory
-    ceiling), and the default ``"auto"`` counts the oriented list and
-    broadcasts iff it is ≤ ``auto_broadcast_max_edges`` — so graphs
-    beyond the broadcast ceiling degrade to the working plan instead
-    of failing the build (r11 advice).
+    ``"shuffle"`` sort-merges in ONE job (no edge-list memory ceiling,
+    but the whole wedge stream lands on shuffle disk at once — the
+    r12 100× stress died there), ``"chunked"`` hash-buckets the wedge
+    middle node into ``closing_chunks`` bounded enumerate+close jobs
+    (``"auto"`` sizes k from Σ in(b)·out(b) / ``chunk_wedge_budget``),
+    releasing each finished chunk's shuffle files so peak disk is
+    ~Σ/k instead of Σ — counts are bit-identical (each triangle is
+    counted in exactly the chunk owning its wedge middle; integer
+    partial sums are associative). The default ``closing="auto"``
+    counts the (checkpointed) oriented list and broadcasts iff it is
+    ≤ ``auto_broadcast_max_edges``, degrading to the CHUNKED plan
+    beyond the broadcast ceiling — bounded memory AND bounded disk
+    (r12 #3: the shuffle fallback "worked" only below the disk wall).
 
     Returns (node, n_triangles), nodes in ≥1 triangle.
     """
@@ -338,11 +360,15 @@ def connected_triangles(
             <= _auto_broadcast_cap(
                 oriented.sparkSession, auto_broadcast_max_edges
             )
-            else "shuffle"
+            else "chunked"
         )
     ab = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
     ac = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    if closing == "chunked":
+        return _triangles_chunked(
+            oriented, ab, bc, ac, closing_chunks, chunk_wedge_budget
+        )
     # Closing join: the probe side is the WEDGE STREAM (Σ deg² rows —
     # orders of magnitude over the edge list on dense graphs), the
     # build side the ORIENTED EDGE LIST. Broadcasting the edge list
@@ -382,3 +408,87 @@ def connected_triangles(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
     return per_node
+
+
+def _triangles_chunked(
+    oriented: DataFrame,
+    ab: DataFrame,
+    bc: DataFrame,
+    ac: DataFrame,
+    chunks: int | str,
+    wedge_budget: int,
+) -> DataFrame:
+    """The bounded-disk closing plan (r12 verdict #3): k hash-buckets
+    of the wedge MIDDLE node b, a union of k bounded enumerate+close
+    jobs.
+
+    The plain shuffle closing materializes the whole wedge stream —
+    Σ_b in(b)·out(b) rows over the oriented orientation — to shuffle
+    disk in one job; past ~1e10 wedges that outgrows a node's disk
+    before it outgrows its patience. Chunk i enumerates only wedges
+    whose middle hashes to i (both wedge-join sides filter the same
+    checkpointed edge list — reading cached blocks, not re-scanning),
+    closes them against the full edge list, and folds to per-node
+    partial counts (node-sized, localCheckpointed). Finished chunks'
+    shuffle files are unreferenced once the partial is checkpointed;
+    a System.gc() nudges ContextCleaner to delete them before the
+    next chunk starts, so peak shuffle footprint is ~Σ/k plus one
+    edge-list re-shuffle per chunk (the deliberate overhead: k·E edge
+    rows ≪ Σ wedge rows whenever chunking is needed at all).
+
+    Exactness: every triangle (a,b,c) over oriented edges a→b, b→c,
+    a→c is enumerated in exactly the chunk owning hash(b) — the
+    chunks partition the wedge space — and integer partial counts sum
+    associatively, so the result is bit-identical to the broadcast
+    and shuffle closings (parity-tested in tests/test_graph.py).
+    """
+    spark = oriented.sparkSession
+    if chunks == "auto":
+        # Σ in(b)·out(b) from two node-sized degree aggregates over
+        # the checkpointed list — the exact wedge volume, not a bound.
+        ind = oriented.groupBy(F.col("v").alias("_b")).agg(
+            F.count(F.lit(1)).alias("_in")
+        )
+        outd = oriented.groupBy(F.col("u").alias("_b")).agg(
+            F.count(F.lit(1)).alias("_out")
+        )
+        row = (
+            ind.join(outd, "_b")
+            .select((F.col("_in") * F.col("_out")).alias("_w"))
+            .agg(F.sum("_w").alias("wedges"))
+            .collect()[0]
+        )
+        n_wedges = int(row["wedges"] or 0)
+        chunks = max(1, -(-n_wedges // wedge_budget))  # ceil div
+    k = int(chunks)
+    if k < 1:
+        raise ValueError(f"closing_chunks must be >= 1: {k}")
+    partials = []
+    for i in range(k):
+        spark.sparkContext.setJobDescription(
+            f"triangles: chunked closing {i + 1}/{k}"
+        )
+        ab_i = ab.filter(F.pmod(F.xxhash64(F.col("b")), F.lit(k)) == i)
+        bc_i = bc.filter(F.pmod(F.xxhash64(F.col("b")), F.lit(k)) == i)
+        tri_i = (
+            ab_i.join(bc_i, "b").join(ac, ["a", "c"]).select("a", "b", "c")
+        )
+        per_i = (
+            tri_i.select(
+                F.explode(F.array("a", "b", "c")).alias("node")
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        )
+        partials.append(cut_lineage(per_i))
+        # Chunk i's shuffle dependencies are unreachable now that the
+        # partial is checkpointed — collect so ContextCleaner frees
+        # the shuffle files before chunk i+1 allocates its own.
+        spark._jvm.System.gc()
+    spark.sparkContext.setJobDescription(None)
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.unionAll(p)
+    return merged.groupBy("node").agg(
+        F.sum("t").cast("bigint").alias("n_triangles")
+    )

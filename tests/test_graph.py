@@ -160,13 +160,25 @@ def test_triangle_closing_plans_agree_and_auto_picks(spark):
     ]
     df = spark.createDataFrame(edges, ["src", "dst"])
     expect = {1: 2, 2: 1, 3: 3, 4: 2, 5: 1}
-    for closing in ("broadcast", "shuffle", "auto"):
+    for closing in ("broadcast", "shuffle", "auto", "chunked"):
         got = {
             r.node: r.n_triangles
             for r in connected_triangles(df, closing=closing).collect()
         }
         assert got == expect, closing
-    # auto with a tiny threshold = the shuffle path, still correct.
+    # Chunked with forced k: the wedge space partitions across chunks
+    # (some chunks empty at this size) and the partial sums must still
+    # reproduce the broadcast counts exactly (r12 verdict #3).
+    for k in (1, 3, 7):
+        got = {
+            r.node: r.n_triangles
+            for r in connected_triangles(
+                df, closing="chunked", closing_chunks=k
+            ).collect()
+        }
+        assert got == expect, f"chunked k={k}"
+    # auto with a tiny threshold degrades to the CHUNKED plan (bounded
+    # memory and bounded disk), still correct.
     got = {
         r.node: r.n_triangles
         for r in connected_triangles(
